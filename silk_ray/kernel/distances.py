@@ -1,0 +1,838 @@
+"""Distance measures — per-comparison similarity kernels.
+
+Semantics mirror the reference's ``DistanceMeasure`` hierarchy
+(``silk-rules/src/main/scala/org/silkframework/rule/similarity/``):
+
+- ``apply(values1, values2, limit)`` returns a distance >= 0 (may
+  early-out with +inf past ``limit``);
+- ``index(values, limit, source_or_target)`` returns a blocking
+  :class:`~silk_ray.kernel.index.Index` such that two value sets
+  within the distance limit share at least one index vector;
+- ``SimpleDistanceMeasure.apply`` is the min over the cross product of
+  the two value lists with early exit at 0
+  (SimpleDistanceMeasure.scala:47-59); its ``index`` merges the
+  ``index_value`` of each distinct value (:61-67).
+
+Every measure documents the reference file it matches.
+"""
+
+from __future__ import annotations
+
+import math
+import unicodedata
+from math import inf
+
+from silk_ray.kernel.index import Index, stable_str_hash
+
+DISTANCE_MEASURES: dict[str, type] = {}
+
+
+def register_distance(cls):
+    DISTANCE_MEASURES[cls.id] = cls
+    return cls
+
+
+def get_distance(plugin_id: str, **params) -> "DistanceMeasure":
+    return DISTANCE_MEASURES[plugin_id](**params)
+
+
+def parse_double(s: str) -> float | None:
+    """Scala ``str.toDouble`` analogue (StringUtils.DoubleLiteral)."""
+    try:
+        return float(s)
+    except (TypeError, ValueError):
+        return None
+
+
+def q_grams(s: str, q: int) -> list[str]:
+    """Padded q-grams (StringUtils.scala:135-139): '#'-boundary on both sides."""
+    boundary = "#" * (q - 1)
+    padded = boundary + s + boundary
+    if len(padded) < q:
+        return []
+    return [padded[i : i + q] for i in range(len(padded) - q + 1)]
+
+
+class DistanceMeasure:
+    id: str = ""
+
+    def apply(self, values1: list[str], values2: list[str], limit: float = inf) -> float:
+        raise NotImplementedError
+
+    def index(self, values: list[str], limit: float, source_or_target: bool) -> Index:
+        return Index.default()
+
+    # convenience for tests
+    def __call__(self, values1, values2, limit=inf):
+        return self.apply(values1, values2, limit)
+
+
+class SimpleDistanceMeasure(DistanceMeasure):
+    """Min-over-cross-product with early exit (SimpleDistanceMeasure.scala)."""
+
+    def evaluate(self, v1: str, v2: str, limit: float = inf) -> float:
+        raise NotImplementedError
+
+    def empty_index(self, limit: float) -> Index:
+        return Index.empty()
+
+    def index_value(self, value: str, limit: float, source_or_target: bool) -> Index:
+        return Index.default()
+
+    def apply(self, values1, values2, limit=inf):
+        min_distance = inf
+        for s1 in values1:
+            for s2 in values2:
+                d = self.evaluate(s1, s2, min(limit, min_distance))
+                if d < min_distance:
+                    min_distance = d
+                if min_distance <= 0.0:
+                    return min_distance
+        return min_distance
+
+    def index(self, values, limit, source_or_target):
+        if not values:
+            return self.empty_index(limit)
+        out = None
+        seen = set()
+        for v in values:
+            if v in seen:
+                continue
+            seen.add(v)
+            idx = self.index_value(v, limit, source_or_target)
+            out = idx if out is None else out.merge(idx)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# equality family (silk-rules/.../plugins/distance/equality/)
+# ---------------------------------------------------------------------------
+
+
+@register_distance
+class EqualityMetric(SimpleDistanceMeasure):
+    """0 iff any value equal (EqualityMetric.scala:45-66)."""
+
+    id = "equality"
+
+    def apply(self, values1, values2, limit=inf):
+        s2 = set(values2)
+        return 0.0 if any(v in s2 for v in values1) else 1.0
+
+    def evaluate(self, v1, v2, limit=inf):
+        return 0.0 if v1 == v2 else 1.0
+
+    def empty_index(self, limit):
+        return Index.one_dim(set())
+
+    def index_value(self, value, limit, source_or_target):
+        return Index.one_dim({stable_str_hash(value)})
+
+
+@register_distance
+class InequalityMetric(SimpleDistanceMeasure):
+    """1 iff equal (InequalityMetric.scala); no blocking index."""
+
+    id = "inequality"
+
+    def evaluate(self, v1, v2, limit=inf):
+        return 1.0 if v1 == v2 else 0.0
+
+
+@register_distance
+class ConstantMetric(DistanceMeasure):
+    """Constant distance (ConstantMetric.scala)."""
+
+    id = "constantDistance"
+
+    def __init__(self, value: float = 1.0):
+        self.value = value
+
+    def apply(self, values1, values2, limit=inf):
+        return self.value
+
+
+def _fold_text(s: str) -> str:
+    """Case/diacritic fold ≈ Collator PRIMARY strength (RelaxedEqualityMetric.scala)."""
+    nfkd = unicodedata.normalize("NFKD", s)
+    stripped = "".join(c for c in nfkd if not unicodedata.combining(c))
+    return stripped.casefold()
+
+
+@register_distance
+class RelaxedEqualityMetric(SimpleDistanceMeasure):
+    """Case/diacritic-relaxed equality (RelaxedEqualityMetric.scala)."""
+
+    id = "relaxedEquality"
+
+    def evaluate(self, v1, v2, limit=inf):
+        return 0.0 if _fold_text(v1) == _fold_text(v2) else 1.0
+
+    def empty_index(self, limit):
+        return Index.one_dim(set())
+
+    def index_value(self, value, limit, source_or_target):
+        return Index.one_dim({stable_str_hash(_fold_text(value))})
+
+
+@register_distance
+class NumericEqualityMetric(SimpleDistanceMeasure):
+    """Numeric equality with precision tolerance (NumericEqualityMetric.scala:46-70)."""
+
+    id = "numericEquality"
+
+    def __init__(self, precision: float = 0.0):
+        if precision >= 1.0 or precision < 0.0:
+            raise ValueError("precision must be 0 or a non-negative number smaller than 1")
+        self.precision = precision
+
+    def evaluate(self, v1, v2, limit=inf):
+        d1, d2 = parse_double(v1), parse_double(v2)
+        if d1 is None or d2 is None:
+            return 1.0
+        if self.precision == 0.0:
+            return 0.0 if d1 == d2 else 1.0
+        return 0.0 if abs(d1 - d2) <= self.precision else 1.0
+
+    def empty_index(self, limit):
+        return Index.one_dim(set())
+
+    def index_value(self, value, limit, source_or_target):
+        d = parse_double(value)
+        if d is None:
+            return self.empty_index(limit)
+        if self.precision == 0.0:
+            return Index.one_dim({stable_str_hash(repr(d))})
+        decimal_place = min(50, math.ceil(abs(math.log10(self.precision))))
+        norm = d - math.fmod(d, self.precision)
+        keys = {
+            stable_str_hash(f"{x:.{decimal_place}f}")
+            for x in (d, norm - 1.1 * self.precision, norm + 1.1 * self.precision)
+        }
+        return Index.one_dim(keys)
+
+
+class _OrderMetric(SimpleDistanceMeasure):
+    """Shared body of lowerThan / greaterThan (LowerThanMetric.scala autodetect order)."""
+
+    lower: bool = True
+
+    def __init__(self, orEqual: bool = False, reverse: bool = False):
+        self.or_equal = orEqual
+        self.reverse = reverse
+
+    def evaluate(self, v1, v2, limit=inf):
+        if self.reverse:
+            v1, v2 = v2, v1
+        if not self.lower:
+            v1, v2 = v2, v1
+        d1, d2 = parse_double(v1), parse_double(v2)
+        if d1 is not None and d2 is not None:
+            ok = d1 <= d2 if self.or_equal else d1 < d2
+        else:
+            ok = v1 <= v2 if self.or_equal else v1 < v2
+        return 0.0 if ok else 1.0
+
+
+@register_distance
+class LowerThanMetric(_OrderMetric):
+    id = "lowerThan"
+    lower = True
+
+
+@register_distance
+class GreaterThanMetric(_OrderMetric):
+    id = "greaterThan"
+    lower = False
+
+
+# ---------------------------------------------------------------------------
+# character-based (silk-rules/.../plugins/distance/characterbased/)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Two-row DP edit distance (LevenshteinDistance.scala:75-129)."""
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    r0 = list(range(len(s1) + 1))
+    for j, c2 in enumerate(s2, start=1):
+        r1 = [j] + [0] * len(s1)
+        for i, c1 in enumerate(s1, start=1):
+            cost = 0 if c1 == c2 else 1
+            r1[i] = min(r0[i] + 1, r1[i - 1] + 1, r0[i - 1] + cost)
+        r0 = r1
+    return r0[len(s1)]
+
+
+@register_distance
+class LevenshteinDistance(SimpleDistanceMeasure):
+    """Absolute edit distance with q-gram blocking index
+    (LevenshteinDistance.scala:42-73): length-difference early exit;
+    index = q-gram (q=2) codes over [minChar..maxChar], reordered
+    (drop first q-1 grams to the back), first ``limit*q + 1`` grams.
+    """
+
+    id = "levenshteinDistance"
+    q = 2
+
+    def __init__(self, minChar: str = "0", maxChar: str = "z"):
+        self.min_char = ord(minChar)
+        self.max_char = ord(maxChar)
+        self.index_size = (self.max_char - self.min_char + 1) ** self.q
+
+    def evaluate(self, v1, v2, limit=inf):
+        if abs(len(v1) - len(v2)) > limit:
+            return inf
+        return float(levenshtein(v1, v2))
+
+    def _index_qgram(self, gram: str) -> int:
+        idx = 0
+        span = self.max_char - self.min_char + 1
+        for ch in gram:
+            c = min(max(ord(ch), self.min_char), self.max_char)
+            idx = idx * span + c - self.min_char
+        return idx
+
+    def empty_index(self, limit):
+        return Index.one_dim(set(), self.index_size)
+
+    def index_value(self, value, limit, source_or_target):
+        grams = q_grams(value, self.q)
+        reordered = grams[self.q - 1 :] + grams[: self.q - 1]
+        take = int(limit) * self.q + 1
+        return Index.one_dim({self._index_qgram(g) for g in reordered[:take]}, self.index_size)
+
+
+@register_distance
+class LevenshteinMetric(LevenshteinDistance):
+    """Normalized [0,1] Levenshtein (LevenshteinMetric.scala)."""
+
+    id = "levenshtein"
+
+    def evaluate(self, v1, v2, limit=inf):
+        m = max(len(v1), len(v2))
+        if m == 0:
+            return 0.0
+        return levenshtein(v1, v2) / m
+
+    def index_value(self, value, limit, source_or_target):
+        # normalized limit → absolute char budget (LevenshteinMetric.scala)
+        return super().index_value(value, limit * len(value), source_or_target)
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro distance exactly as JaroDistanceMetric.scala:40-96 (incl. its
+    quirk of returning 0.0 when the common-character sequences differ in
+    length)."""
+    if not s1 or not s2:
+        return 1.0
+
+    halflen = min(len(s1), len(s2)) // 2 + min(len(s1), len(s2)) % 2
+
+    def common_chars(a: str, b: str, dist: int) -> list[str]:
+        out = []
+        copy = list(b)
+        for i, ch in enumerate(a):
+            for j in range(max(0, i - dist), min(i + dist + 1, len(b))):
+                if copy[j] == ch:
+                    out.append(ch)
+                    copy[j] = "\0"
+                    break
+        return out
+
+    c1 = common_chars(s1, s2, halflen)
+    c2 = common_chars(s2, s1, halflen)
+    if not c1 or not c2:
+        return 1.0
+    if len(c1) != len(c2):
+        return 0.0
+    transpositions = sum(1 for a, b in zip(c1, c2) if a != b) // 2
+    sim = (len(c1) / len(s1) + len(c2) / len(s2) + (len(c1) - transpositions) / len(c1)) / 3.0
+    return 1.0 - sim
+
+
+@register_distance
+class JaroDistanceMetric(SimpleDistanceMeasure):
+    id = "jaro"
+
+    def evaluate(self, v1, v2, limit=inf):
+        return jaro(v1, v2)
+
+
+@register_distance
+class JaroWinklerDistance(SimpleDistanceMeasure):
+    """Jaro-Winkler (JaroWinklerDistance.scala:33-60), prefix scale 0.1, max prefix 4."""
+
+    id = "jaroWinkler"
+
+    def evaluate(self, v1, v2, limit=inf):
+        d = jaro(v1, v2)
+        max_prefix = min(4, len(v1), len(v2))
+        prefix = 0
+        while prefix < max_prefix and v1[prefix] == v2[prefix]:
+            prefix += 1
+        return d - prefix * 0.1 * d
+
+
+@register_distance
+class QGramsMetric(SimpleDistanceMeasure):
+    """Jaccard over padded q-grams (QGramsMetric.scala:42-60)."""
+
+    id = "qGrams"
+
+    def __init__(self, q: int = 2, minChar: str = "0", maxChar: str = "z"):
+        self.q = q
+        self.min_char = ord(minChar)
+        self.max_char = ord(maxChar)
+        self.index_size = (self.max_char - self.min_char + 1) ** q
+
+    def evaluate(self, v1, v2, limit=inf):
+        g1, g2 = set(q_grams(v1, self.q)), set(q_grams(v2, self.q))
+        union = len(g1 | g2)
+        if union == 0:
+            return 0.0
+        return 1.0 - len(g1 & g2) / union
+
+    def _index_qgram(self, gram: str) -> int:
+        idx = 0
+        span = self.max_char - self.min_char + 1
+        for ch in gram:
+            c = min(max(ord(ch), self.min_char), self.max_char)
+            idx = idx * span + c - self.min_char
+        return idx
+
+    def empty_index(self, limit):
+        return Index.one_dim(set(), self.index_size)
+
+    def index_value(self, value, limit, source_or_target):
+        grams = q_grams(value, self.q)
+        index_size = int(round(len(grams) * limit + 0.5))
+        return Index.one_dim({self._index_qgram(g) for g in grams[:index_size]}, self.index_size)
+
+
+@register_distance
+class StartsWithDistance(SimpleDistanceMeasure):
+    """Prefix predicate (StartsWithDistance.scala)."""
+
+    id = "startsWith"
+
+    def __init__(self, reverse: bool = False, minLength: int = 2, maxLength: int = 2**31 - 1):
+        self.reverse = reverse
+        self.min_length = minLength
+        self.max_length = maxLength
+
+    def evaluate(self, v1, v2, limit=inf):
+        if self.reverse:
+            v1, v2 = v2, v1
+        prefix = v2[: self.max_length]
+        return 0.0 if v1.startswith(prefix) else 1.0
+
+    def empty_index(self, limit):
+        return Index.one_dim(set())
+
+    def index_value(self, value, limit, source_or_target):
+        if self.reverse:
+            source_or_target = not source_or_target
+        if source_or_target:
+            prefixes = [
+                value[:n]
+                for n in range(self.min_length, min(len(value), self.max_length) + 1)
+            ]
+        else:
+            prefixes = [value[: self.max_length]] if len(value) > self.max_length else [value]
+        return Index.one_dim({stable_str_hash(p) for p in prefixes})
+
+
+@register_distance
+class IsSubstringDistance(SimpleDistanceMeasure):
+    """Containment predicate (IsSubstringDistance.scala)."""
+
+    id = "isSubstring"
+
+    def __init__(self, reverse: bool = False):
+        self.reverse = reverse
+
+    def evaluate(self, v1, v2, limit=inf):
+        if self.reverse:
+            v1, v2 = v2, v1
+        return 0.0 if v1 in v2 else 1.0
+
+
+@register_distance
+class SubStringDistance(SimpleDistanceMeasure):
+    """Stoilos substring similarity (SubStringDistance.scala): distance
+    = 1 - (comm - diff + winkler-ish improvement). We implement the
+    core comm(s,t) - diff(s,t) formulation with the Winkler prefix
+    bonus omitted, matching the cited paper's base formula."""
+
+    id = "substring"
+
+    def __init__(self, granularity: str = "3"):
+        self.granularity = int(granularity)
+
+    def evaluate(self, v1, v2, limit=inf):
+        if not v1 or not v2:
+            return 1.0
+        s1, s2 = v1, v2
+        common_len = 0
+        # iteratively remove longest common substrings (Stoilos sec. 3)
+        while True:
+            longest = _longest_common_substring(s1, s2)
+            if len(longest) < self.granularity:
+                break
+            common_len += len(longest)
+            s1 = s1.replace(longest, "", 1)
+            s2 = s2.replace(longest, "", 1)
+        comm = 2.0 * common_len / (len(v1) + len(v2))
+        u1 = (len(v1) - common_len) / len(v1)
+        u2 = (len(v2) - common_len) / len(v2)
+        p = 0.6
+        denom = p + (1 - p) * (u1 + u2 - u1 * u2)
+        diff = (u1 * u2) / denom if denom else 0.0
+        sim = comm - diff
+        return 1.0 - max(min(sim, 1.0), 0.0)
+
+
+def _longest_common_substring(s1: str, s2: str) -> str:
+    if not s1 or not s2:
+        return ""
+    best_len, best_end = 0, 0
+    prev = [0] * (len(s2) + 1)
+    for i in range(1, len(s1) + 1):
+        cur = [0] * (len(s2) + 1)
+        c1 = s1[i - 1]
+        for j in range(1, len(s2) + 1):
+            if c1 == s2[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best_len:
+                    best_len, best_end = cur[j], i
+        prev = cur
+    return s1[best_end - best_len : best_end]
+
+
+# ---------------------------------------------------------------------------
+# token-based (silk-rules/.../plugins/distance/tokenbased/)
+# ---------------------------------------------------------------------------
+
+
+@register_distance
+class JaccardDistance(DistanceMeasure):
+    """1 - |∩|/|∪| over the value sets (JaccardDistance.scala:30-48);
+    index = first ceil(|set|*limit) value hashes."""
+
+    id = "jaccard"
+
+    def apply(self, values1, values2, limit=inf):
+        set1, set2 = set(values1), set(values2)
+        union = len(set1 | set2)
+        if union == 0:
+            return 0.0
+        return 1.0 - len(set1 & set2) / union
+
+    def index(self, values, limit, source_or_target):
+        value_set = sorted(set(values))  # deterministic take-order
+        index_size = int(round(len(value_set) * limit + 0.5))
+        return Index.one_dim({stable_str_hash(v) for v in value_set[:index_size]})
+
+
+@register_distance
+class DiceCoefficient(DistanceMeasure):
+    """1 - 2|∩|/(|s1|+|s2|) (DiceCoefficient.scala)."""
+
+    id = "dice"
+
+    def apply(self, values1, values2, limit=inf):
+        set1, set2 = set(values1), set(values2)
+        total = len(set1) + len(set2)
+        if total == 0:
+            return 0.0
+        return 1.0 - 2.0 * len(set1 & set2) / total
+
+    def index(self, values, limit, source_or_target):
+        value_set = sorted(set(values))
+        index_size = int(round(2.0 * len(value_set) * limit / (1 + limit) + 0.5))
+        return Index.one_dim({stable_str_hash(v) for v in value_set[:index_size]})
+
+
+@register_distance
+class SoftJaccardDistance(DistanceMeasure):
+    """Jaccard with Levenshtein-matched tokens (SoftJaccardDistance.scala:34-58)."""
+
+    id = "softjaccard"
+
+    def __init__(self, maxDistance: int = 1):
+        self.max_distance = maxDistance
+        self._lev = LevenshteinDistance()
+        self._jaccard = JaccardDistance()
+
+    def apply(self, values1, values2, limit=inf):
+        replaced = []
+        for v1 in values1:
+            equivalents = [
+                v2 for v2 in values2 if self._lev.evaluate(v1, v2, self.max_distance) <= self.max_distance
+            ]
+            replaced.extend(equivalents if equivalents else [v1])
+        return self._jaccard.apply(replaced, values2)
+
+    def index(self, values, limit, source_or_target):
+        if not values:
+            return self._lev.index_value("", limit, source_or_target)
+        index_size = int(round(len(values) * limit + 0.5))
+        out = None
+        for v in values[:index_size]:
+            idx = self._lev.index_value(v, limit, source_or_target)
+            out = idx if out is None else out.merge(idx)
+        return out
+
+
+@register_distance
+class CosineDistanceMetric(SimpleDistanceMeasure):
+    """Cosine over pre-weighted '<token> <weight>' items separated by ';'
+    (CosineDistanceMetric.scala)."""
+
+    id = "cosine"
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def evaluate(self, v1, v2, limit=inf):
+        def parse(s: str) -> dict[str, float]:
+            out = {}
+            for item in s.split(";"):
+                parts = item.split(" ")
+                if len(parts) >= 2:
+                    try:
+                        out[parts[0]] = float(parts[1])
+                    except ValueError:
+                        pass
+            return out
+
+        m1 = parse(v1)
+        similarity = sum(w * m1[t] for t, w in parse(v2).items() if t in m1)
+        return max(1.0 - similarity, 0.0)
+
+
+@register_distance
+class TokenCosineDistance(DistanceMeasure):
+    """Cosine distance over token-count vectors of the two value lists.
+
+    Not in the reference (its `cosine` expects pre-weighted items); this
+    is the natural multiset variant used by our dedup/similarity ops.
+    """
+
+    id = "tokenCosine"
+
+    def apply(self, values1, values2, limit=inf):
+        from collections import Counter
+
+        c1, c2 = Counter(values1), Counter(values2)
+        dot = sum(c1[t] * c2[t] for t in c1.keys() & c2.keys())
+        n1 = math.sqrt(sum(v * v for v in c1.values()))
+        n2 = math.sqrt(sum(v * v for v in c2.values()))
+        if n1 == 0 or n2 == 0:
+            return 1.0
+        return 1.0 - dot / (n1 * n2)
+
+    def index(self, values, limit, source_or_target):
+        value_set = sorted(set(values))
+        index_size = int(round(len(value_set) * limit + 0.5)) if limit < 1 else len(value_set)
+        return Index.one_dim({stable_str_hash(v) for v in value_set[:index_size]})
+
+
+# ---------------------------------------------------------------------------
+# numeric / temporal (silk-rules/.../plugins/distance/numeric/)
+# ---------------------------------------------------------------------------
+
+
+@register_distance
+class NumMetric(SimpleDistanceMeasure):
+    """|a-b| with optional [min,max] range for continuous blocking
+    (NumMetric.scala:47-80)."""
+
+    id = "num"
+
+    def __init__(self, minValue: float = -inf, maxValue: float = inf):
+        self.min_value = minValue
+        self.max_value = maxValue
+        self.index_enabled = not (math.isinf(minValue) or math.isinf(maxValue))
+
+    def evaluate(self, v1, v2, limit=inf):
+        d1, d2 = parse_double(v1), parse_double(v2)
+        if d1 is None or d2 is None:
+            return inf
+        return abs(d1 - d2)
+
+    def empty_index(self, limit):
+        if self.index_enabled:
+            return Index.continuous_empty(self.min_value, self.max_value, limit)
+        return Index.empty()
+
+    def index_value(self, value, limit, source_or_target):
+        if not self.index_enabled:
+            return Index.default()
+        d = parse_double(value)
+        if d is None:
+            return self.empty_index(limit)
+        return Index.continuous(d, self.min_value, self.max_value, limit=limit)
+
+
+def _parse_date(s: str):
+    import datetime as _dt
+
+    for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+@register_distance
+class DateMetric(SimpleDistanceMeasure):
+    """Distance in days (DateMetric.scala:96-110); continuous index over
+    the configured [minDate, maxDate] day range."""
+
+    id = "date"
+
+    _EPOCH_MIN = "0001-01-01"
+
+    def __init__(self, minDate: str = "1900-01-01", maxDate: str = "2100-01-01"):
+        self.min_days = self._to_days(minDate)
+        self.max_days = self._to_days(maxDate)
+
+    @staticmethod
+    def _to_days(s: str) -> float | None:
+        d = _parse_date(s)
+        if d is None:
+            return None
+        return d.toordinal() + (d - d.replace(hour=0, minute=0, second=0, microsecond=0)).total_seconds() / 86400.0
+
+    def evaluate(self, v1, v2, limit=inf):
+        d1, d2 = self._to_days(v1), self._to_days(v2)
+        if d1 is None or d2 is None:
+            return inf
+        return abs(d1 - d2)
+
+    def empty_index(self, limit):
+        return Index.continuous_empty(self.min_days, self.max_days, limit)
+
+    def index_value(self, value, limit, source_or_target):
+        d = self._to_days(value)
+        if d is None:
+            return self.empty_index(limit)
+        return Index.continuous(d, self.min_days, self.max_days, limit=limit)
+
+
+@register_distance
+class DateTimeMetric(SimpleDistanceMeasure):
+    """Distance in seconds (DateTimeMetric.scala)."""
+
+    id = "dateTime"
+
+    def __init__(self, minDateTime: str = "1900-01-01T00:00:00", maxDateTime: str = "2100-01-01T00:00:00"):
+        self.min_sec = self._to_sec(minDateTime)
+        self.max_sec = self._to_sec(maxDateTime)
+
+    @staticmethod
+    def _to_sec(s: str) -> float | None:
+        d = _parse_date(s)
+        if d is None:
+            return None
+        return d.toordinal() * 86400.0 + d.hour * 3600 + d.minute * 60 + d.second
+
+    def evaluate(self, v1, v2, limit=inf):
+        s1, s2 = self._to_sec(v1), self._to_sec(v2)
+        if s1 is None or s2 is None:
+            return inf
+        return abs(s1 - s2)
+
+    def empty_index(self, limit):
+        return Index.continuous_empty(self.min_sec, self.max_sec, limit)
+
+    def index_value(self, value, limit, source_or_target):
+        s = self._to_sec(value)
+        if s is None:
+            return self.empty_index(limit)
+        return Index.continuous(s, self.min_sec, self.max_sec, limit=limit)
+
+
+@register_distance
+class InsideNumericInterval(DistanceMeasure):
+    """Interval containment (InsideNumericInterval.scala): source values
+    form an interval [min,max]; 0 iff every target value lies inside."""
+
+    id = "insideNumericInterval"
+
+    def __init__(self, separator: str = "-"):
+        self.separator = separator
+
+    def _bounds(self, values):
+        nums = []
+        for v in values:
+            for part in v.split(self.separator):
+                d = parse_double(part.strip())
+                if d is not None:
+                    nums.append(d)
+        return (min(nums), max(nums)) if nums else None
+
+    def apply(self, values1, values2, limit=inf):
+        b1 = self._bounds(values1)
+        nums2 = [parse_double(v) for v in values2]
+        if b1 is None or not nums2 or any(n is None for n in nums2):
+            return 1.0
+        lo, hi = b1
+        return 0.0 if all(lo <= n <= hi for n in nums2) else 1.0
+
+
+@register_distance
+class GeographicDistanceMetric(SimpleDistanceMeasure):
+    """Haversine meters over 'lat lon' or 'POINT(lon lat)' strings
+    (GeographicDistanceMetric.scala:44-75); 2-D lat/long block index."""
+
+    id = "wgs84"
+
+    _UNITS = {"meter": 1.0, "m": 1.0, "kilometer": 1000.0, "km": 1000.0}
+
+    def __init__(self, unit: str = "km"):
+        self.unit_factor = self._UNITS.get(unit, 1000.0)
+
+    @staticmethod
+    def _parse_point(s: str):
+        s = s.strip()
+        if s.upper().startswith("POINT"):
+            inner = s[s.index("(") + 1 : s.rindex(")")].strip()
+            lon, lat = inner.split()
+            return float(lat), float(lon)
+        parts = s.replace(",", " ").split()
+        if len(parts) == 2:
+            return float(parts[0]), float(parts[1])
+        return None
+
+    def evaluate(self, v1, v2, limit=inf):
+        p1, p2 = self._parse_point(v1), self._parse_point(v2)
+        if p1 is None or p2 is None:
+            return inf
+        lat1, lon1 = map(math.radians, p1)
+        lat2, lon2 = map(math.radians, p2)
+        a = (
+            math.sin((lat2 - lat1) / 2) ** 2
+            + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+        )
+        meters = 6371000.8 * 2 * math.asin(min(1.0, math.sqrt(a)))
+        return meters / self.unit_factor
+
+    def index_value(self, value, limit, source_or_target):
+        p = self._parse_point(value)
+        if p is None:
+            return Index.empty()
+        lat, lon = p
+        # degrees per distance-limit unit at the equator
+        deg = limit * self.unit_factor / 111_320.0
+        if deg <= 0:
+            return Index.default()
+        lat_idx = Index.continuous(lat, -90.0, 90.0, limit=deg)
+        lon_idx = Index.continuous(lon, -180.0, 180.0, limit=deg)
+        return lat_idx.conjunction(lon_idx)

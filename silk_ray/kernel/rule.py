@@ -1,0 +1,383 @@
+"""Rule trees: inputs, comparisons, aggregations, linkage & transform rules.
+
+Semantics mirror the reference:
+
+- inputs are trees of ``PathInput`` (column projection,
+  ``silk-rules/.../rule/input/PathInput.scala:54-72``) and
+  ``TransformInput`` (transformer applied over child inputs,
+  ``input/TransformInput.scala:33-50``);
+- ``Comparison.apply`` maps distance to confidence: evaluates the
+  metric with ``limit = threshold * (1 - confidence_limit)``; distance
+  0 with threshold 0 → 1.0, distance ≤ 2·threshold → ``1 - d/θ``,
+  else -1.0 (``similarity/Comparison.scala:52-80``); empty values on
+  either side → None;
+- ``Aggregation`` combines child scores with an
+  :mod:`~silk_ray.kernel.aggregators` aggregator
+  (``similarity/Aggregation.scala:40-66``);
+- ``LinkageRule.apply`` returns the root score; a pair is a link iff
+  score ≥ 0 (``rule/execution/Matcher.scala:273-281``);
+- ``LinkageRule.index`` builds the MultiBlock blocking index
+  (``rule/LinkageRule.scala:59-64``), flattened to stable int64 keys
+  for the groupby shuffle.
+
+An *entity* here is a plain dict ``{path: list[str]}``. Single-valued
+Arrow columns are adapted at the pipeline boundary.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+from silk_ray.kernel.aggregators import Aggregator, get_aggregator
+from silk_ray.kernel.distances import DistanceMeasure, get_distance
+from silk_ray.kernel.index import Index
+from silk_ray.kernel.transformers import Transformer, get_transformer
+
+Entity = dict  # {path: list[str]}
+
+DEFAULT_INDEX_CROP = 10_000  # Index.crop guard (Index.scala:104 usage)
+
+
+# ---------------------------------------------------------------------------
+# inputs
+# ---------------------------------------------------------------------------
+
+
+class Input:
+    def apply(self, entity: Entity) -> list[str]:
+        raise NotImplementedError
+
+    def paths(self) -> list[str]:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PathInput(Input):
+    """Column projection (PathInput.scala)."""
+
+    path: str
+
+    def apply(self, entity):
+        v = entity.get(self.path)
+        if v is None:
+            return []
+        if isinstance(v, str):
+            return [v]
+        return list(v)
+
+    def paths(self):
+        return [self.path]
+
+
+@dataclass(frozen=True)
+class TransformInput(Input):
+    """Transformer over child inputs (TransformInput.scala:33-50)."""
+
+    transformer: Transformer
+    inputs: tuple[Input, ...]
+
+    def apply(self, entity):
+        return self.transformer.apply([inp.apply(entity) for inp in self.inputs])
+
+    def paths(self):
+        out = []
+        for inp in self.inputs:
+            out.extend(inp.paths())
+        return out
+
+
+# ---------------------------------------------------------------------------
+# similarity operators
+# ---------------------------------------------------------------------------
+
+
+class SimilarityOperator:
+    weight: int = 1
+    indexing: bool = True
+
+    def apply(self, source: Entity, target: Entity, limit: float = 0.0) -> float | None:
+        raise NotImplementedError
+
+    def index(self, entity: Entity, source_or_target: bool, limit: float = 0.0) -> Index:
+        raise NotImplementedError
+
+    def paths(self, source_or_target: bool) -> list[str]:
+        raise NotImplementedError
+
+
+@dataclass
+class Comparison(SimilarityOperator):
+    """similarity/Comparison.scala."""
+
+    metric: DistanceMeasure
+    source_input: Input
+    target_input: Input
+    threshold: float = 0.0
+    weight: int = 1
+    indexing: bool = True
+
+    def apply(self, source, target, limit=0.0):
+        try:
+            values1 = self.source_input.apply(source)
+        except Exception:
+            values1 = []
+        try:
+            values2 = self.target_input.apply(target)
+        except Exception:
+            values2 = []
+        if not values1 or not values2:
+            return None
+        distance = self.metric.apply(values1, values2, self.threshold * (1.0 - limit))
+        if distance == 0.0 and self.threshold == 0.0:
+            return 1.0
+        if distance <= 2.0 * self.threshold:
+            return 1.0 - distance / self.threshold
+        return -1.0
+
+    def index(self, entity, source_or_target, limit=0.0):
+        inp = self.source_input if source_or_target else self.target_input
+        try:
+            values = inp.apply(entity)
+        except Exception:
+            values = []
+        distance_limit = self.threshold * (1.0 - limit)
+        return self.metric.index(values, distance_limit, source_or_target)
+
+    def paths(self, source_or_target):
+        return (self.source_input if source_or_target else self.target_input).paths()
+
+
+@dataclass
+class Aggregation(SimilarityOperator):
+    """similarity/Aggregation.scala."""
+
+    aggregator: Aggregator
+    operators: list[SimilarityOperator] = field(default_factory=list)
+    weight: int = 1
+
+    @property
+    def indexing(self) -> bool:
+        return any(op.indexing for op in self.operators)
+
+    def apply(self, source, target, limit=0.0):
+        weighted = [(op.apply(source, target, limit), op.weight) for op in self.operators]
+        return self.aggregator.evaluate(weighted, limit)
+
+    def index(self, entity, source_or_target, limit=0.0):
+        indexes = [
+            op.index(entity, source_or_target, limit) for op in self.operators if op.indexing
+        ]
+        return self.aggregator.aggregate_indexes(indexes)
+
+    def paths(self, source_or_target):
+        out = []
+        for op in self.operators:
+            out.extend(op.paths(source_or_target))
+        return out
+
+
+@dataclass
+class LinkageRule:
+    """rule/LinkageRule.scala — root similarity operator + link filter
+    config (rule/LinkFilter.scala: limit per source URI, unambiguous)."""
+
+    operator: SimilarityOperator
+    filter_limit: int | None = None  # per-source top-k (LinkFilter.scala:26)
+    filter_unambiguous: bool = False
+    index_crop: int = DEFAULT_INDEX_CROP
+
+    def apply(self, source: Entity, target: Entity, limit: float = 0.0) -> float | None:
+        return self.operator.apply(source, target, limit)
+
+    def index(self, entity: Entity, source_or_target: bool, limit: float = 0.0) -> Index:
+        return self.operator.index(entity, source_or_target, limit).crop(self.index_crop)
+
+    def index_keys(self, entity: Entity, source_or_target: bool, limit: float = 0.0) -> set[int]:
+        """Flattened int64 blocking keys for the groupby shuffle."""
+        return self.index(entity, source_or_target, limit).flatten()
+
+    def source_paths(self) -> list[str]:
+        return sorted(set(self.operator.paths(True)))
+
+    def target_paths(self) -> list[str]:
+        return sorted(set(self.operator.paths(False)))
+
+
+# ---------------------------------------------------------------------------
+# JSON rule specs — the user-facing DSL (≈ Silk-LSL, doc/LinkSpecificationLanguage.md)
+# ---------------------------------------------------------------------------
+
+
+def input_from_dict(spec: dict[str, Any]) -> Input:
+    """``{"path": "col"}`` or
+    ``{"transform": "lowerCase", "params": {...}, "inputs": [...]}``."""
+    if "path" in spec:
+        return PathInput(spec["path"])
+    if "transform" in spec:
+        transformer = get_transformer(spec["transform"], **spec.get("params", {}))
+        children = tuple(input_from_dict(i) for i in spec.get("inputs", []))
+        return TransformInput(transformer, children)
+    raise ValueError(f"bad input spec: {spec!r}")
+
+
+def operator_from_dict(spec: dict[str, Any]) -> SimilarityOperator:
+    if "metric" in spec:
+        metric = get_distance(spec["metric"], **spec.get("params", {}))
+        return Comparison(
+            metric=metric,
+            source_input=input_from_dict(spec["source"]),
+            target_input=input_from_dict(spec["target"]),
+            threshold=spec.get("threshold", 0.0),
+            weight=spec.get("weight", 1),
+            indexing=spec.get("indexing", True),
+        )
+    if "aggregator" in spec:
+        agg = get_aggregator(spec["aggregator"], **spec.get("params", {}))
+        ops = [operator_from_dict(o) for o in spec.get("operators", [])]
+        return Aggregation(aggregator=agg, operators=ops, weight=spec.get("weight", 1))
+    raise ValueError(f"bad operator spec: {spec!r}")
+
+
+def rule_from_dict(spec: dict[str, Any]) -> LinkageRule:
+    return LinkageRule(
+        operator=operator_from_dict(spec["operator"]),
+        filter_limit=spec.get("filter_limit"),
+        filter_unambiguous=spec.get("filter_unambiguous", False),
+        index_crop=spec.get("index_crop", DEFAULT_INDEX_CROP),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transform rules (rule/TransformRule.scala) — row-shaping mappings
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TransformRule:
+    """One output column = one compiled input tree
+    (TransformRule.scala:354-363 ComplexMapping generalizes the rest:
+    DirectMapping is PathInput, constants are TransformInput(constant))."""
+
+    target: str
+    input: Input
+
+    def apply(self, entity: Entity) -> list[str]:
+        return self.input.apply(entity)
+
+
+def transform_rule_from_dict(spec: dict[str, Any]) -> TransformRule:
+    return TransformRule(target=spec["target"], input=input_from_dict(spec["input"]))
+
+
+class CompiledTransform:
+    """A set of transform rules applied to an Arrow batch inside
+    ``map_batches`` (the RD equivalent of TransformedEntities.scala:60-128:
+    evaluate all property rules per row with per-row error capture).
+
+    Single-valued string columns use the transformer's vectorized
+    ``evaluate_array`` fast path when the whole input tree supports it;
+    otherwise falls back to per-row evaluation over list cells. Errors
+    are captured into an ``error`` column instead of failing the batch.
+    """
+
+    def __init__(self, rules: list[TransformRule], error_column: str = "error"):
+        self.rules = rules
+        self.error_column = error_column
+
+    def input_paths(self) -> list[str]:
+        out = []
+        for r in self.rules:
+            out.extend(r.input.paths())
+        return sorted(set(out))
+
+    def _vectorized(self, inp: Input, table) -> "Any | None":
+        """Try the Arrow fast path; return a pa.Array or None."""
+        import pyarrow as pa
+
+        if isinstance(inp, PathInput):
+            if inp.path in table.column_names:
+                col = table[inp.path]
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return None
+        if isinstance(inp, TransformInput) and len(inp.inputs) == 1:
+            fn = getattr(inp.transformer, "evaluate_array", None)
+            if fn is None:
+                return None
+            child = self._vectorized(inp.inputs[0], table)
+            if child is None:
+                return None
+            return fn(child)
+        return None
+
+    def __call__(self, table):
+        import pyarrow as pa
+
+        n = table.num_rows
+        out_cols: dict[str, Any] = {}
+        errors: list[str | None] = [None] * n
+        row_cache: list[Entity] | None = None
+
+        for rule in self.rules:
+            vec = self._vectorized(rule.input, table)
+            if vec is not None:
+                out_cols[rule.target] = vec
+                continue
+            if row_cache is None:
+                row_cache = _rows_as_entities(table)
+            col_vals: list[str | None] = [None] * n
+            for i, ent in enumerate(row_cache):
+                try:
+                    vals = rule.apply(ent)
+                    col_vals[i] = vals[0] if vals else None
+                except Exception as exc:  # per-row error capture
+                    errors[i] = f"{rule.target}: {exc}"
+            out_cols[rule.target] = pa.array(col_vals, type=pa.string())
+
+        arrays = list(out_cols.values())
+        names = list(out_cols.keys())
+        if any(e is not None for e in errors):
+            arrays.append(pa.array(errors, type=pa.string()))
+            names.append(self.error_column)
+        return pa.table(dict(zip(names, arrays)))
+
+
+def _rows_as_entities(table) -> list[Entity]:
+    """Convert an Arrow table to per-row {col: list[str]} entities."""
+    cols = {}
+    for name in table.column_names:
+        col = table[name]
+        cols[name] = col.to_pylist()
+    out = []
+    names = table.column_names
+    for i in range(table.num_rows):
+        ent: Entity = {}
+        for name in names:
+            v = cols[name][i]
+            if v is None:
+                ent[name] = []
+            elif isinstance(v, list):
+                ent[name] = ["" if x is None else str(x) for x in v]
+            else:
+                ent[name] = [str(v)]
+        out.append(ent)
+    return out
+
+
+def entity_from_row(row: dict) -> Entity:
+    """Adapt one mapping-style row (scalars or lists) to an entity."""
+    ent: Entity = {}
+    for k, v in row.items():
+        if v is None:
+            ent[k] = []
+        elif isinstance(v, (list, tuple)):
+            ent[k] = ["" if x is None else str(x) for x in v]
+        else:
+            ent[k] = [str(v)]
+    return ent
+
+
+def _isnan(x: float | None) -> bool:
+    return x is not None and isinstance(x, float) and math.isnan(x)

@@ -1,0 +1,1385 @@
+"""Transformers — per-record value functions composing into trees.
+
+Contract mirrors the reference
+(``silk-rules/.../rule/input/Transformer.scala:23-38``):
+``apply(values: list[list[str]]) -> list[str]`` where each element of
+``values`` is the multi-valued output of one input operator.
+``SimpleTransformer`` reduces it to a per-value ``evaluate(str) -> str``
+mapped over the concatenation of all inputs
+(``input/SimpleTransformer.scala:65-81``).
+
+Each class documents the reference plugin it matches (112 transformer
+classes live under ``silk-rules/.../rule/plugins/transformer/``; we
+implement the subset relevant for code/text payloads plus the numeric
+and date families).
+
+Vectorization: transformers may additionally define
+``evaluate_array(pa.Array) -> pa.Array`` operating on an Arrow string
+array; the transform compiler (silk_ray.kernel.rule) uses it for
+single-valued columns inside ``map_batches`` hot paths.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import urllib.parse
+import uuid as _uuid
+from itertools import product as _product
+
+TRANSFORMERS: dict[str, type] = {}
+
+
+def register_transformer(cls):
+    TRANSFORMERS[cls.id] = cls
+    return cls
+
+
+def get_transformer(plugin_id: str, **params) -> "Transformer":
+    return TRANSFORMERS[plugin_id](**params)
+
+
+def parse_double(s: str) -> float | None:
+    try:
+        return float(s)
+    except (TypeError, ValueError):
+        return None
+
+
+class Transformer:
+    id: str = ""
+
+    def apply(self, values: list[list[str]]) -> list[str]:
+        raise NotImplementedError
+
+    def __call__(self, values):
+        return self.apply(values)
+
+
+class SimpleTransformer(Transformer):
+    def evaluate(self, value: str) -> str:
+        raise NotImplementedError
+
+    def apply(self, values):
+        return [self.evaluate(v) for vs in values for v in vs]
+
+    # optional Arrow fast path; subclasses override when a pyarrow.compute
+    # kernel exists (used by the compiled transform stage)
+    evaluate_array = None
+
+
+# ---------------------------------------------------------------------------
+# combine (transformer/combine/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class ConcatTransformer(Transformer):
+    """Pairwise cross-concat of the inputs (ConcatTransformer.scala)."""
+
+    id = "concat"
+
+    def __init__(self, glue: str = "", missingValuesAsEmptyStrings: bool = False):
+        self.glue = glue
+        self.missing_as_empty = missingValuesAsEmptyStrings
+
+    def apply(self, values):
+        if not values:
+            return []
+        if len(values) == 1:
+            return list(values[0])
+        if self.missing_as_empty:
+            values = [vs if vs else [""] for vs in values]
+        return [self.glue.join(combo) for combo in _product(*values)]
+
+
+@register_transformer
+class ConcatMultipleValuesTransformer(Transformer):
+    """Concatenate the values of each input (ConcatMultipleValuesTransformer.scala)."""
+
+    id = "concatMultiValues"
+
+    def __init__(self, glue: str = "", removeDuplicates: bool = False):
+        self.glue = glue
+        self.remove_duplicates = removeDuplicates
+
+    def apply(self, values):
+        out = []
+        for vs in values:
+            if not vs:
+                continue
+            joined = self.glue.join(vs)
+            if self.remove_duplicates and self.glue:
+                parts = joined.split(self.glue)
+                seen, uniq = set(), []
+                for p in parts:
+                    if p not in seen:
+                        seen.add(p)
+                        uniq.append(p)
+                joined = self.glue.join(uniq)
+            out.append(joined)
+        return out
+
+
+@register_transformer
+class MergeTransformer(Transformer):
+    """Union of all input value lists (MergeTransformer.scala)."""
+
+    id = "merge"
+
+    def apply(self, values):
+        return [v for vs in values for v in vs]
+
+
+# ---------------------------------------------------------------------------
+# conditional (transformer/conditional/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class ContainsAllOf(Transformer):
+    """'true' iff input1 contains all values of input2 (ContainsAllOfTransformer.scala)."""
+
+    id = "containsAllOf"
+
+    def apply(self, values):
+        first = set(values[0]) if values else set()
+        rest = values[1] if len(values) > 1 else []
+        return [str(all(v in first for v in rest)).lower()]
+
+
+@register_transformer
+class ContainsAnyOf(Transformer):
+    id = "containsAnyOf"
+
+    def apply(self, values):
+        first = set(values[0]) if values else set()
+        rest = values[1] if len(values) > 1 else []
+        return [str(any(v in first for v in rest)).lower()]
+
+
+@register_transformer
+class IfContains(Transformer):
+    """inputs: (values, search, then, else) (IfContains.scala)."""
+
+    id = "ifContains"
+
+    def __init__(self, search: str = ""):
+        self.search = search
+
+    def apply(self, values):
+        base = values[0] if values else []
+        then_v = values[1] if len(values) > 1 else []
+        else_v = values[2] if len(values) > 2 else []
+        return then_v if any(self.search in v for v in base) else else_v
+
+
+@register_transformer
+class IfExists(Transformer):
+    """inputs: (test, then, else) (IfExists.scala)."""
+
+    id = "ifExists"
+
+    def apply(self, values):
+        test = values[0] if values else []
+        then_v = values[1] if len(values) > 1 else []
+        else_v = values[2] if len(values) > 2 else []
+        return then_v if test else else_v
+
+
+@register_transformer
+class IfMatchesRegex(Transformer):
+    id = "ifMatchesRegex"
+
+    def __init__(self, regex: str = "", negate: bool = False):
+        self.pattern = re.compile(regex)
+        self.negate = negate
+
+    def apply(self, values):
+        test = values[0] if values else []
+        then_v = values[1] if len(values) > 1 else []
+        else_v = values[2] if len(values) > 2 else []
+        matches = any(self.pattern.search(v) for v in test)
+        if self.negate:
+            matches = not matches
+        return then_v if matches else else_v
+
+
+@register_transformer
+class NegateTransformer(SimpleTransformer):
+    """Boolean negation of 'true'/'false' strings (NegateTransformer.scala)."""
+
+    id = "negate"
+
+    def evaluate(self, value):
+        return {"true": "false", "false": "true"}.get(value.strip().lower(), value)
+
+
+# ---------------------------------------------------------------------------
+# normalize (transformer/normalize/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class LowerCaseTransformer(SimpleTransformer):
+    id = "lowerCase"
+
+    def evaluate(self, value):
+        return value.lower()
+
+    @staticmethod
+    def evaluate_array(arr):
+        import pyarrow.compute as pc
+
+        return pc.utf8_lower(arr)
+
+
+@register_transformer
+class UpperCaseTransformer(SimpleTransformer):
+    id = "upperCase"
+
+    def evaluate(self, value):
+        return value.upper()
+
+    @staticmethod
+    def evaluate_array(arr):
+        import pyarrow.compute as pc
+
+        return pc.utf8_upper(arr)
+
+
+@register_transformer
+class CapitalizeTransformer(SimpleTransformer):
+    id = "capitalize"
+
+    def evaluate(self, value):
+        return value[:1].upper() + value[1:] if value else value
+
+
+@register_transformer
+class TrimTransformer(SimpleTransformer):
+    id = "trim"
+
+    def evaluate(self, value):
+        return value.strip()
+
+    @staticmethod
+    def evaluate_array(arr):
+        import pyarrow.compute as pc
+
+        return pc.utf8_trim_whitespace(arr)
+
+
+@register_transformer
+class AlphaReduceTransformer(SimpleTransformer):
+    """Strip all non-letter characters (AlphaReduceTransformer.scala)."""
+
+    id = "alphaReduce"
+    _pattern = re.compile(r"[^a-zA-Z]+")
+
+    def evaluate(self, value):
+        return self._pattern.sub("", value)
+
+
+@register_transformer
+class RemoveBlanksTransformer(SimpleTransformer):
+    id = "removeBlanks"
+
+    def evaluate(self, value):
+        return value.replace(" ", "")
+
+    @staticmethod
+    def evaluate_array(arr):
+        import pyarrow.compute as pc
+
+        return pc.replace_substring(arr, " ", "")
+
+
+@register_transformer
+class RemoveSpecialCharsTransformer(SimpleTransformer):
+    """Strip non-alphanumeric, non-space chars (RemoveSpecialCharsTransformer.scala)."""
+
+    id = "removeSpecialChars"
+    _pattern = re.compile(r"[^\w\s]", re.UNICODE)
+
+    def evaluate(self, value):
+        return self._pattern.sub("", value)
+
+
+@register_transformer
+class RemoveParenthesesTransformer(SimpleTransformer):
+    """Remove any parenthesized fragments (RemoveParentheses.scala)."""
+
+    id = "removeParentheses"
+    _pattern = re.compile(r"\s*\([^)]*\)")
+
+    def evaluate(self, value):
+        return self._pattern.sub("", value).strip()
+
+
+@register_transformer
+class RemoveDuplicatesTransformer(Transformer):
+    """Distinct values preserving first occurrence (DuplicateValuesRemover)."""
+
+    id = "removeDuplicates"
+
+    def apply(self, values):
+        seen, out = set(), []
+        for vs in values:
+            for v in vs:
+                if v not in seen:
+                    seen.add(v)
+                    out.append(v)
+        return out
+
+
+@register_transformer
+class UrlEncodeTransformer(SimpleTransformer):
+    id = "urlEncode"
+
+    def __init__(self, encoding: str = "UTF-8"):
+        self.encoding = encoding
+
+    def evaluate(self, value):
+        return urllib.parse.quote_plus(value, encoding=self.encoding)
+
+
+@register_transformer
+class UriFixTransformer(SimpleTransformer):
+    """Make a value usable as a URI path segment (UriFixTransformer.scala)."""
+
+    id = "uriFix"
+
+    def __init__(self, uriPrefix: str = "urn:url-encoded-value:"):
+        self.uri_prefix = uriPrefix
+
+    def evaluate(self, value):
+        parsed = urllib.parse.urlparse(value)
+        if parsed.scheme and (parsed.netloc or parsed.path):
+            return value
+        return self.uri_prefix + urllib.parse.quote(value, safe="")
+
+
+@register_transformer
+class NormalizeCharsTransformer(SimpleTransformer):
+    """Replace accented/special letters with ASCII (NormalizeChars.scala)."""
+
+    id = "normalizeChars"
+
+    def evaluate(self, value):
+        import unicodedata
+
+        nfkd = unicodedata.normalize("NFKD", value)
+        return "".join(c for c in nfkd if not unicodedata.combining(c))
+
+
+# ---------------------------------------------------------------------------
+# tokenization (transformer/tokenization/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class Tokenizer(Transformer):
+    """Regex split of all values (Tokenizer.scala)."""
+
+    id = "tokenize"
+
+    def __init__(self, regex: str = r"\s"):
+        self.pattern = re.compile(regex)
+
+    def apply(self, values):
+        return [tok for vs in values for v in vs for tok in self.pattern.split(v)]
+
+
+@register_transformer
+class CamelCaseTokenizer(Transformer):
+    """Split on camelCase boundaries (CamelCaseTokenizer.scala)."""
+
+    id = "camelCaseTokenizer"
+    _pattern = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+
+    def apply(self, values):
+        return [tok for vs in values for v in vs for tok in self._pattern.split(v)]
+
+
+# ---------------------------------------------------------------------------
+# filter (transformer/filter/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class FilterByLength(Transformer):
+    id = "filterByLength"
+
+    def __init__(self, min: int = 0, max: int = 2**31 - 1):
+        self.min = min
+        self.max = max
+
+    def apply(self, values):
+        return [v for vs in values for v in vs if self.min <= len(v) <= self.max]
+
+
+@register_transformer
+class FilterByRegex(Transformer):
+    id = "filterByRegex"
+
+    def __init__(self, regex: str = "", negate: bool = False):
+        self.pattern = re.compile(regex)
+        self.negate = negate
+
+    def apply(self, values):
+        out = []
+        for vs in values:
+            for v in vs:
+                m = bool(self.pattern.search(v))
+                if m != self.negate:
+                    out.append(v)
+        return out
+
+
+@register_transformer
+class RemoveEmptyValues(Transformer):
+    id = "removeEmptyValues"
+
+    def apply(self, values):
+        return [v for vs in values for v in vs if v]
+
+
+@register_transformer
+class RemoveValues(Transformer):
+    """Remove blacklisted values (RemoveValuesTransformer.scala)."""
+
+    id = "removeValues"
+
+    def __init__(self, blacklist: str = ""):
+        self.blacklist = {v.strip() for v in blacklist.split(",") if v.strip()}
+
+    def apply(self, values):
+        return [v for vs in values for v in vs if v not in self.blacklist]
+
+
+@register_transformer
+class RemoveStopwords(Transformer):
+    """Remove stopword tokens; the reference loads the list from a remote
+    resource (RemoveRemoteStopwords.scala) — ours takes it as a parameter."""
+
+    id = "removeStopwords"
+
+    def __init__(self, stopwords: str = "the,a,an,and,or,of,to,in,is"):
+        self.stopwords = {w.strip().lower() for w in stopwords.split(",") if w.strip()}
+
+    def apply(self, values):
+        return [v for vs in values for v in vs if v.lower() not in self.stopwords]
+
+
+# ---------------------------------------------------------------------------
+# replace / extraction / selection / substring
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class ReplaceTransformer(SimpleTransformer):
+    id = "replace"
+
+    def __init__(self, search: str = "", replace: str = ""):
+        self.search = search
+        self.replace = replace
+
+    def evaluate(self, value):
+        return value.replace(self.search, self.replace)
+
+    def evaluate_array(self, arr):
+        import pyarrow.compute as pc
+
+        return pc.replace_substring(arr, self.search, self.replace)
+
+
+@register_transformer
+class RegexReplaceTransformer(SimpleTransformer):
+    id = "regexReplace"
+
+    def __init__(self, regex: str = "", replace: str = ""):
+        self.pattern = re.compile(regex)
+        self.replace = replace
+
+    def evaluate(self, value):
+        return self.pattern.sub(self.replace, value)
+
+    def evaluate_array(self, arr):
+        import pyarrow.compute as pc
+
+        return pc.replace_substring_regex(arr, self.pattern.pattern, self.replace)
+
+
+@register_transformer
+class MapTransformer(Transformer):
+    """Dictionary lookup; the reference reads the map from a resource file
+    (MapTransformer.scala:47) — ours takes 'key1:val1,key2:val2'."""
+
+    id = "map"
+
+    def __init__(self, mapping: str = "", default: str | None = None):
+        self.mapping = dict(
+            item.split(":", 1) for item in mapping.split(",") if ":" in item
+        )
+        self.default = default
+
+    def apply(self, values):
+        out = []
+        for vs in values:
+            for v in vs:
+                if v in self.mapping:
+                    out.append(self.mapping[v])
+                elif self.default is not None:
+                    out.append(self.default)
+        return out
+
+
+@register_transformer
+class MapWithDefaultTransformer(MapTransformer):
+    """MapTransformerWithDefault.scala — unmapped values map to default."""
+
+    id = "mapWithDefault"
+
+    def __init__(self, mapping: str = "", default: str = ""):
+        super().__init__(mapping, default)
+
+
+@register_transformer
+class RegexExtractionTransformer(Transformer):
+    """Emit all regex matches (group 1 if present) (RegexExtractionTransformer.scala)."""
+
+    id = "regexExtract"
+
+    def __init__(self, regex: str = ""):
+        self.pattern = re.compile(regex)
+
+    def apply(self, values):
+        out = []
+        for vs in values:
+            for v in vs:
+                for m in self.pattern.finditer(v):
+                    out.append(m.group(1) if m.groups() else m.group(0))
+        return out
+
+
+@register_transformer
+class CoalesceTransformer(Transformer):
+    """First non-empty input's values (CoalesceTransformer.scala)."""
+
+    id = "coalesce"
+
+    def apply(self, values):
+        for vs in values:
+            if vs:
+                return list(vs)
+        return []
+
+
+@register_transformer
+class RegexSelectTransformer(Transformer):
+    """Keep values matching the regex (RegexSelectTransformer.scala)."""
+
+    id = "regexSelect"
+
+    def __init__(self, regex: str = "", fullMatch: bool = False):
+        self.pattern = re.compile(regex)
+        self.full_match = fullMatch
+
+    def apply(self, values):
+        out = []
+        for vs in values:
+            for v in vs:
+                m = self.pattern.fullmatch(v) if self.full_match else self.pattern.search(v)
+                if m:
+                    out.append(v)
+        return out
+
+
+@register_transformer
+class StripPrefixTransformer(SimpleTransformer):
+    id = "stripPrefix"
+
+    def __init__(self, prefix: str = ""):
+        self.prefix = prefix
+
+    def evaluate(self, value):
+        return value[len(self.prefix):] if value.startswith(self.prefix) else value
+
+
+@register_transformer
+class StripPostfixTransformer(SimpleTransformer):
+    id = "stripPostfix"
+
+    def __init__(self, postfix: str = ""):
+        self.postfix = postfix
+
+    def evaluate(self, value):
+        if self.postfix and value.endswith(self.postfix):
+            return value[: -len(self.postfix)]
+        return value
+
+
+@register_transformer
+class StripUriPrefixTransformer(SimpleTransformer):
+    """Keep the fragment after the last '#' or '/' (StripUriPrefixTransformer.scala)."""
+
+    id = "stripUriPrefix"
+
+    def evaluate(self, value):
+        idx = max(value.rfind("#"), value.rfind("/"))
+        return value[idx + 1 :] if idx >= 0 else value
+
+
+@register_transformer
+class SubstringTransformer(SimpleTransformer):
+    id = "substring"
+
+    def __init__(self, beginIndex: int = 0, endIndex: int = 0):
+        self.begin = beginIndex
+        self.end = endIndex
+
+    def evaluate(self, value):
+        end = self.end if self.end != 0 else len(value)
+        if end < 0:
+            end = len(value) + end
+        return value[self.begin : end]
+
+
+@register_transformer
+class UntilCharacterTransformer(SimpleTransformer):
+    """Prefix up to the first occurrence of a char (UntilCharacterTransformer.scala)."""
+
+    id = "untilCharacter"
+
+    def __init__(self, untilCharacter: str = " "):
+        self.char = untilCharacter
+
+    def evaluate(self, value):
+        idx = value.find(self.char)
+        return value[:idx] if idx >= 0 else value
+
+
+# ---------------------------------------------------------------------------
+# numeric (transformer/numeric/)
+# ---------------------------------------------------------------------------
+
+
+def _fmt_double(x: float) -> str:
+    """Scala Double.toString-ish: integral doubles print as 'n.0'."""
+    if x == int(x) and abs(x) < 1e16:
+        return f"{x:.1f}"
+    return repr(x)
+
+
+@register_transformer
+class NumOperationTransformer(Transformer):
+    """+,-,*,/ across inputs, pairwise-reduced over value lists
+    (NumOperationTransformer.scala). Non-numbers drop the result."""
+
+    id = "numOperation"
+
+    _OPS = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+    }
+
+    def __init__(self, operator: str = "+"):
+        if operator not in self._OPS:
+            raise ValueError(f"unknown operator {operator!r}")
+        self.op = self._OPS[operator]
+
+    def apply(self, values):
+        if not values or any(not vs for vs in values):
+            return []
+        parsed = []
+        for vs in values:
+            nums = [parse_double(v) for v in vs]
+            if any(n is None for n in nums):
+                return []
+            parsed.append(nums)
+        result = parsed[0]
+        for nums in parsed[1:]:
+            result = [self.op(a, b) for a in result for b in nums]
+        return [_fmt_double(r) for r in result]
+
+
+@register_transformer
+class AggregateNumbersTransformer(Transformer):
+    """sum/min/max/average over all values (AggregateNumbersTransformer.scala)."""
+
+    id = "aggregateNumbers"
+
+    def __init__(self, operator: str = "sum"):
+        self.operator = operator
+
+    def apply(self, values):
+        nums = [parse_double(v) for vs in values for v in vs]
+        nums = [n for n in nums if n is not None]
+        if not nums:
+            return []
+        if self.operator == "sum":
+            r = sum(nums)
+        elif self.operator == "min":
+            r = min(nums)
+        elif self.operator == "max":
+            r = max(nums)
+        elif self.operator in ("average", "avg"):
+            r = sum(nums) / len(nums)
+        else:
+            raise ValueError(f"unknown operator {self.operator!r}")
+        return [_fmt_double(r)]
+
+
+@register_transformer
+class CountTransformer(Transformer):
+    """Number of values across all inputs (CountTransformer.scala)."""
+
+    id = "count"
+
+    def apply(self, values):
+        return [str(sum(len(vs) for vs in values))]
+
+
+@register_transformer
+class LogTransformer(SimpleTransformer):
+    id = "log"
+
+    def __init__(self, base: float = 10.0):
+        self.base = base
+
+    def evaluate(self, value):
+        d = parse_double(value)
+        if d is None or d <= 0:
+            return value
+        return _fmt_double(math.log(d, self.base))
+
+
+@register_transformer
+class FormatNumberTransformer(SimpleTransformer):
+    """Printf-style number formatting (FormatNumberTransformer.scala)."""
+
+    id = "formatNumber"
+
+    def __init__(self, format: str = "%.2f"):
+        self.format = format
+
+    def evaluate(self, value):
+        d = parse_double(value)
+        return value if d is None else self.format % d
+
+
+@register_transformer
+class CompareNumbersTransformer(Transformer):
+    """'true' iff all values of input1 < input2 (CompareTransformer.scala)."""
+
+    id = "compareNumbers"
+
+    def __init__(self, comparator: str = "<"):
+        self.comparator = comparator
+
+    def apply(self, values):
+        if len(values) < 2 or not values[0] or not values[1]:
+            return []
+        a = [parse_double(v) for v in values[0]]
+        b = [parse_double(v) for v in values[1]]
+        if any(x is None for x in a + b):
+            return []
+        ops = {
+            "<": lambda x, y: x < y,
+            "<=": lambda x, y: x <= y,
+            ">": lambda x, y: x > y,
+            ">=": lambda x, y: x >= y,
+            "=": lambda x, y: x == y,
+        }
+        op = ops[self.comparator]
+        return [str(all(op(x, y) for x in a for y in b)).lower()]
+
+
+@register_transformer
+class NumReduceTransformer(SimpleTransformer):
+    """Strip all non-digit characters (NumReduceTransformer.scala)."""
+
+    id = "numReduce"
+    _pattern = re.compile(r"[^0-9]+")
+
+    def evaluate(self, value):
+        return self._pattern.sub("", value)
+
+
+# ---------------------------------------------------------------------------
+# date (transformer/date/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class ParseDateTransformer(SimpleTransformer):
+    """Parse a date with a given java-style pattern → xsd date
+    (ParseDateTransformer.scala)."""
+
+    id = "parseDate"
+
+    _JAVA_TO_PY = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"), ("mm", "%M"), ("ss", "%S")]
+
+    def __init__(self, format: str = "dd-MM-yyyy"):
+        py = format
+        for j, p in self._JAVA_TO_PY:
+            py = py.replace(j, p)
+        self.py_format = py
+
+    def evaluate(self, value):
+        import datetime as dt
+
+        try:
+            d = dt.datetime.strptime(value, self.py_format)
+        except ValueError:
+            return ""
+        return d.strftime("%Y-%m-%d")
+
+    def apply(self, values):
+        return [r for r in (self.evaluate(v) for vs in values for v in vs) if r]
+
+
+@register_transformer
+class DateToTimestampTransformer(SimpleTransformer):
+    """xsd date → unix seconds (DateToTimestampTransformer.scala)."""
+
+    id = "dateToTimestamp"
+
+    def evaluate(self, value):
+        import datetime as dt
+
+        try:
+            d = dt.datetime.strptime(value[:10], "%Y-%m-%d").replace(tzinfo=dt.timezone.utc)
+        except ValueError:
+            return ""
+        return str(int(d.timestamp()))
+
+
+@register_transformer
+class TimestampToDateTransformer(SimpleTransformer):
+    """unix seconds → xsd date (TimestampToDateTransformer.scala)."""
+
+    id = "timestampToDate"
+
+    def evaluate(self, value):
+        import datetime as dt
+
+        d = parse_double(value)
+        if d is None:
+            return ""
+        return dt.datetime.fromtimestamp(d, tz=dt.timezone.utc).strftime("%Y-%m-%d")
+
+
+@register_transformer
+class DurationInDaysTransformer(Transformer):
+    """Days between two date inputs (DurationInDaysTransformer.scala)."""
+
+    id = "durationInDays"
+
+    def apply(self, values):
+        import datetime as dt
+
+        if len(values) < 2 or not values[0] or not values[1]:
+            return []
+        try:
+            d1 = dt.datetime.strptime(values[0][0][:10], "%Y-%m-%d")
+            d2 = dt.datetime.strptime(values[1][0][:10], "%Y-%m-%d")
+        except ValueError:
+            return []
+        return [str(abs((d2 - d1).days))]
+
+
+@register_transformer
+class CompareDatesTransformer(Transformer):
+    """'true'/'false' comparing two date inputs (CompareDatesTransformer.scala)."""
+
+    id = "compareDates"
+
+    def __init__(self, comparator: str = "<"):
+        self.comparator = comparator
+
+    def apply(self, values):
+        import datetime as dt
+
+        if len(values) < 2 or not values[0] or not values[1]:
+            return []
+        try:
+            a = [dt.datetime.strptime(v[:10], "%Y-%m-%d") for v in values[0]]
+            b = [dt.datetime.strptime(v[:10], "%Y-%m-%d") for v in values[1]]
+        except ValueError:
+            return []
+        ops = {"<": lambda x, y: x < y, ">": lambda x, y: x > y, "=": lambda x, y: x == y}
+        op = ops[self.comparator]
+        return [str(all(op(x, y) for x in a for y in b)).lower()]
+
+
+# ---------------------------------------------------------------------------
+# linguistic (transformer/linguistic/)
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class SoundexTransformer(SimpleTransformer):
+    """American Soundex (SoundexTransformer.scala; used as the default
+    blocking function, methods/Blocking.scala:19-31)."""
+
+    id = "soundex"
+
+    _CODES = {
+        **dict.fromkeys("bfpv", "1"),
+        **dict.fromkeys("cgjkqsxz", "2"),
+        **dict.fromkeys("dt", "3"),
+        "l": "4",
+        **dict.fromkeys("mn", "5"),
+        "r": "6",
+    }
+
+    def __init__(self, refined: bool = False):
+        self.refined = refined
+
+    def evaluate(self, value):
+        s = [c for c in value.lower() if c.isalpha()]
+        if not s:
+            return ""
+        first = s[0].upper()
+        codes = []
+        prev = self._CODES.get(s[0], "")
+        for c in s[1:]:
+            code = self._CODES.get(c, "")
+            if code and code != prev:
+                codes.append(code)
+            if c not in "hw":
+                prev = code
+        return (first + "".join(codes) + "000")[:4]
+
+
+@register_transformer
+class NysiisTransformer(SimpleTransformer):
+    """NYSIIS phonetic encoding (NysiisTransformer.scala), standard algorithm."""
+
+    id = "nysiis"
+
+    def __init__(self, refined: bool = True):
+        self.refined = refined
+
+    def evaluate(self, value):
+        w = "".join(c for c in value.upper() if c.isalpha())
+        if not w:
+            return ""
+        for old, new in (("MAC", "MCC"), ("KN", "NN"), ("K", "C"), ("PH", "FF"), ("PF", "FF"), ("SCH", "SSS")):
+            if w.startswith(old):
+                w = new + w[len(old):]
+                break
+        for old, new in (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"), ("RD", "D"), ("NT", "D"), ("ND", "D")):
+            if w.endswith(old):
+                w = w[: -len(old)] + new
+                break
+        key = w[0]
+        prev = w[0]
+        i = 1
+        while i < len(w):
+            c = w[i]
+            seg = c
+            if w[i : i + 2] == "EV":
+                seg, step = "AF", 2
+            elif c in "AEIOU":
+                seg, step = "A", 1
+            elif c == "Q":
+                seg, step = "G", 1
+            elif c == "Z":
+                seg, step = "S", 1
+            elif c == "M":
+                seg, step = "N", 1
+            elif w[i : i + 2] == "KN":
+                seg, step = "N", 2
+            elif c == "K":
+                seg, step = "C", 1
+            elif w[i : i + 3] == "SCH":
+                seg, step = "SSS", 3
+            elif w[i : i + 2] == "PH":
+                seg, step = "FF", 2
+            elif c == "H" and (w[i - 1] not in "AEIOU" or (i + 1 < len(w) and w[i + 1] not in "AEIOU")):
+                seg, step = w[i - 1], 1
+            elif c == "W" and w[i - 1] in "AEIOU":
+                seg, step = w[i - 1], 1
+            else:
+                step = 1
+            for ch in seg:
+                if ch != prev:
+                    key += ch
+                prev = ch
+            i += step
+        if key.endswith("S") and len(key) > 1:
+            key = key[:-1]
+        if key.endswith("AY"):
+            key = key[:-2] + "Y"
+        if key.endswith("A") and len(key) > 1:
+            key = key[:-1]
+        return key
+
+
+@register_transformer
+class MetaphoneTransformer(SimpleTransformer):
+    """Simplified Metaphone encoding (MetaphoneTransformer.scala wraps
+    commons-codec; this is a compact re-implementation of the common
+    rule set, adequate for blocking keys)."""
+
+    id = "metaphone"
+
+    def evaluate(self, value):
+        w = "".join(c for c in value.upper() if c.isalpha())
+        if not w:
+            return ""
+        out = []
+        i = 0
+        n = len(w)
+        vowels = "AEIOU"
+        while i < n:
+            c = w[i]
+            if i > 0 and c == w[i - 1] and c != "C":
+                i += 1
+                continue
+            nxt = w[i + 1] if i + 1 < n else ""
+            if c in vowels:
+                if i == 0:
+                    out.append(c)
+            elif c == "B":
+                if not (i == n - 1 and i > 0 and w[i - 1] == "M"):
+                    out.append("B")
+            elif c == "C":
+                if nxt == "H":
+                    out.append("X")
+                    i += 1
+                elif nxt in "IEY":
+                    out.append("S")
+                else:
+                    out.append("K")
+            elif c == "D":
+                if nxt == "G" and i + 2 < n and w[i + 2] in "IEY":
+                    out.append("J")
+                    i += 2
+                else:
+                    out.append("T")
+            elif c == "G":
+                if nxt == "H" and i + 2 < n and w[i + 2] not in vowels:
+                    pass
+                elif nxt in "IEY":
+                    out.append("J")
+                else:
+                    out.append("K")
+            elif c == "H":
+                if i > 0 and w[i - 1] in vowels and nxt not in vowels:
+                    pass
+                else:
+                    out.append("H")
+            elif c == "K":
+                if not (i > 0 and w[i - 1] == "C"):
+                    out.append("K")
+            elif c == "P":
+                out.append("F" if nxt == "H" else "P")
+                if nxt == "H":
+                    i += 1
+            elif c == "Q":
+                out.append("K")
+            elif c == "S":
+                if nxt == "H":
+                    out.append("X")
+                    i += 1
+                elif w[i : i + 3] in ("SIO", "SIA"):
+                    out.append("X")
+                else:
+                    out.append("S")
+            elif c == "T":
+                if nxt == "H":
+                    out.append("0")
+                    i += 1
+                elif w[i : i + 3] in ("TIO", "TIA"):
+                    out.append("X")
+                else:
+                    out.append("T")
+            elif c == "V":
+                out.append("F")
+            elif c == "W" or c == "Y":
+                if nxt in vowels:
+                    out.append(c)
+            elif c == "X":
+                out.append("KS")
+            elif c == "Z":
+                out.append("S")
+            else:
+                out.append(c)
+            i += 1
+        return "".join(out)
+
+
+@register_transformer
+class StemmerTransformer(SimpleTransformer):
+    """Porter stemmer (StemmerTransformer.scala, 287 LoC Porter impl)."""
+
+    id = "stem"
+
+    def evaluate(self, value):
+        return porter_stem(value.lower())
+
+
+def porter_stem(w: str) -> str:
+    """Compact Porter stemmer (Porter 1980), standard algorithm."""
+    if len(w) <= 2:
+        return w
+
+    def cons(word, i):
+        c = word[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not cons(word, i - 1)
+        return True
+
+    def measure(stem):
+        form = "".join("c" if cons(stem, i) else "v" for i in range(len(stem)))
+        import re as _re
+
+        return len(_re.findall("vc", form))
+
+    def has_vowel(stem):
+        return any(not cons(stem, i) for i in range(len(stem)))
+
+    def ends_double_cons(word):
+        return len(word) >= 2 and word[-1] == word[-2] and cons(word, len(word) - 1)
+
+    def cvc(word):
+        if len(word) < 3:
+            return False
+        return (
+            cons(word, len(word) - 3)
+            and not cons(word, len(word) - 2)
+            and cons(word, len(word) - 1)
+            and word[-1] not in "wxy"
+        )
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif measure(w) == 1 and cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    step2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    step3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    step4 = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    for suf in step4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and measure(w[:-3]) > 1:
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = measure(stem)
+        if m > 1 or (m == 1 and not cvc(stem)):
+            w = stem
+    # step 5b
+    if ends_double_cons(w) and w.endswith("l") and measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# sequence / value generators / validation
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class GetValueByIndex(Transformer):
+    """n-th value of the first input (GetValueByIndexTransformer.scala)."""
+
+    id = "getValueByIndex"
+
+    def __init__(self, index: int = 0, emptyStringToEmptyResult: bool = False):
+        self.index = index
+        self.empty_to_empty = emptyStringToEmptyResult
+
+    def apply(self, values):
+        flat = [v for vs in values for v in vs]
+        if self.index >= len(flat):
+            return []
+        v = flat[self.index]
+        if self.empty_to_empty and v == "":
+            return []
+        return [v]
+
+
+@register_transformer
+class ValuesToIndexes(Transformer):
+    id = "valuesToIndexes"
+
+    def apply(self, values):
+        flat = [v for vs in values for v in vs]
+        return [str(i) for i in range(len(flat))]
+
+
+@register_transformer
+class ConstantTransformer(Transformer):
+    id = "constant"
+
+    def __init__(self, value: str = ""):
+        self.value = value
+
+    def apply(self, values):
+        return [self.value]
+
+
+@register_transformer
+class ConstantUriTransformer(Transformer):
+    id = "constantUri"
+
+    def __init__(self, value: str = ""):
+        self.value = value
+
+    def apply(self, values):
+        return [self.value]
+
+
+@register_transformer
+class DefaultValueTransformer(Transformer):
+    """Emit default if no input values exist (DefaultValueTransformer.scala)."""
+
+    id = "defaultValue"
+
+    def __init__(self, value: str = "default"):
+        self.value = value
+
+    def apply(self, values):
+        flat = [v for vs in values for v in vs]
+        return flat if flat else [self.value]
+
+
+@register_transformer
+class EmptyValueTransformer(Transformer):
+    id = "emptyValue"
+
+    def apply(self, values):
+        return [""]
+
+
+@register_transformer
+class UuidTransformer(Transformer):
+    """Deterministic UUID5 of the input values — the reference emits
+    random UUIDs (UuidTransformer.scala), which would break replay
+    determinism; ours hashes the inputs instead."""
+
+    id = "uuid"
+
+    def apply(self, values):
+        flat = [v for vs in values for v in vs]
+        if not flat:
+            return [str(_uuid.uuid5(_uuid.NAMESPACE_URL, ""))]
+        return [str(_uuid.uuid5(_uuid.NAMESPACE_URL, v)) for v in flat]
+
+
+class ValidationError(ValueError):
+    """Raised by validation transformers; caught per-row by the transform
+    executor and routed to the error column (mirror of
+    TransformedEntities.scala:87-128)."""
+
+
+@register_transformer
+class ValidateRegex(Transformer):
+    id = "validateRegex"
+
+    def __init__(self, regex: str = ""):
+        self.pattern = re.compile(regex)
+
+    def apply(self, values):
+        for vs in values:
+            for v in vs:
+                if not self.pattern.fullmatch(v):
+                    raise ValidationError(f"value {v!r} does not match {self.pattern.pattern!r}")
+        return [v for vs in values for v in vs]
+
+
+@register_transformer
+class ValidateNumericRange(Transformer):
+    id = "validateNumericRange"
+
+    def __init__(self, min: float = -math.inf, max: float = math.inf):
+        self.min = min
+        self.max = max
+
+    def apply(self, values):
+        for vs in values:
+            for v in vs:
+                d = parse_double(v)
+                if d is None or not (self.min <= d <= self.max):
+                    raise ValidationError(f"value {v!r} outside [{self.min}, {self.max}]")
+        return [v for vs in values for v in vs]
+
+
+@register_transformer
+class ValidateNumberOfValues(Transformer):
+    id = "validateNumberOfValues"
+
+    def __init__(self, min: int = 0, max: int = 2**31 - 1):
+        self.min = min
+        self.max = max
+
+    def apply(self, values):
+        flat = [v for vs in values for v in vs]
+        if not (self.min <= len(flat) <= self.max):
+            raise ValidationError(f"{len(flat)} values outside [{self.min}, {self.max}]")
+        return flat

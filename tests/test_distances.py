@@ -1,0 +1,232 @@
+"""Distance-measure conformance — example vectors ported from the
+reference's plugin annotations and test specs
+(silk-rules/src/test/.../rule/plugins/distance/)."""
+
+import math
+
+import pytest
+
+from silk_ray.kernel.distances import (
+    DISTANCE_MEASURES,
+    get_distance,
+    levenshtein,
+    q_grams,
+)
+
+
+def test_registry_coverage():
+    expected = {
+        "equality", "inequality", "constantDistance", "relaxedEquality",
+        "numericEquality", "lowerThan", "greaterThan",
+        "levenshteinDistance", "levenshtein", "jaro", "jaroWinkler",
+        "qGrams", "startsWith", "isSubstring", "substring",
+        "jaccard", "dice", "softjaccard", "cosine",
+        "num", "date", "dateTime", "insideNumericInterval", "wgs84",
+    }
+    assert expected <= set(DISTANCE_MEASURES)
+
+
+# -- equality (EqualityMetric.scala:29-42 @DistanceMeasureExamples) ----------
+def test_equality_examples():
+    m = get_distance("equality")
+    assert m.apply(["max", "helmut"], ["max"]) == 0.0
+    assert m.apply(["max", "helmut"], ["john"]) == 1.0
+
+
+def test_equality_index_blocks_equal_values():
+    m = get_distance("equality")
+    i1 = m.index(["max"], 0.0, True)
+    i2 = m.index(["max", "other"], 0.0, False)
+    assert i1.matches(i2)
+    assert not i1.matches(m.index(["john"], 0.0, False))
+
+
+def test_inequality():
+    m = get_distance("inequality")
+    assert m.apply(["a"], ["b"]) == 0.0
+    assert m.apply(["a"], ["a"]) == 1.0
+
+
+def test_relaxed_equality():
+    m = get_distance("relaxedEquality")
+    assert m.apply(["Müller"], ["muller"]) == 0.0
+    assert m.apply(["ñino"], ["nino"]) == 0.0
+    assert m.apply(["abc"], ["abd"]) == 1.0
+    assert m.index(["Müller"], 0.0, True).matches(m.index(["MULLER"], 0.0, False))
+
+
+def test_numeric_equality():
+    # examples from NumericEqualityMetric.scala description (precision 0.1)
+    m = get_distance("numericEquality", precision=0.1)
+    assert m.evaluate("1.3", "1.35") == 0.0
+    assert m.evaluate("0.0", "0.9999") == 1.0  # |0-0.9999| > 0.1
+    assert m.evaluate("1.2", "1.30001") == 1.0
+    exact = get_distance("numericEquality")
+    assert exact.evaluate("1.0", "1.00") == 0.0
+    assert exact.evaluate("1.0", "1.1") == 1.0
+    assert exact.evaluate("abc", "1.0") == 1.0
+
+
+def test_lower_greater_than():
+    lt = get_distance("lowerThan")
+    assert lt.evaluate("1", "2") == 0.0
+    assert lt.evaluate("2", "1") == 1.0
+    assert lt.evaluate("2", "2") == 1.0
+    lte = get_distance("lowerThan", orEqual=True)
+    assert lte.evaluate("2", "2") == 0.0
+    # autodetect: falls back to lexicographic for non-numbers
+    assert lt.evaluate("apple", "banana") == 0.0
+    gt = get_distance("greaterThan")
+    assert gt.evaluate("2", "1") == 0.0
+    assert gt.evaluate("1", "2") == 1.0
+
+
+# -- levenshtein (LevenshteinDistance.scala) --------------------------------
+def test_levenshtein_core():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+
+
+def test_levenshtein_distance_measure():
+    m = get_distance("levenshteinDistance")
+    assert m.apply(["kitten"], ["sitting"]) == 3.0
+    # min over cross product
+    assert m.apply(["kitten", "sitting"], ["sitting"]) == 0.0
+    # length-diff early exit past limit
+    assert m.evaluate("ab", "abcdef", 2) == math.inf
+
+
+def test_levenshtein_index_within_threshold_shares_block():
+    m = get_distance("levenshteinDistance")
+    for a, b in [("john", "jhon"), ("smith", "smyth"), ("hello", "hallo")]:
+        ia = m.index([a], 2.0, True)
+        ib = m.index([b], 2.0, False)
+        assert ia.matches(ib), (a, b)
+
+
+def test_normalized_levenshtein():
+    m = get_distance("levenshtein")
+    assert m.evaluate("kitten", "sitting") == pytest.approx(3 / 7)
+    assert m.evaluate("", "") == 0.0
+
+
+# -- jaro / jaroWinkler ------------------------------------------------------
+def test_jaro_standard_values():
+    m = get_distance("jaro")
+    assert m.evaluate("MARTHA", "MARHTA") == pytest.approx(1 - 0.944444, abs=1e-4)
+    assert m.evaluate("DWAYNE", "DUANE") == pytest.approx(1 - 0.822222, abs=1e-4)
+    assert m.evaluate("abc", "abc") == 0.0
+    assert m.evaluate("", "abc") == 1.0
+
+
+def test_jaro_winkler():
+    m = get_distance("jaroWinkler")
+    assert m.evaluate("MARTHA", "MARHTA") == pytest.approx(1 - 0.961111, abs=1e-4)
+    assert m.evaluate("abc", "abc") == 0.0
+
+
+# -- qGrams (QGramsMetric.scala + StringUtils.qGrams padding) ---------------
+def test_q_grams_padding():
+    assert q_grams("ab", 2) == ["#a", "ab", "b#"]
+    # "" padded with '#' boundaries on both sides → one gram "##"
+    assert q_grams("", 2) == ["##"]
+
+
+def test_qgrams_metric():
+    m = get_distance("qGrams")
+    assert m.evaluate("abc", "abc") == 0.0
+    d = m.evaluate("abcd", "abcx")
+    # grams: {#a,ab,bc,cd,d#} vs {#a,ab,bc,cx,x#}: ∩=3, ∪=7
+    assert d == pytest.approx(1 - 3 / 7)
+    assert m.index(["abc"], 0.5, True).matches(m.index(["abcd"], 0.5, False))
+
+
+# -- token-based -------------------------------------------------------------
+def test_jaccard():
+    m = get_distance("jaccard")
+    assert m.apply(["a", "b"], ["b", "c"]) == pytest.approx(1 - 1 / 3)
+    assert m.apply(["a"], ["a"]) == 0.0
+    assert m.apply([], []) == 0.0
+    # values within jaccard-threshold share an index key
+    i1 = m.index(["a", "b", "c"], 0.5, True)
+    i2 = m.index(["a", "x", "y"], 0.5, False)
+    assert i1.matches(i2)
+
+
+def test_dice():
+    m = get_distance("dice")
+    assert m.apply(["a", "b"], ["b", "c"]) == pytest.approx(1 - 2 / 4)
+
+
+def test_softjaccard():
+    m = get_distance("softjaccard", maxDistance=1)
+    # "johns" ~ "john" within lev 1 → treated equivalent
+    assert m.apply(["john", "smith"], ["johns", "smith"]) == pytest.approx(0.0)
+    hard = get_distance("jaccard")
+    assert hard.apply(["john", "smith"], ["johns", "smith"]) > 0
+
+
+def test_cosine_weighted_items():
+    m = get_distance("cosine")
+    # pre-weighted '<token> <weight>' items, ';'-separated
+    assert m.evaluate("a 0.6;b 0.8", "a 0.6;b 0.8") == pytest.approx(0.0)
+    assert m.evaluate("a 1.0", "b 1.0") == pytest.approx(1.0)
+
+
+def test_token_cosine():
+    m = get_distance("tokenCosine")
+    assert m.apply(["a", "b"], ["a", "b"]) == pytest.approx(0.0)
+    assert m.apply(["a"], ["b"]) == pytest.approx(1.0)
+
+
+# -- numeric / temporal ------------------------------------------------------
+def test_num_metric():
+    m = get_distance("num", minValue=0.0, maxValue=100.0)
+    assert m.evaluate("10", "12") == 2.0
+    assert m.evaluate("abc", "12") == math.inf
+    assert m.index_value("10", 5.0, True).matches(m.index_value("12", 5.0, False))
+
+
+def test_date_metric():
+    m = get_distance("date")
+    assert m.evaluate("2020-01-01", "2020-01-11") == pytest.approx(10.0)
+    assert m.index_value("2020-01-01", 30.0, True).matches(
+        m.index_value("2020-01-15", 30.0, False)
+    )
+
+
+def test_datetime_metric():
+    m = get_distance("dateTime")
+    assert m.evaluate("2020-01-01T00:00:00", "2020-01-01T00:01:00") == 60.0
+
+
+def test_inside_numeric_interval():
+    m = get_distance("insideNumericInterval")
+    assert m.apply(["1-10"], ["5"]) == 0.0
+    assert m.apply(["1-10"], ["15"]) == 1.0
+
+
+def test_wgs84():
+    m = get_distance("wgs84", unit="km")
+    # Berlin (52.52, 13.405) to Potsdam (52.39, 13.06) ≈ 26-28 km
+    d = m.evaluate("52.52 13.405", "52.39 13.06")
+    assert 20 < d < 35
+    assert m.evaluate("POINT(13.405 52.52)", "52.52 13.405") == pytest.approx(0.0, abs=1e-6)
+
+
+def test_startswith_and_substring_predicates():
+    sw = get_distance("startsWith")
+    assert sw.evaluate("foobar", "foo") == 0.0
+    assert sw.evaluate("barfoo", "foo") == 1.0
+    assert sw.index_value("foobar", 0.0, True).matches(sw.index_value("foo", 0.0, False))
+    sub = get_distance("isSubstring")
+    assert sub.evaluate("oba", "foobar") == 0.0
+    assert sub.evaluate("xyz", "foobar") == 1.0
+
+
+def test_stoilos_substring():
+    m = get_distance("substring")
+    assert m.evaluate("abcdef", "abcdef") == pytest.approx(0.0)
+    assert m.evaluate("abcdef", "uvwxyz") == pytest.approx(1.0)
+    assert m.evaluate("project alpha", "alpha project") < 0.5
