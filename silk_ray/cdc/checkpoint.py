@@ -1,0 +1,135 @@
+"""Lake-table checkpointing: atomic manifest + offset log.
+
+Exactly-once design (north_rule; SURVEY.md §7.1 step 5):
+
+- lake layout::
+
+    lake_root/
+      _manifest.json                 # current epoch + per-partition file & HWM (atomic swap)
+      _checkpoints/offsets-{E}.json  # append-only commit log (one per epoch)
+      _metrics/epoch-{E}.json        # per-epoch lineage + metrics
+      partitions/p={P}/epoch-{E}.parquet
+      dirty/p={P}/epoch-{E}.parquet  # changed-entity delta (incremental linking)
+      links/...                      # maintained link table
+
+- an epoch commit = all partition files written (deterministic content,
+  so task retries / re-runs are idempotent) → manifest written to a
+  temp file → ``os.replace`` (atomic on POSIX) → offset-log append.
+  A crash before the swap leaves the old manifest: replaying the epoch
+  rewrites byte-identical files and commits once.
+- per-partition high-water marks: events with ``offset <= hwm[p]`` are
+  skipped inside the merge task, making duplicate delivery a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class Manifest:
+    def __init__(self, epoch: int, next_offset: int, partitions: dict[int, dict]):
+        self.epoch = epoch
+        self.next_offset = next_offset
+        # pid -> {"file": relpath | None, "hwm": int, "rows": int}
+        self.partitions = partitions
+
+    @staticmethod
+    def empty() -> "Manifest":
+        return Manifest(epoch=0, next_offset=0, partitions={})
+
+    def to_dict(self) -> dict:
+        return {
+            "epoch": self.epoch,
+            "next_offset": self.next_offset,
+            "partitions": {str(k): v for k, v in self.partitions.items()},
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "Manifest":
+        return Manifest(
+            epoch=d["epoch"],
+            next_offset=d["next_offset"],
+            partitions={int(k): v for k, v in d["partitions"].items()},
+        )
+
+
+def manifest_path(root: str) -> str:
+    return os.path.join(root, "_manifest.json")
+
+
+def read_manifest(root: str) -> Manifest:
+    p = manifest_path(root)
+    if not os.path.exists(p):
+        return Manifest.empty()
+    with open(p) as f:
+        return Manifest.from_dict(json.load(f))
+
+
+def commit_manifest(root: str, manifest: Manifest, window: tuple[int, int]) -> None:
+    """Atomic epoch commit: manifest swap + offset-log append."""
+    os.makedirs(root, exist_ok=True)
+    tmp = manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_dict(), f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path(root))
+
+    ckpt_dir = os.path.join(root, "_checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    log_entry = {
+        "epoch": manifest.epoch,
+        "window": list(window),
+        "next_offset": manifest.next_offset,
+        "hwm": {str(k): v["hwm"] for k, v in manifest.partitions.items()},
+    }
+    log_tmp = os.path.join(ckpt_dir, f"offsets-{manifest.epoch:06d}.json.tmp")
+    with open(log_tmp, "w") as f:
+        json.dump(log_entry, f, sort_keys=True)
+    os.replace(log_tmp, os.path.join(ckpt_dir, f"offsets-{manifest.epoch:06d}.json"))
+
+
+def write_metrics(root: str, epoch: int, metrics: dict) -> None:
+    d = os.path.join(root, "_metrics")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"epoch-{epoch:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, sort_keys=True)
+    os.replace(tmp, os.path.join(d, f"epoch-{epoch:06d}.json"))
+
+
+def read_metrics(root: str) -> list[dict]:
+    d = os.path.join(root, "_metrics")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def partition_dir(root: str, pid: int) -> str:
+    return os.path.join(root, "partitions", f"p={pid:05d}")
+
+
+def partition_file(root: str, pid: int, epoch: int) -> str:
+    return os.path.join(partition_dir(root, pid), f"epoch-{epoch:06d}.parquet")
+
+
+def dirty_file(root: str, pid: int, epoch: int) -> str:
+    d = os.path.join(root, "dirty", f"p={pid:05d}")
+    return os.path.join(d, f"epoch-{epoch:06d}.parquet")
+
+
+def atomic_write_parquet(table, path: str) -> None:
+    """Write-then-rename so readers never observe partial files; content
+    is deterministic, so concurrent/retried writers converge."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)

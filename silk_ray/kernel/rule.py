@@ -204,6 +204,71 @@ class LinkageRule:
     def target_paths(self) -> list[str]:
         return sorted(set(self.operator.paths(False)))
 
+    # -- split evaluation for the shuffle pipeline ----------------------
+    #
+    # The Ray linking pipeline pre-evaluates each leaf comparison's input
+    # values per row in the index stage (so transforms run once per row,
+    # not once per candidate pair) and re-scores pairs inside the
+    # post-shuffle group stage from those carried values alone.
+
+    def leaf_comparisons(self) -> list[Comparison]:
+        """Leaf comparisons in stable depth-first order."""
+        out: list[Comparison] = []
+
+        def walk(op: SimilarityOperator):
+            if isinstance(op, Comparison):
+                out.append(op)
+            elif isinstance(op, Aggregation):
+                for child in op.operators:
+                    walk(child)
+
+        walk(self.operator)
+        return out
+
+    def leaf_values(self, entity: Entity, source_or_target: bool) -> list[list[str]]:
+        """Per-leaf evaluated input values for one side."""
+        vals = []
+        for comp in self.leaf_comparisons():
+            inp = comp.source_input if source_or_target else comp.target_input
+            try:
+                vals.append(inp.apply(entity))
+            except Exception:
+                vals.append([])
+        return vals
+
+    def score_from_leaf_values(
+        self,
+        source_vals: list[list[str]],
+        target_vals: list[list[str]],
+        limit: float = 0.0,
+    ) -> float | None:
+        """Evaluate the operator tree given pre-evaluated leaf values.
+
+        Identical semantics to :meth:`apply` (Comparison.scala:52-80 per
+        leaf, aggregator tree above) — verified by tests against the
+        direct evaluation.
+        """
+        pos = [0]
+
+        def walk(op: SimilarityOperator) -> float | None:
+            if isinstance(op, Comparison):
+                i = pos[0]
+                pos[0] += 1
+                v1, v2 = source_vals[i], target_vals[i]
+                if not v1 or not v2:
+                    return None
+                distance = op.metric.apply(v1, v2, op.threshold * (1.0 - limit))
+                if distance == 0.0 and op.threshold == 0.0:
+                    return 1.0
+                if distance <= 2.0 * op.threshold:
+                    return 1.0 - distance / op.threshold
+                return -1.0
+            assert isinstance(op, Aggregation)
+            weighted = [(walk(child), child.weight) for child in op.operators]
+            return op.aggregator.evaluate(weighted, limit)
+
+        return walk(self.operator)
+
 
 # ---------------------------------------------------------------------------
 # JSON rule specs — the user-facing DSL (≈ Silk-LSL, doc/LinkSpecificationLanguage.md)

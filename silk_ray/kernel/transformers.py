@@ -1332,6 +1332,26 @@ class UuidTransformer(Transformer):
         return [str(_uuid.uuid5(_uuid.NAMESPACE_URL, v)) for v in flat]
 
 
+@register_transformer
+class KmvTokensTransformer(Transformer):
+    """k-min-values token sketch: keep the k distinct values with the
+    smallest stable hashes. Not in the reference — our scale addition
+    (SURVEY.md §7.3): Jaccard over the KMV sketch approximates token
+    Jaccard while bounding blocking-index size and shuffle payload to
+    O(k) per row."""
+
+    id = "kmvTokens"
+
+    def __init__(self, k: int = 32):
+        self.k = k
+
+    def apply(self, values):
+        from silk_ray.kernel.index import stable_str_hash
+
+        distinct = {v for vs in values for v in vs}
+        return sorted(distinct, key=lambda v: (stable_str_hash(v), v))[: self.k]
+
+
 class ValidationError(ValueError):
     """Raised by validation transformers; caught per-row by the transform
     executor and routed to the error column (mirror of

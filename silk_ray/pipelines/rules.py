@@ -1,0 +1,90 @@
+"""Flagship linkage rules (FIXTURES.md F3).
+
+The conformance rule mirrors the reference's names-corpus setup
+(GenerateLinksTest.scala:38-68: single comparison, levenshtein θ=2)
+widened to cover the operator classes: weighted-average aggregation
+over {equality on lang, Levenshtein θ=2 on filename, Jaccard θ=0.4 on
+content token sets}, link filter top-1 per source.
+
+The bench variant replaces raw content tokens with a k-min-values
+token sketch (`kmvTokens`) so the blocking index and the carried
+compare payload stay O(k) per row instead of O(|content|) — the
+100 TB-scale path (SURVEY.md §7.3 "keep content out of the linking
+shuffle").
+"""
+
+FILENAME_INPUT = {"transform": "stripUriPrefix", "inputs": [{"path": "path"}]}
+
+CONFORMANCE_RULE = {
+    "operator": {
+        "aggregator": "average",
+        "operators": [
+            {
+                # indexing=False: a 6-value categorical would dilute the
+                # disjunctive MultiBlock index (Comparison.indexing flag,
+                # Aggregation.scala:59-61 skips non-indexing operators)
+                "metric": "equality",
+                "threshold": 0.0,
+                "weight": 1,
+                "indexing": False,
+                "source": {"path": "lang"},
+                "target": {"path": "lang"},
+            },
+            {
+                "metric": "levenshteinDistance",
+                "threshold": 2.0,
+                "weight": 2,
+                "source": FILENAME_INPUT,
+                "target": FILENAME_INPUT,
+            },
+            {
+                "metric": "jaccard",
+                "threshold": 0.4,
+                "weight": 2,
+                "source": {"transform": "tokenize", "inputs": [{"path": "content"}]},
+                "target": {"transform": "tokenize", "inputs": [{"path": "content"}]},
+            },
+        ],
+    },
+    "filter_limit": 1,
+}
+
+KMV_TOKENS = {
+    "transform": "kmvTokens",
+    "params": {"k": 32},
+    "inputs": [{"transform": "tokenize", "inputs": [{"path": "content"}]}],
+}
+
+BENCH_RULE = {
+    "operator": {
+        "aggregator": "average",
+        "operators": [
+            {
+                # indexing=False: a 6-value categorical would dilute the
+                # disjunctive MultiBlock index (Comparison.indexing flag,
+                # Aggregation.scala:59-61 skips non-indexing operators)
+                "metric": "equality",
+                "threshold": 0.0,
+                "weight": 1,
+                "indexing": False,
+                "source": {"path": "lang"},
+                "target": {"path": "lang"},
+            },
+            {
+                "metric": "levenshteinDistance",
+                "threshold": 2.0,
+                "weight": 2,
+                "source": FILENAME_INPUT,
+                "target": FILENAME_INPUT,
+            },
+            {
+                "metric": "jaccard",
+                "threshold": 0.4,
+                "weight": 2,
+                "source": KMV_TOKENS,
+                "target": KMV_TOKENS,
+            },
+        ],
+    },
+    "filter_limit": 1,
+}

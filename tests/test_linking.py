@@ -1,0 +1,136 @@
+"""Linking conformance: Ray MultiBlock pipeline vs brute-force oracle
+(the RD analogue of GenerateLinksTest.scala:38-209 on the F3 fixture)."""
+
+import pyarrow as pa
+import pytest
+
+from silk_ray.cdc.generator import make_base_table, make_uri
+from silk_ray.kernel.evaluation import evaluate_links, pairs_completeness
+from silk_ray.kernel.rule import rule_from_dict
+from silk_ray.linking.full import full_candidate_pairs, full_links
+from silk_ray.pipelines.rules import CONFORMANCE_RULE
+
+
+@pytest.fixture(scope="module")
+def fixture_tables():
+    base = make_base_table(300, seed=7, near_dup_frac=0.15)
+    repo_num = [int(r.split("-")[1]) for r in base["repo"].to_pylist()]
+    src_mask = pa.array([n < 100 for n in repo_num])
+    tgt_mask = pa.array([n >= 100 for n in repo_num])
+    return base.filter(src_mask), base.filter(tgt_mask)
+
+
+def _entities(table: pa.Table):
+    rows = table.to_pylist()
+    out = []
+    for r in rows:
+        uri = make_uri(r["repo"], r["path"])
+        ent = {k: ([str(v)] if v is not None else []) for k, v in r.items()}
+        out.append((uri, ent))
+    return out
+
+
+def _oracle_links(src, tgt, rule, limit=0.0):
+    """Blocked-oracle: brute-force scoring restricted to MultiBlock
+    candidate pairs + deterministic top-k filter — exactly what the
+    pipeline must produce."""
+    candidates = full_candidate_pairs(src, tgt, rule, limit)
+    all_links = full_links(src, tgt, rule, limit)
+    kept = [(s, t, c) for (s, t, c) in all_links if (s, t) in candidates]
+    if rule.filter_limit:
+        by_source = {}
+        for s, t, c in kept:
+            by_source.setdefault(s, []).append((s, t, c))
+        kept = []
+        for s, links in by_source.items():
+            links.sort(key=lambda x: (-x[2], x[1]))
+            kept.extend(links[: rule.filter_limit])
+    return kept
+
+
+def test_blocked_pipeline_matches_oracle(ray_session, fixture_tables):
+    import ray.data as rd
+
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    src_table, tgt_table = fixture_tables
+    rule = rule_from_dict(CONFORMANCE_RULE)
+
+    src_ents = _entities(src_table)
+    tgt_ents = _entities(tgt_table)
+    expected = _oracle_links(src_ents, tgt_ents, rule)
+    assert expected, "fixture must produce links"
+
+    src_ds = add_uri_column(rd.from_arrow(src_table))
+    tgt_ds = add_uri_column(rd.from_arrow(tgt_table))
+    links = generate_links(src_ds, tgt_ds, CONFORMANCE_RULE).to_pandas()
+
+    got = {(r.source, r.target): r.confidence for r in links.itertuples()}
+    exp = {(s, t): c for s, t, c in expected}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+
+
+def test_pairs_completeness_of_multiblock(fixture_tables):
+    """Candidate generation finds (nearly) all true links on the fixture
+    (GenerateLinksTest pairs-completeness metric)."""
+    src_table, tgt_table = fixture_tables
+    rule = rule_from_dict(CONFORMANCE_RULE)
+    src_ents = _entities(src_table)
+    tgt_ents = _entities(tgt_table)
+    true_links = {(s, t) for s, t, _ in full_links(src_ents, tgt_ents, rule)}
+    candidates = full_candidate_pairs(src_ents, tgt_ents, rule)
+    pc = pairs_completeness(candidates, true_links)
+    assert pc == pytest.approx(1.0)
+    # and blocking actually reduces the comparison space
+    assert len(candidates) < len(src_ents) * len(tgt_ents) * 0.5
+
+
+def test_linking_finds_planted_near_dups(ray_session, fixture_tables):
+    import ray.data as rd
+
+    from silk_ray.cdc.generator import golden_links
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    src_table, tgt_table = fixture_tables
+    combined = pa.concat_tables([src_table, tgt_table])
+    golden = golden_links(combined)
+    assert golden, "generator must plant near-dups"
+
+    src_ds = add_uri_column(rd.from_arrow(src_table))
+    tgt_ds = add_uri_column(rd.from_arrow(tgt_table))
+    links = generate_links(src_ds, tgt_ds, CONFORMANCE_RULE).to_pandas()
+    found = {(r.source, r.target) for r in links.itertuples()}
+    result = evaluate_links(found, golden)
+    assert result.recall > 0.9
+    assert result.precision > 0.5
+
+
+def test_self_link_triangular(ray_session):
+    import ray.data as rd
+
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    base = make_base_table(120, seed=11, near_dup_frac=0.2)
+    ds = add_uri_column(rd.from_arrow(base))
+    links = generate_links(ds, None, CONFORMANCE_RULE, source_equals_target=True).to_pandas()
+    # triangular: never both (a,b) and (b,a), never (a,a)
+    pairs = {(r.source, r.target) for r in links.itertuples()}
+    assert all(s < t for s, t in pairs)
+
+
+def test_salting_preserves_results(ray_session, fixture_tables):
+    import ray.data as rd
+
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    src_table, tgt_table = fixture_tables
+    src_ds = add_uri_column(rd.from_arrow(src_table))
+    tgt_ds = add_uri_column(rd.from_arrow(tgt_table))
+    plain = generate_links(src_ds, tgt_ds, CONFORMANCE_RULE).to_pandas()
+    salted = generate_links(
+        src_ds, tgt_ds, CONFORMANCE_RULE, salt_threshold=5, n_salt=4
+    ).to_pandas()
+    key = lambda df: sorted(zip(df.source, df.target, df.confidence.round(9)))
+    assert key(plain) == key(salted)
