@@ -1,0 +1,83 @@
+"""Top-level CDC engine: merge-apply + incremental re-link per epoch.
+
+One epoch = one atomic unit of progress:
+
+    tail changelog window → merge-apply into lake partitions (commit:
+    manifest + offset log) → delta re-link from the dirty files
+    (commit: linkstate) → lineage metrics.
+
+Resume logic: the merge manifest and the linkstate each record their
+epoch; after a crash anywhere, :func:`run` first brings the link state
+up to the merge epoch (dirty files are kept per epoch), then continues
+tailing. Both sub-commits are idempotent, so replays converge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from silk_ray.cdc import checkpoint as ckpt
+from silk_ray.cdc.incremental import read_linkstate, update_links
+from silk_ray.cdc.merge import run_epoch
+
+
+@dataclass
+class EngineConfig:
+    epoch_size: int = 100_000
+    num_partitions: int = 64
+    n_block_partitions: int = 64
+    rule_spec: dict | None = None  # None → no link maintenance
+    renames: dict[str, str] = field(default_factory=dict)
+    limit: float = 0.0
+    max_epochs: int | None = None
+
+
+def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
+    """Apply any merge epochs the link state hasn't processed yet."""
+    out = []
+    if config.rule_spec is None:
+        return out
+    merge_epoch = ckpt.read_manifest(root).epoch
+    link_epoch = read_linkstate(root)["epoch"]
+    for e in range(link_epoch + 1, merge_epoch + 1):
+        out.append(
+            update_links(
+                root,
+                config.rule_spec,
+                e,
+                limit=config.limit,
+                n_block_partitions=config.n_block_partitions,
+            )
+        )
+    return out
+
+
+def run(root: str, changelog, config: EngineConfig) -> list[dict]:
+    """Tail the changelog to exhaustion. Returns per-epoch metrics
+    (merge metrics with ``links`` sub-dict when linking is enabled)."""
+    results = []
+    # crash recovery: links may lag the lake
+    catch_up_links(root, config)
+    epochs = 0
+    while config.max_epochs is None or epochs < config.max_epochs:
+        m = run_epoch(
+            root,
+            changelog,
+            epoch_size=config.epoch_size,
+            num_partitions=config.num_partitions,
+            renames=config.renames or None,
+        )
+        if m is None:
+            break
+        if config.rule_spec is not None:
+            link_metrics = update_links(
+                root,
+                config.rule_spec,
+                m["epoch"],
+                limit=config.limit,
+                n_block_partitions=config.n_block_partitions,
+            )
+            m = {**m, "links": link_metrics}
+        results.append(m)
+        epochs += 1
+    return results

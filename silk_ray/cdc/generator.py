@@ -217,8 +217,15 @@ def make_changelog(
     exists = {k: True for k in base_keys}
     exists.update({k: False for k in new_keys})
     version = {k: 0 for k in all_keys}
+    # current content per key so updates EDIT rather than regenerate —
+    # preserves planted near-dup structure across U events
+    cur_content: dict[tuple, str] = dict(zip(base_keys, base["content"].to_pylist()))
 
-    key_weights = rng.zipf(1.4, size=len(all_keys)).astype(np.float64)
+    # rank-zipfian key popularity (mild exponent; hot keys exist without
+    # one key absorbing the whole stream)
+    ranks = np.arange(1, len(all_keys) + 1, dtype=np.float64)
+    key_weights = 1.0 / ranks**0.8
+    rng.shuffle(key_weights)
     key_weights /= key_weights.sum()
 
     cols: dict[str, list] = {c: [] for c in ("offset", "op", "repo", "path", "commit", "lang", "content", "branch")}
@@ -238,14 +245,24 @@ def make_changelog(
         evolved = evolve_at is not None and offset >= evolve_at
         if op == "D":
             exists[k] = False
+            cur_content.pop(k, None)
             row = (offset, "D", repo, path, None, None, None, None)
         else:
+            was_update = op == "U" and k in cur_content
             exists[k] = True
             version[k] += 1
             lang = base_lang.get(k) or LANGS[int(rng.integers(0, len(LANGS)))]
-            n_tok = int(rng.integers(20, 200))
-            toks = rng.integers(0, _VOCAB_SIZE, size=n_tok)
-            content = " ".join(vocab[t] for t in toks)
+            if was_update:
+                # edit: replace up to 3 tokens of the current content
+                toks = cur_content[k].split(" ")
+                for _ in range(int(rng.integers(1, 4))):
+                    toks[int(rng.integers(0, len(toks)))] = vocab[int(rng.integers(0, _VOCAB_SIZE))]
+                content = " ".join(toks)
+            else:
+                n_tok = int(rng.integers(20, 200))
+                toks = rng.integers(0, _VOCAB_SIZE, size=n_tok)
+                content = " ".join(vocab[t] for t in toks)
+            cur_content[k] = content
             branch = f"branch-{int(rng.integers(0, 4))}" if evolved else None
             row = (offset, op, repo, path, pseudo_sha(repo, path, version[k]), lang, content, branch)
         for c, v in zip(cols, row):

@@ -1,0 +1,407 @@
+"""Incremental re-linking: maintain the linked table over the changelog.
+
+The RD re-expression of "only entities whose blocking keys changed are
+re-compared" (north_star; Silk's MultiBlock semantics from
+rule/execution/methods/MultiBlock.scala applied delta-wise):
+
+Persisted link state under ``lake_root/``::
+
+    blockmap/bp={B}/epoch-{E}.parquet   # exploded blocking index:
+                                        # (key, side, uri, vals_0..m)
+    links/epoch-{E}/part-*.parquet      # UNFILTERED link set (source,
+                                        # target, confidence)
+    _linkstate.json                     # atomic pointer {epoch, blockmap files}
+
+Per merge epoch E (consuming ``dirty/p=*/epoch-{E}.parquet`` deltas):
+
+1. **delta index** (``map_batches``): for every changed key, compute
+   the OLD payload's blocking keys (rows to drop) and the NEW payload's
+   keys + leaf-comparison values (rows to add), for both link sides.
+2. **blockmap update** (``groupby(bp)`` + per-partition rewrite): only
+   partitions containing an affected key are rewritten — O(delta), not
+   O(lake).
+3. **delta re-score**: read only affected blockmap partitions, restrict
+   to affected keys, ``groupby(key)``, score source×target pairs where
+   at least one side is dirty (clean∩clean pairs keep their stored
+   links). Dedup via groupby(source,target).max.
+4. **links merge** (``map_batches`` filter + union): drop stored links
+   touching a dirty uri (broadcast set), add the recomputed ones.
+
+The maintained set is UNFILTERED (every pair with confidence ≥ limit);
+the per-source top-k LinkFilter (Filter.scala:31-57) is applied as a
+view by :func:`filtered_links` — incremental maintenance of a top-k
+filtered set would otherwise need non-local re-ranking when a stored
+best link disappears.
+
+Bootstrap falls out naturally: after the first merge epoch every key is
+dirty (all inserts), so the delta pass builds the full index and link
+set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from silk_ray.cdc import checkpoint as ckpt
+from silk_ray.kernel.rule import LinkageRule
+from silk_ray.linking.pipeline import _compile_rule, _exploded_schema
+
+DEFAULT_BLOCK_PARTITIONS = 64
+
+
+# ---------------------------------------------------------------------------
+# link state pointer
+# ---------------------------------------------------------------------------
+
+
+def _linkstate_path(root: str) -> str:
+    return os.path.join(root, "_linkstate.json")
+
+
+def read_linkstate(root: str) -> dict:
+    p = _linkstate_path(root)
+    if not os.path.exists(p):
+        return {"epoch": 0, "blockmap": {}, "links_dir": None}
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_linkstate(root: str, state: dict) -> None:
+    tmp = _linkstate_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _linkstate_path(root))
+
+
+def blockmap_file(root: str, bp: int, epoch: int) -> str:
+    return os.path.join(root, "blockmap", f"bp={bp:05d}", f"epoch-{epoch:06d}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# stage 1: delta index
+# ---------------------------------------------------------------------------
+
+
+class DeltaIndexStage:
+    """Turn dirty rows into blockmap add/del rows (both link sides)."""
+
+    def __init__(self, rule_spec, n_block_partitions: int):
+        self.rule = _compile_rule(rule_spec)
+        self.nbp = n_block_partitions
+        self.n_leaves = len(self.rule.leaf_comparisons())
+        base = _exploded_schema(self.n_leaves)
+        fields = [pa.field("bp", pa.int32()), pa.field("action", pa.string())] + list(base)
+        self.schema = pa.schema(fields)
+
+    def _payload_entity(self, row: dict, prefix: str) -> dict | None:
+        ent = {"repo": [row["repo"]], "path": [row["path"]]}
+        any_val = False
+        for k, v in row.items():
+            if k.startswith(prefix):
+                name = k[len(prefix):]
+                ent[name] = [] if v is None else [str(v)]
+                if v is not None:
+                    any_val = True
+        return ent if any_val else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from silk_ray.cdc.generator import make_uri
+
+        out: dict[str, list] = {f.name: [] for f in self.schema}
+        rule = self.rule
+        for row in batch.to_pylist():
+            uri = make_uri(row["repo"], row["path"])
+            old_ent = self._payload_entity(row, "old_")
+            new_ent = self._payload_entity(row, "new_")
+            for side in (1, 0):
+                sot = side == 1
+                if old_ent is not None:
+                    for key in rule.index_keys(old_ent, sot):
+                        out["bp"].append(key % self.nbp)
+                        out["action"].append("del")
+                        out["key"].append(key)
+                        out["side"].append(side)
+                        out["uri"].append(uri)
+                        for i in range(self.n_leaves):
+                            out[f"vals_{i}"].append(None)
+                if new_ent is not None:
+                    vals = rule.leaf_values(new_ent, sot)
+                    for key in rule.index_keys(new_ent, sot):
+                        out["bp"].append(key % self.nbp)
+                        out["action"].append("add")
+                        out["key"].append(key)
+                        out["side"].append(side)
+                        out["uri"].append(uri)
+                        for i, v in enumerate(vals):
+                            out[f"vals_{i}"].append(v)
+        arrays = [pa.array(out[f.name], type=f.type) for f in self.schema]
+        return pa.Table.from_arrays(arrays, schema=self.schema)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: blockmap partition rewrite
+# ---------------------------------------------------------------------------
+
+
+class BlockmapUpdate:
+    def __init__(self, root: str, epoch: int, current_files: dict[int, str], n_leaves: int):
+        self.root = root
+        self.epoch = epoch
+        self.current_files = current_files
+        self.n_leaves = n_leaves
+        self.schema = _exploded_schema(n_leaves)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bp = int(group["bp"][0].as_py())
+        old_rel = self.current_files.get(bp) or self.current_files.get(str(bp))
+        dirty_uris = set(group["uri"].to_pylist())
+
+        rows: list[tuple] = []
+        if old_rel:
+            old = pq.read_table(os.path.join(self.root, old_rel))
+            keep = [u not in dirty_uris for u in old["uri"].to_pylist()]
+            old_kept = old.filter(pa.array(keep))
+            for r in old_kept.to_pylist():
+                rows.append(tuple(r[f.name] for f in self.schema))
+        adds = group.filter(pa.compute.equal(group["action"], "add"))
+        for r in adds.to_pylist():
+            rows.append(tuple(r[f.name] for f in self.schema))
+
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))  # (key, side, uri) determinism
+        cols = {
+            f.name: pa.array([r[i] for r in rows], type=f.type)
+            for i, f in enumerate(self.schema)
+        }
+        table = pa.Table.from_arrays(list(cols.values()), schema=self.schema)
+        path = blockmap_file(self.root, bp, self.epoch)
+        ckpt.atomic_write_parquet(table, path)
+        return pa.table(
+            {
+                "bp": pa.array([bp], pa.int32()),
+                "file": pa.array([os.path.relpath(path, self.root)], pa.string()),
+                "rows": pa.array([table.num_rows], pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# stage 3+4: delta re-score and links merge
+# ---------------------------------------------------------------------------
+
+
+def update_links(
+    root: str,
+    rule_spec: dict | LinkageRule,
+    epoch: int,
+    *,
+    limit: float = 0.0,
+    n_block_partitions: int = DEFAULT_BLOCK_PARTITIONS,
+) -> dict:
+    """Process merge epoch ``epoch``'s dirty deltas into the link state.
+
+    Returns link metrics (links_recomputed, links_removed, ...).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from silk_ray.linking.pipeline import PairScorer
+
+    state = read_linkstate(root)
+    assert state["epoch"] == epoch - 1, (
+        f"link state at epoch {state['epoch']}, cannot apply epoch {epoch}"
+    )
+    rule = _compile_rule(rule_spec)
+    n_leaves = len(rule.leaf_comparisons())
+    payload = rule_spec if isinstance(rule_spec, dict) else rule
+
+    dirty_dir = os.path.join(root, "dirty")
+    dirty_files = []
+    if os.path.isdir(dirty_dir):
+        for pdir in sorted(os.listdir(dirty_dir)):
+            f = os.path.join(dirty_dir, pdir, f"epoch-{epoch:06d}.parquet")
+            if os.path.exists(f):
+                dirty_files.append(f)
+    if not dirty_files:
+        state["epoch"] = epoch
+        commit_linkstate(root, state)
+        return {"epoch": epoch, "links_recomputed": 0, "links_removed": 0, "links_total": _count_links(root, state)}
+
+    dirty_ds = rd.read_parquet(dirty_files)
+
+    # -- stage 1: delta index rows -------------------------------------
+    changes = dirty_ds.map_batches(
+        DeltaIndexStage,
+        fn_constructor_kwargs=dict(rule_spec=payload, n_block_partitions=n_block_partitions),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()  # reused thrice below; delta-sized, not lake-sized
+
+    # -- stage 2: rewrite affected blockmap partitions ------------------
+    bm_files = {int(k): v for k, v in state["blockmap"].items()}
+    updater = BlockmapUpdate(root, epoch, bm_files, n_leaves)
+
+    def update_bp(group: pa.Table) -> pa.Table:
+        return updater(group)
+
+    updated = changes.groupby("bp").map_groups(update_bp, batch_format="pyarrow").take_all()
+    for r in updated:
+        bm_files[int(r["bp"])] = r["file"]
+
+    # -- affected keys + dirty uris (delta-sized driver state) ----------
+    affected_keys: set[int] = set()
+    dirty_uris: set[str] = set()
+    for b in changes.iter_batches(batch_format="pyarrow"):
+        affected_keys.update(b["key"].to_pylist())
+        dirty_uris.update(b["uri"].to_pylist())
+    affected_bps = sorted({k % n_block_partitions for k in affected_keys})
+
+    # -- stage 3: re-score affected blocks ------------------------------
+    keys_ref = ray.put(affected_keys)
+    uris_ref = ray.put(dirty_uris)
+
+    bm_paths = [os.path.join(root, bm_files[bp]) for bp in affected_bps if bp in bm_files]
+
+    def restrict(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        uris = ray.get(uris_ref)
+        mask = [k in keys for k in batch["key"].to_pylist()]
+        sub = batch.filter(pa.array(mask))
+        dirty_flag = pa.array([u in uris for u in sub["uri"].to_pylist()], pa.bool_())
+        return sub.append_column("dirty", dirty_flag)
+
+    scorer = PairScorer(payload, limit=limit, source_equals_target=True)
+
+    def score_block(group: pa.Table) -> pa.Table:
+        # pairs with at least one dirty side; clean∩clean links are stored
+        dirty_col = group["dirty"].to_pylist()
+        if not any(dirty_col):
+            return pa.table(
+                {"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
+                 "confidence": pa.array([], pa.float64())}
+            )
+        full = scorer(group)
+        uris_dirty = {u for u, d in zip(group["uri"].to_pylist(), dirty_col) if d}
+        mask = [
+            (s in uris_dirty) or (t in uris_dirty)
+            for s, t in zip(full["source"].to_pylist(), full["target"].to_pylist())
+        ]
+        return full.filter(pa.array(mask, pa.bool_()))
+
+    if bm_paths:
+        from ray.data.aggregate import Max
+
+        new_links = (
+            rd.read_parquet(bm_paths)
+            .map_batches(restrict, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(score_block, batch_format="pyarrow")
+            .groupby(["source", "target"])
+            .aggregate(Max("confidence", alias_name="confidence"))
+        )
+    else:
+        new_links = rd.from_arrow(
+            pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
+                      "confidence": pa.array([], pa.float64())})
+        )
+
+    # -- stage 4: merge into the stored link set ------------------------
+    removed_counter = {"n": 0}
+
+    def drop_dirty(batch: pa.Table) -> pa.Table:
+        uris = ray.get(uris_ref)
+        mask = [
+            (s not in uris) and (t not in uris)
+            for s, t in zip(batch["source"].to_pylist(), batch["target"].to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    links_dir_new = os.path.join(root, "links", f"epoch-{epoch:06d}")
+    if state.get("links_dir"):
+        old_links = rd.read_parquet(os.path.join(root, state["links_dir"]))
+        kept = old_links.map_batches(drop_dirty, batch_format="pyarrow")
+        merged = kept.union(new_links)
+    else:
+        merged = new_links
+    os.makedirs(links_dir_new, exist_ok=True)
+    merged.write_parquet(links_dir_new)
+
+    n_new = new_links.count()
+
+    state = {
+        "epoch": epoch,
+        "blockmap": {str(k): v for k, v in bm_files.items()},
+        "links_dir": os.path.relpath(links_dir_new, root),
+    }
+    commit_linkstate(root, state)
+
+    metrics = {
+        "epoch": epoch,
+        "links_recomputed": int(n_new),
+        "dirty_uris": len(dirty_uris),
+        "affected_keys": len(affected_keys),
+        "affected_block_partitions": len(affected_bps),
+        "links_total": _count_links(root, state),
+    }
+    _append_link_metrics(root, epoch, metrics)
+    return metrics
+
+
+def _count_links(root: str, state: dict) -> int:
+    if not state.get("links_dir"):
+        return 0
+    d = os.path.join(root, state["links_dir"])
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(d, f)).num_rows
+    return total
+
+
+def _append_link_metrics(root: str, epoch: int, metrics: dict) -> None:
+    d = os.path.join(root, "_metrics")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"links-{epoch:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, sort_keys=True)
+    os.replace(tmp, os.path.join(d, f"links-{epoch:06d}.json"))
+
+
+# ---------------------------------------------------------------------------
+# link views
+# ---------------------------------------------------------------------------
+
+
+def links_table(root: str) -> pa.Table:
+    """The maintained unfiltered link set, sorted (driver-side)."""
+    state = read_linkstate(root)
+    if not state.get("links_dir"):
+        return pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
+                         "confidence": pa.array([], pa.float64())})
+    d = os.path.join(root, state["links_dir"])
+    tables = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not tables:
+        return pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
+                         "confidence": pa.array([], pa.float64())})
+    return pa.concat_tables(tables).sort_by(
+        [("source", "ascending"), ("target", "ascending")]
+    )
+
+
+def filtered_links(root: str, filter_limit: int | None) -> pa.Table:
+    """Per-source top-k view (LinkFilter, Filter.scala:40-44)."""
+    t = links_table(root)
+    if not filter_limit or t.num_rows == 0:
+        return t
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df.sort_values(["source", "confidence", "target"], ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("source", sort=True).head(filter_limit).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

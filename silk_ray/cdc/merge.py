@@ -219,7 +219,9 @@ def run_epoch(
 
     flt = (pc.field("offset") >= lo) & (pc.field("offset") < hi)
     if isinstance(changelog, pa.Table):
-        table = changelog.filter((pc.greater_equal(changelog["offset"], lo)) & (pc.less(changelog["offset"], hi)))
+        table = changelog.filter(
+            pc.and_(pc.greater_equal(changelog["offset"], lo), pc.less(changelog["offset"], hi))
+        )
         if table.num_rows == 0:
             return None
         events = rd.from_arrow(table)

@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`knn_bruteforce`: exact top-k cosine neighbors of a broadcast
+  query matrix — numpy matmul per batch (the baseline; scales linearly,
+  streams the corpus once).
+- :func:`knn_lsh`: random-hyperplane LSH bucketing — each corpus vector
+  lands in ``n_tables`` signature buckets, queries probe their buckets
+  only (the 100 TB scale path; approximate).
+
+Both avoid materializing the corpus: per-batch partial top-k rows flow
+into a tiny final ``groupby(query).map_groups`` reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(col) -> np.ndarray:
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Per-batch cosine top-k against a broadcast query matrix.
+
+    Queries are shipped once per actor via object-store reference
+    (ray.put in the driver, ray.get in __init__) — not per batch."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _normalize(np.asarray(qm, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        m = _normalize(_matrix(batch[self.vec_col]))
+        sims = self.qm @ m.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        # per-batch partial top-k (final reduction merges across batches)
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi, q_id in enumerate(self.query_ids):
+            for j in idx[qi]:
+                out_q.append(q_id)
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(k: int, exclude_self: bool):
+    import pandas as pd
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g.query_id != g.neighbor_id]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return fn
+
+
+def knn_bruteforce(
+    ds,
+    query_ids: list[int],
+    query_vectors,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency=(1, 8),
+):
+    """Exact cosine top-k: returns (query_id, neighbor_id, cosine)."""
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_vectors, dtype=np.float32)))
+    partial = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k + (1 if exclude_self else 0), id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+
+
+class HyperplaneHasher:
+    def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 4, seed: int = 77):
+        rng = np.random.default_rng(seed)
+        self.planes = [rng.standard_normal((n_bits, dim)).astype(np.float32) for _ in range(n_tables)]
+        self.n_tables = n_tables
+
+    def buckets(self, m: np.ndarray) -> np.ndarray:
+        """(N, n_tables) int64 bucket ids."""
+        out = np.empty((m.shape[0], self.n_tables), dtype=np.int64)
+        for t, p in enumerate(self.planes):
+            bits = (m @ p.T) > 0  # (N, n_bits)
+            vals = np.zeros(m.shape[0], dtype=np.int64)
+            for b in range(bits.shape[1]):
+                vals = (vals << 1) | bits[:, b]
+            out[:, t] = (t << 48) | vals
+        return out
+
+
+def knn_lsh(
+    ds,
+    query_ids: list[int],
+    query_vectors,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 10,
+    n_tables: int = 6,
+    exclude_self: bool = True,
+):
+    """Approximate cosine top-k via random-hyperplane LSH: corpus vectors
+    are bucketed (groupby shuffle); each bucket scores only the queries
+    hashed into it."""
+    import ray
+
+    qm = np.asarray(query_vectors, dtype=np.float32)
+    hasher = HyperplaneHasher(qm.shape[1], n_bits, n_tables)
+    q_buckets: dict[int, list[tuple[int, np.ndarray]]] = {}
+    qn = _normalize(qm)
+    for qi, (q_id, row) in enumerate(zip(query_ids, hasher.buckets(qm))):
+        for b in row:
+            q_buckets.setdefault(int(b), []).append((q_id, qn[qi]))
+    qref = ray.put(q_buckets)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[vec_col])
+        ids = batch[id_col].to_pylist()
+        bks = hasher.buckets(m)
+        ob, oi, ov = [], [], []
+        for i in range(len(ids)):
+            for b in bks[i]:
+                ob.append(int(b))
+                oi.append(ids[i])
+                ov.append(m[i].tolist())
+        return pa.table(
+            {
+                "bucket": pa.array(ob, pa.int64()),
+                id_col: pa.array(oi, pa.int64()),
+                vec_col: pa.array(ov, pa.list_(pa.float32())),
+            }
+        )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group["bucket"][0].as_py())
+        queries = ray.get(qref).get(bucket, [])
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if not queries:
+            return empty
+        ids = np.asarray(group[id_col].to_pylist())
+        m = _normalize(_matrix(group[vec_col]))
+        out_q, out_n, out_s = [], [], []
+        for q_id, qv in queries:
+            sims = m @ qv
+            for j in np.argsort(-sims)[: k + 1]:
+                out_q.append(q_id)
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()), "neighbor_id": pa.array(out_n, pa.int64()),
+             "cosine": pa.array(out_s, pa.float64())}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    partial = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+    # a neighbor can surface from several tables → dedup before top-k
+    from ray.data.aggregate import Max
+
+    deduped = partial.groupby(["query_id", "neighbor_id"]).aggregate(Max("cosine", alias_name="cosine"))
+    return deduped.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
