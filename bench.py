@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship CDC pipeline (changelog tail → merge-apply →
+incremental link-and-score) over a deterministic synthetic changelog
+seeded from $GRAFT_SF_DIR's documents table, plus per-query timings of
+the operator inventory.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+``--scaling`` runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs
+plus scaling efficiency (the sandbox substitute for the N vs 4N cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_DIR = os.environ.get("SILKRAY_BENCH_CACHE", "/tmp/silkray_bench_cache")
+
+# queries timed in the non-scaling run (headline + inventory)
+TIMED_QUERIES = [
+    "q1_pricing_summary",
+    "q3_revenue_topk",
+    "revenue_per_nation",
+    "top_orders",
+    "events_daily",
+    "events_latest_state",
+    "events_sessionize",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "doc_quality",
+    "transform_normalize",
+    "knn_cosine",
+    "label_stats",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "link_documents",
+]
+
+
+def prepare_changelog() -> tuple[str, int]:
+    """Deterministic changelog parquet for this sf tier (cached so the
+    two scaling runs and repeat benches share identical input)."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.cdc.generator import make_changelog, write_changelog_segments
+    from silk_ray.pipelines.queries import base_from_documents
+
+    tag = SF_DIR.rstrip("/").split("/")[-1]
+    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}")
+    done = os.path.join(seg_dir, "_DONE")
+    if os.path.exists(done):
+        with open(done) as f:
+            return seg_dir, int(f.read())
+    base = base_from_documents(SF_DIR)
+    n_events = max(20_000, base.num_rows * 3)
+    log = make_changelog(base, n_events, seed=5, dup_frac=0.02)
+    write_changelog_segments(log, seg_dir, segment_size=50_000)
+    with open(done, "w") as f:
+        f.write(str(log.num_rows))
+    return seg_dir, log.num_rows
+
+
+def run_headline() -> dict:
+    import shutil
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.pipelines.rules import BENCH_RULE
+
+    seg_dir, n_events = prepare_changelog()
+    root = tempfile.mkdtemp(prefix="silkray_bench_lake_")
+    spec = {k: v for k, v in BENCH_RULE.items() if k != "filter_limit"}
+    cfg = EngineConfig(
+        epoch_size=max(10_000, n_events // 4),
+        num_partitions=32,
+        n_block_partitions=64,
+        rule_spec=spec,
+    )
+    t0 = time.perf_counter()
+    metrics = run(root, seg_dir, cfg)
+    dt = time.perf_counter() - t0
+    applied = sum(m["events_applied"] for m in metrics)
+    links = sum(m["links"]["links_recomputed"] for m in metrics)
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "seconds": dt,
+        "events_applied": applied,
+        "events_per_sec": applied / dt if dt else 0.0,
+        "links_recomputed": links,
+        "epochs": len(metrics),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from silk_ray.pipelines.queries import build_queries
+
+    queries = build_queries()
+    out = {}
+    for name in TIMED_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    headline_only = "--headline-only" in sys.argv
+    headline = run_headline()
+    qtimes = {} if headline_only else run_queries()
+
+    result = {
+        "metric": "cdc_merge_apply_plus_incremental_link_seconds",
+        "value": round(headline["seconds"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events_per_sec": round(headline["events_per_sec"], 1),
+        "events_applied": headline["events_applied"],
+        "links_recomputed": headline["links_recomputed"],
+        "epochs": headline["epochs"],
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    prepare_warm = run(8)  # also warms the changelog cache + page cache
+    lo = run(8)
+    hi = run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "events_per_sec_8": lo["events_per_sec"],
+                "events_per_sec_32": hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "warmup_sec_8": prepare_warm["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -239,7 +239,12 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text", m
                 {"bucket": pa.array(ob, pa.int64()), id_col: pa.array(oi), "simhash": pa.array(oh, pa.int64())}
             )
 
-    banded = ds.map_batches(Bander, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col), batch_format="pyarrow")
+    banded = ds.map_batches(
+        Bander,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
 
     def verify(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_pylist()

@@ -1,0 +1,657 @@
+"""Driver-facing query inventory over the testdata tables.
+
+Each query exists twice: a Ray-Data pipeline (here) and an equivalent
+DuckDB SQL oracle (``oracle_sql``), with identical column names and
+rounding so the driver's order-insensitive value-hash matches
+(CORRECTNESS gate). Non-SQL-expressible operators (MinHash-LSH,
+SimHash, LSH-ANN, lang-id, linkage) ship without an oracle entry and
+get the rows-only check.
+
+Every read prunes columns at the source (``read_parquet(columns=...)``).
+Aggregates are rounded to fixed decimals on BOTH sides to make the
+float hash stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Filter → groupby-aggregate → sort (TPC-H Q1 shape)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_revenue_topk(sf_dir: str):
+    """3-way join via broadcast semi-filters → groupby → top-k."""
+    from ray.data.aggregate import Sum
+
+    from silk_ray.pipelines.relational import broadcast_semi_filter
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust_keys = set(building.to_pandas()["c_custkey"])  # small side
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_semi_filter(orders, "o_custkey", cust_keys)
+    order_keys = set(orders.to_pandas()["o_orderkey"])  # still small at test scales
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
+        batch_format="pyarrow",
+    )
+    li = broadcast_semi_filter(li, "l_orderkey", order_keys)
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    agg = li.map_batches(revenue, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort").head(10)
+    return df.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def revenue_per_nation(sf_dir: str):
+    """Two broadcast dimension joins + pre-aggregated groupby."""
+    from ray.data.aggregate import Sum
+
+    from silk_ray.pipelines.relational import broadcast_lookup
+
+    supplier = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    supp_to_nation = dict(
+        zip(
+            supplier.s_suppkey,
+            supplier.s_nationkey.map(dict(zip(nation.n_nationkey, nation.n_name))),
+        )
+    )
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate inside the batch: one row per nation per batch
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        out = df.groupby("n_name", as_index=False)["revenue"].sum()
+        return out
+
+    agg = (
+        broadcast_lookup(li, "l_suppkey", supp_to_nation, "n_name")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values("n_name").reset_index(drop=True)
+
+
+REVENUE_PER_NATION_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def top_orders(sf_dir: str):
+    """Deterministic multi-key sort + limit."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    df = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return df[["o_orderkey", "o_totalprice"]]
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def mktsegment_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = (
+        _rp(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+MKTSEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n FROM customer
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (stream-shaped)
+# ---------------------------------------------------------------------------
+
+
+def events_daily(sf_dir: str):
+    """Tumbling daily window per event type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table({"event_type": batch["event_type"], "day": day, "value": batch["value"]})
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(4)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+def events_latest_state(sf_dir: str):
+    """CDC-style last-writer-wins state: latest event per user by event_id."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("event_id", kind="mergesort").tail(1)
+
+    out = ds.groupby("user_id").map_groups(latest, batch_format="pandas").to_pandas()
+    out = out[["user_id", "event_id", "event_type", "value"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Gap-based session windows (30 min) per user."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        brk = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(brk.sum()) + 1], "n_events": [len(g)]}
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_SESSIONIZE_SQL = """
+SELECT user_id, 1 + sum(brk) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE, false) THEN 1 ELSE 0 END AS brk
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents (text analysis / dedup / transform)
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str):
+    from silk_ray.functions.text import token_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: token_stats(b, "text").select(["doc_id", "n_tokens", "n_chars_computed"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars_computed
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    from silk_ray.functions.text import sha256_fingerprint
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: sha256_fingerprint(b, "text").select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, sha256(text) AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: smallest doc_id + duplicate count per distinct text."""
+    from silk_ray.functions.dedup import add_content_hash
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(lambda b: add_content_hash(b, "text").select(["doc_id", "content_hash"]), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "n_dups": [len(g)]})
+
+    out = hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+GROUP BY text ORDER BY doc_id
+"""
+
+
+def doc_quality(sf_dir: str):
+    """Quality ratios with regex definitions shared with the SQL oracle."""
+    import re
+
+    word_re = re.compile(r"[^\w\s]")
+    upper_re = re.compile(r"[A-Z]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        pr, ur = [], []
+        for t in texts:
+            t = t or ""
+            n = len(t)
+            pr.append(round(len(word_re.findall(t)) / n, 6) if n else 0.0)
+            ur.append(round(len(upper_re.findall(t)) / n, 6) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "punct_ratio": pa.array(pr, pa.float64()),
+                "upper_ratio": pa.array(ur, pa.float64()),
+            }
+        )
+
+    out = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_QUALITY_SQL = r"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text), 6) AS upper_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def transform_normalize(sf_dir: str):
+    """Silk-style transform rules compiled to a vectorized map_batches."""
+    from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+    rules = [
+        transform_rule_from_dict(
+            {"target": "text_norm", "input": {"transform": "lowerCase", "inputs": [{"transform": "trim", "inputs": [{"path": "text"}]}]}}
+        ),
+    ]
+    ct = CompiledTransform(rules)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = ct(batch)
+        return pa.table({"doc_id": batch["doc_id"], "text_norm": out["text_norm"]})
+
+    out = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TRANSFORM_NORMALIZE_SQL = """
+SELECT doc_id, lower(trim(text)) AS text_norm FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings (similarity search)
+# ---------------------------------------------------------------------------
+
+
+def _load_queries(sf_dir: str, n: int = 10):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], n)
+    t = t.filter(mask).sort_by("vec_id")
+    return t["vec_id"].to_pylist(), np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def knn_cosine(sf_dir: str):
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10."""
+    from silk_ray.functions.ann import knn_bruteforce
+
+    qids, qm = _load_queries(sf_dir, 10)
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(ds, qids, qm, k=5).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+KNN_COSINE_SQL = """
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+) WHERE rn <= 5
+ORDER BY query_id, cosine DESC, neighbor_id
+"""
+
+
+def label_stats(sf_dir: str):
+    """Per-label count + mean of embedding dim 0 (partial-aggregated)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        dim0 = pc.list_element(batch["embedding"], 0)
+        return pa.table({"label": batch["label"], "dim0": pc.cast(dim0, pa.float64())})
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("dim0", alias_name="sum_dim0"))
+        .to_pandas()
+    )
+    out["avg_dim0"] = (out["sum_dim0"] / out["n"]).round(6)
+    out = out[["label", "n", "avg_dim0"]]
+    return out.sort_values("label").reset_index(drop=True)
+
+
+LABEL_STATS_SQL = """
+SELECT label, count(*) AS n, round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent; driver does a weaker check)
+# ---------------------------------------------------------------------------
+
+
+def lang_id(sf_dir: str):
+    from silk_ray.functions.text import LangId
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_minhash(sf_dir: str):
+    from silk_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
+def dedup_simhash(sf_dir: str):
+    from silk_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=4).to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    from silk_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
+def knn_lsh_q(sf_dir: str):
+    from silk_ray.functions.ann import knn_lsh
+
+    qids, qm = _load_queries(sf_dir, 10)
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # few bits / many tables: the synthetic embeddings are weakly
+    # clustered (top cosine ≈ 0.33), so collision probability per bit is
+    # only ~0.6 — short signatures keep recall up
+    out = knn_lsh(ds, qids, qm, k=5, n_bits=4, n_tables=16).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+def link_documents(sf_dir: str):
+    """Self-linkage of documents: Silk rule over (lang equality,
+    KMV-token Jaccard of text)."""
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    rule = {
+        "operator": {
+            "aggregator": "average",
+            "operators": [
+                {"metric": "equality", "threshold": 0.0, "weight": 1, "indexing": False,
+                 "source": {"path": "lang"}, "target": {"path": "lang"}},
+                {"metric": "jaccard", "threshold": 0.5, "weight": 2,
+                 "source": {"transform": "kmvTokens", "params": {"k": 32},
+                            "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]},
+                 "target": {"transform": "kmvTokens", "params": {"k": 32},
+                            "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]}},
+            ],
+        },
+    }
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = add_uri_column(ds, cols=("doc_id",), name="uri")
+    links = generate_links(ds, None, rule, source_equals_target=True).to_pandas()
+    links["confidence"] = links["confidence"].round(6)
+    return links.sort_values(["source", "target"]).reset_index(drop=True)
+
+
+def cdc_flagship(sf_dir: str):
+    """The flagship CDC pipeline: lake built from a deterministic
+    changelog seeded by this sf tier's documents; returns final state."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.generator import make_changelog
+    from silk_ray.cdc.merge import state_table
+    from silk_ray.pipelines.rules import BENCH_RULE
+
+    base = base_from_documents(sf_dir)
+    log = make_changelog(base, max(500, base.num_rows * 3), seed=5, dup_frac=0.02)
+    root = tempfile.mkdtemp(prefix="silkray_lake_")
+    spec = {k: v for k, v in BENCH_RULE.items() if k != "filter_limit"}
+    run(root, log, EngineConfig(epoch_size=max(250, base.num_rows), num_partitions=8,
+                                n_block_partitions=16, rule_spec=spec))
+    state = state_table(root).to_pandas()
+    return state.reset_index(drop=True)
+
+
+def base_from_documents(sf_dir: str) -> pa.Table:
+    """Adapt the documents table into the input_hint repo-file shape."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.cdc.generator import pseudo_sha
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
+    ).sort_by("doc_id")
+    rows = docs.to_pylist()
+    return pa.table(
+        {
+            "repo": pa.array([f"repo-{r['source']}" for r in rows], pa.string()),
+            "path": pa.array([f"docs/doc_{r['doc_id']:06d}.md" for r in rows], pa.string()),
+            "commit": pa.array(
+                [pseudo_sha(f"repo-{r['source']}", f"docs/doc_{r['doc_id']:06d}.md", 0) for r in rows],
+                pa.string(),
+            ),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "content": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries():
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_revenue_topk": q3_revenue_topk,
+        "revenue_per_nation": revenue_per_nation,
+        "top_orders": top_orders,
+        "mktsegment_counts": mktsegment_counts,
+        "events_daily": events_daily,
+        "events_latest_state": events_latest_state,
+        "events_sessionize": events_sessionize,
+        "doc_token_stats": doc_token_stats,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact": dedup_exact,
+        "doc_quality": doc_quality,
+        "transform_normalize": transform_normalize,
+        "knn_cosine": knn_cosine,
+        "label_stats": label_stats,
+        # rows-only (no SQL oracle)
+        "lang_id": lang_id,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "knn_lsh": knn_lsh_q,
+        "link_documents": link_documents,
+        "cdc_flagship": cdc_flagship,
+    }
+
+
+def build_oracle_sql():
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_revenue_topk": Q3_SQL,
+        "revenue_per_nation": REVENUE_PER_NATION_SQL,
+        "top_orders": TOP_ORDERS_SQL,
+        "mktsegment_counts": MKTSEGMENT_SQL,
+        "events_daily": EVENTS_DAILY_SQL,
+        "events_latest_state": EVENTS_LATEST_SQL,
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "doc_token_stats": DOC_TOKEN_STATS_SQL,
+        "doc_fingerprint": DOC_FINGERPRINT_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "doc_quality": DOC_QUALITY_SQL,
+        "transform_normalize": TRANSFORM_NORMALIZE_SQL,
+        "knn_cosine": KNN_COSINE_SQL,
+        "label_stats": LABEL_STATS_SQL,
+    }

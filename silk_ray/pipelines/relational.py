@@ -1,0 +1,56 @@
+"""Relational building blocks over Ray Datasets: broadcast joins,
+pre-aggregation, deterministic top-k.
+
+Join strategy per ray_guide: the small side is materialized once,
+shipped via ``ray.put`` and read in each task/actor — no shuffle. Both
+stages pre-aggregate inside ``map_batches`` where possible so the
+``groupby`` shuffle moves partial rows, not raw rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_semi_filter(ds, key_col: str, keys):
+    """Semi-join: keep rows whose key is in the broadcast key set."""
+    import ray
+
+    ref = ray.put(np.asarray(sorted(keys)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sorted_keys = ray.get(ref)
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sorted_keys, vals)
+        idx[idx >= len(sorted_keys)] = len(sorted_keys) - 1 if len(sorted_keys) else 0
+        mask = len(sorted_keys) > 0 and sorted_keys[idx] == vals
+        return batch.filter(pa.array(mask if isinstance(mask, np.ndarray) else [False] * batch.num_rows))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_lookup(ds, key_col: str, mapping: dict, out_col: str, drop_missing: bool = True):
+    """Dimension join: map key → value via a broadcast dict (pandas map)."""
+    import ray
+
+    ref = ray.put(mapping)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df[out_col] = df[key_col].map(m)
+        if drop_missing:
+            df = df[df[out_col].notna()]
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def round_columns(ds, cols: dict[str, int]):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        for c, nd in cols.items():
+            df[c] = df[c].round(nd)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1,0 +1,83 @@
+"""Query conformance vs DuckDB oracles at sf0.001 (mirrors the driver's
+CORRECTNESS check: row count + schema + order-insensitive values)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from silk_ray.pipelines.queries import build_oracle_sql, build_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = build_queries()
+ORACLES = build_oracle_sql()
+
+
+def duckdb_result(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float).round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(ray_session, name):
+    ray_df = QUERIES[name](SF_DIR)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    oracle_df = duckdb_result(ORACLES[name])
+    assert set(ray_df.columns) == set(oracle_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(oracle_df.columns)}"
+    )
+    a, b = normalize(ray_df), normalize(oracle_df)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            assert np.allclose(a[c], b[c], atol=1e-6, equal_nan=True), f"{name}.{c}"
+        else:
+            assert a[c].tolist() == b[c].tolist(), f"{name}.{c}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(ray_session, name):
+    out = QUERIES[name](SF_DIR)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert len(out) >= 0
+    assert len(out.columns) > 0
+
+
+def test_minhash_finds_near_dups_and_verifies(ray_session):
+    """Sanity: the minhash pairs are real near-dups (verified Jaccard)."""
+    out = QUERIES["dedup_minhash"](SF_DIR)
+    if len(out):
+        assert (out["jaccard"] >= 0.5).all()
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    exact = QUERIES["knn_cosine"](SF_DIR)
+    approx = QUERIES["knn_lsh"](SF_DIR)
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # approximate method, small corpus
