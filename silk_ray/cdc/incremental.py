@@ -122,22 +122,25 @@ class DeltaIndexStage:
             for side in (1, 0):
                 sot = side == 1
                 if old_ent is not None:
-                    for key in rule.index_keys(old_ent, sot):
+                    for key in sorted(rule.index_keys(old_ent, sot)):
                         out["bp"].append(key % self.nbp)
                         out["action"].append("del")
                         out["key"].append(key)
                         out["side"].append(side)
                         out["uri"].append(uri)
+                        out["keys"].append(None)
                         for i in range(self.n_leaves):
                             out[f"vals_{i}"].append(None)
                 if new_ent is not None:
                     vals = rule.leaf_values(new_ent, sot)
-                    for key in rule.index_keys(new_ent, sot):
+                    keys = sorted(rule.index_keys(new_ent, sot))
+                    for key in keys:
                         out["bp"].append(key % self.nbp)
                         out["action"].append("add")
                         out["key"].append(key)
                         out["side"].append(side)
                         out["uri"].append(uri)
+                        out["keys"].append(keys)
                         for i, v in enumerate(vals):
                             out[f"vals_{i}"].append(v)
         arrays = [pa.array(out[f.name], type=f.type) for f in self.schema]
@@ -236,11 +239,11 @@ def update_links(
     dirty_ds = rd.read_parquet(dirty_files)
 
     # -- stage 1: delta index rows -------------------------------------
+    from silk_ray.linking.pipeline import cached_stage
+
     changes = dirty_ds.map_batches(
-        DeltaIndexStage,
-        fn_constructor_kwargs=dict(rule_spec=payload, n_block_partitions=n_block_partitions),
+        cached_stage(DeltaIndexStage, rule_spec=payload, n_block_partitions=n_block_partitions),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).materialize()  # reused thrice below; delta-sized, not lake-sized
 
     # -- stage 2: rewrite affected blockmap partitions ------------------
@@ -295,16 +298,13 @@ def update_links(
         return full.filter(pa.array(mask, pa.bool_()))
 
     if bm_paths:
-        from ray.data.aggregate import Max
-
+        # min-common-key dedup inside score_block → each pair exactly once
         new_links = (
             rd.read_parquet(bm_paths)
             .map_batches(restrict, batch_format="pyarrow")
             .groupby("key")
             .map_groups(score_block, batch_format="pyarrow")
-            .groupby(["source", "target"])
-            .aggregate(Max("confidence", alias_name="confidence"))
-        )
+        ).materialize()  # small; avoids re-executing the chain for count()
     else:
         new_links = rd.from_arrow(
             pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),

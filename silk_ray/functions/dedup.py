@@ -70,8 +70,9 @@ class MinHasher:
 
     def __init__(self, n_perm: int = 64, k_shingle: int = 3, seed: int = 1234, text_col: str = "text", id_col: str = "doc_id"):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(object)
+        # a, x < 2^32 so a*x + b < 2^64: exact in uint64, then mod p
+        self.a = rng.integers(1, 1 << 32, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 32, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.k = k_shingle
         self.text_col = text_col
@@ -82,12 +83,9 @@ class MinHasher:
         if not sh:
             return np.zeros(self.n_perm, dtype=np.uint64)
         base = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
-        # (a*x + b) mod p, vectorized over shingles per permutation
-        sig = np.empty(self.n_perm, dtype=np.uint64)
-        base_o = base.astype(object)
-        for i in range(self.n_perm):
-            sig[i] = int(np.min((self.a[i] * base_o + self.b[i]) % _MERSENNE))
-        return sig
+        # (n_perm, |sh|) fully vectorized universal hash, min per row
+        hashed = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return hashed.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
@@ -190,11 +188,20 @@ def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (weighted by term frequency)."""
     from collections import Counter
 
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, cnt in Counter(_tokens(text)).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64)
-        acc += cnt * (2 * bits - 1)
+    counts = Counter(_tokens(text))
+    if not counts:
+        return 0
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for tok in counts
+        ],
+        dtype=np.uint64,
+    )
+    weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # (T, 64) bit matrix via unpackbits on the big-endian byte view
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1, bitorder="little")
+    acc = ((2 * bits.astype(np.int64) - 1) * weights[:, None]).sum(axis=0)
     out = 0
     for b in range(64):
         if acc[b] > 0:

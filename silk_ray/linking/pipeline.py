@@ -4,26 +4,26 @@ The RD re-expression of the reference's GenerateLinks/Matcher flow
 (silk-rules/.../rule/execution/GenerateLinks.scala:35-196,
 Matcher.scala:38-292), per SURVEY.md §2.4/§7:
 
-1. **index stage** (``map_batches``, actor pool): per row, evaluate the
-   rule's leaf-comparison inputs once and compute the MultiBlock
-   blocking keys (LinkageRule.index → Index.flatten); emit exploded
-   rows ``(key, side, uri, vals_0..vals_{m-1})``. Transforms run once
-   per row here, never per candidate pair.
+1. **index stage** (``map_batches`` tasks; per-worker compiled-rule
+   cache): per row, evaluate the rule's leaf-comparison inputs once and
+   compute the MultiBlock blocking keys (LinkageRule.index →
+   Index.flatten); emit exploded rows ``(key, side, uri, keys,
+   vals_0..vals_{m-1})``. Transforms run once per row here, never per
+   candidate pair.
 2. **shuffle**: ``groupby("key")`` co-locates rows sharing a blocking
    key (the RD equivalent of EntityCache blocks + comparisonPairs).
    Optional hot-key **salting**: keys whose row count exceeds a
    threshold are split into ``n_salt`` sub-keys (source rows hashed to
    one salt, target rows replicated to all) so one hot block cannot
    become a straggler task (north_rule skew requirement).
-3. **scoring** (``map_groups``): source×target pairs in each block,
-   scored via ``LinkageRule.score_from_leaf_values``; pairs kept iff
-   confidence >= limit (Matcher.scala:273-281).
-4. **dedup**: the same pair found in multiple blocks is deduplicated by
-   ``groupby([source,target]).max(confidence)`` — equal to Silk's
-   set-dedup since confidence is deterministic per pair (Link.scala:59-70).
-5. **link filter**: global distinct is step 4; per-source top-k =
-   ``groupby(source).map_groups`` with deterministic (‑confidence,
-   target) ordering (Filter.scala:31-57).
+3. **scoring** (``map_groups``): source×target pairs in each block.
+   Each exploded row carries its full emitted key set; a pair is scored
+   ONLY in its minimum common key's group, so every pair is scored and
+   emitted exactly once — Silk's set-dedup of links (Link.scala:59-70)
+   without a dedup shuffle, and no duplicate scoring work.
+   Pairs kept iff confidence >= limit (Matcher.scala:273-281).
+4. **link filter**: per-source top-k = ``groupby(source).map_groups``
+   with deterministic (-confidence, target) ordering (Filter.scala:31-57).
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ from silk_ray.kernel.index import _mix64, stable_str_hash
 from silk_ray.kernel.rule import LinkageRule, rule_from_dict
 
 _RULE_CACHE: dict[str, LinkageRule] = {}
+_STAGE_CACHE: dict[str, Any] = {}
 
 
 def _compile_rule(rule_spec: dict | LinkageRule) -> LinkageRule:
@@ -51,6 +52,28 @@ def _compile_rule(rule_spec: dict | LinkageRule) -> LinkageRule:
     return rule
 
 
+def cached_stage(cls, **kwargs):
+    """Task-friendly stage factory: returns a plain function whose
+    underlying stage object is constructed once per worker process and
+    cached (regex compiles / rule compilation amortized) — cheaper than
+    an actor pool for lightweight state, since tasks reuse Ray's warm
+    worker pool with no per-execution pool spin-up."""
+    import cloudpickle
+
+    blob = cloudpickle.dumps((cls, kwargs))
+    cache_key = f"{cls.__module__}.{cls.__qualname__}:{hash(blob)}"
+
+    def fn(batch):
+        stage = _STAGE_CACHE.get(cache_key)
+        if stage is None:
+            c, kw = cloudpickle.loads(blob)
+            stage = c(**kw)
+            _STAGE_CACHE[cache_key] = stage
+        return stage(batch)
+
+    return fn
+
+
 def add_uri_column(ds, cols=("repo", "path"), sep: str = "//", name: str = "uri"):
     """Append a composite natural-key URI column (Entity.uri equivalent;
     uri = repo + '//' + path per BASELINE.json input_hint)."""
@@ -62,7 +85,9 @@ def add_uri_column(ds, cols=("repo", "path"), sep: str = "//", name: str = "uri"
             if i:
                 parts.append(sep)
             parts.append(batch[c])
-        uri = pc.binary_join_element_wise(*[p if isinstance(p, str) else pc.cast(p, pa.string()) for p in parts], "")
+        uri = pc.binary_join_element_wise(
+            *[p if isinstance(p, str) else pc.cast(p, pa.string()) for p in parts], ""
+        )
         return batch.append_column(name, uri)
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -94,6 +119,7 @@ def _exploded_schema(n_leaves: int) -> pa.Schema:
         pa.field("key", pa.int64()),
         pa.field("side", pa.int8()),
         pa.field("uri", pa.string()),
+        pa.field("keys", pa.list_(pa.int64())),
     ]
     for i in range(n_leaves):
         fields.append(pa.field(f"vals_{i}", pa.list_(pa.string())))
@@ -101,8 +127,8 @@ def _exploded_schema(n_leaves: int) -> pa.Schema:
 
 
 class IndexStage:
-    """Actor-pool stage: compile the rule once per actor (§2.3 stateful
-    setup in __init__), explode blocking keys per batch in __call__."""
+    """Index-explosion stage body (state constructed once per worker via
+    :func:`cached_stage`)."""
 
     def __init__(
         self,
@@ -112,6 +138,7 @@ class IndexStage:
         hot_keys: dict[int, bool] | None = None,
         n_salt: int = 8,
         both_sides: bool = False,
+        keys_only: bool = False,
     ):
         self.rule = _compile_rule(rule_spec)
         self.side = side
@@ -119,6 +146,7 @@ class IndexStage:
         self.hot_keys = hot_keys or {}
         self.n_salt = n_salt
         self.both_sides = both_sides
+        self.keys_only = keys_only
         self.n_leaves = len(self.rule.leaf_comparisons())
         self.schema = _exploded_schema(self.n_leaves)
 
@@ -128,31 +156,44 @@ class IndexStage:
         keys = rule.index_keys(ent, source_or_target, self.limit)
         if not keys:
             return
+        if self.keys_only:
+            for key in keys:
+                out["key"].append(key)
+            return
         vals = rule.leaf_values(ent, source_or_target)
-        for key in keys:
+        emitted: list[int] = []
+        for key in sorted(keys):
             if key in self.hot_keys:
                 if side == 1:
                     salts = [stable_str_hash(uri) % self.n_salt]
                 else:
                     salts = range(self.n_salt)
                 for s in salts:
-                    out["key"].append(_mix64(key * 31 + s + 1))
-                    out["side"].append(side)
-                    out["uri"].append(uri)
-                    for i, v in enumerate(vals):
-                        out[f"vals_{i}"].append(v)
+                    emitted.append(_mix64(key * 31 + s + 1))
             else:
-                out["key"].append(key)
-                out["side"].append(side)
-                out["uri"].append(uri)
-                for i, v in enumerate(vals):
-                    out[f"vals_{i}"].append(v)
+                emitted.append(key)
+        for key in emitted:
+            out["key"].append(key)
+            out["side"].append(side)
+            out["uri"].append(uri)
+            out["keys"].append(emitted)
+            for i, v in enumerate(vals):
+                out[f"vals_{i}"].append(v)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         paths = sorted(set(self.rule.source_paths()) | set(self.rule.target_paths()))
         entities = _batch_to_entities(batch, paths)
         uris = batch["uri"].to_pylist()
-        out: dict[str, list] = {f.name: [] for f in self.schema}
+        if self.keys_only:
+            out: dict[str, list] = {"key": []}
+            for uri, ent in zip(uris, entities):
+                if self.both_sides:
+                    self._emit(ent, uri, 1, out)
+                    self._emit(ent, uri, 0, out)
+                else:
+                    self._emit(ent, uri, self.side, out)
+            return pa.table({"key": pa.array(out["key"], pa.int64())})
+        out = {f.name: [] for f in self.schema}
         for uri, ent in zip(uris, entities):
             if self.both_sides:
                 self._emit(ent, uri, 1, out)
@@ -164,7 +205,8 @@ class IndexStage:
 
 
 class PairScorer:
-    """Post-shuffle scoring over one block group."""
+    """Post-shuffle scoring over one block group (min-common-key dedup:
+    each pair scored exactly once across all its shared blocks)."""
 
     def __init__(self, rule_spec: dict, limit: float = 0.0, source_equals_target: bool = False):
         self.rule_spec = rule_spec
@@ -174,8 +216,11 @@ class PairScorer:
     def __call__(self, group: pa.Table) -> pa.Table:
         rule = _compile_rule(self.rule_spec)
         n_leaves = len(rule.leaf_comparisons())
+        group_key = group["key"][0].as_py()
         sides = group["side"].to_numpy(zero_copy_only=False)
         uris = group["uri"].to_pylist()
+        key_lists = group["keys"].to_pylist()
+        key_sets = [frozenset(k) for k in key_lists]
         vals_cols = [group[f"vals_{i}"].to_pylist() for i in range(n_leaves)]
         src_idx = np.flatnonzero(sides == 1)
         tgt_idx = np.flatnonzero(sides == 0)
@@ -184,11 +229,15 @@ class PairScorer:
             limit = self.limit
             for i in src_idx:
                 s_uri = uris[i]
+                s_keys = key_sets[i]
                 s_vals = [vals_cols[k][i] for k in range(n_leaves)]
                 for j in tgt_idx:
                     t_uri = uris[j]
                     if self.source_equals_target and s_uri >= t_uri:
                         continue
+                    common = s_keys & key_sets[j]
+                    if min(common) != group_key:
+                        continue  # scored in a smaller shared block
                     t_vals = [vals_cols[k][j] for k in range(n_leaves)]
                     score = rule.score_from_leaf_values(s_vals, t_vals, limit)
                     if score is not None and score >= limit:
@@ -220,20 +269,18 @@ def find_hot_keys(ds, rule_spec, limit, threshold, both_sides=False, side=1):
     """Pre-pass: count rows per blocking key, return keys above threshold.
 
     Cheap rows (one int64 per exploded key); the result is a small
-    driver-side dict broadcast into the index actors.
-    """
-
-    class KeysOnly(IndexStage):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            full = super().__call__(batch)
-            return full.select(["key"])
-
+    driver-side dict broadcast into the index tasks."""
     counted = (
         ds.map_batches(
-            KeysOnly,
-            fn_constructor_kwargs=dict(rule_spec=rule_spec, side=side, limit=limit, both_sides=both_sides),
+            cached_stage(
+                IndexStage,
+                rule_spec=rule_spec,
+                side=side,
+                limit=limit,
+                both_sides=both_sides,
+                keys_only=True,
+            ),
             batch_format="pyarrow",
-            concurrency=(1, 8),
         )
         .groupby("key")
         .count()
@@ -258,11 +305,10 @@ def generate_links(
     source_equals_target: bool = False,
     salt_threshold: int | None = None,
     n_salt: int = 8,
-    concurrency=(1, 8),
     batch_size: int = 4096,
 ):
     """Run the blocked linking pipeline; returns a Dataset
-    ``(source, target, confidence)``.
+    ``(source, target, confidence)`` with each pair exactly once.
 
     ``link_limit`` mirrors the reference default of 1,000,000 links
     (reference.conf:68-78, LinkSpec.scala:182-204). Inputs must carry a
@@ -272,7 +318,7 @@ def generate_links(
 
     rule = _compile_rule(rule_spec)
     spec = rule_spec if isinstance(rule_spec, dict) else None
-    payload = spec if spec is not None else rule  # prefer JSON for actor ctor
+    payload = spec if spec is not None else rule  # prefer JSON for worker cache
 
     hot_keys = {}
     if salt_threshold:
@@ -280,34 +326,30 @@ def generate_links(
             source_ds, payload, limit, salt_threshold, both_sides=source_equals_target, side=1
         )
         if target_ds is not None and not source_equals_target:
-            hot_keys.update(
-                find_hot_keys(target_ds, payload, limit, salt_threshold, side=0)
-            )
+            hot_keys.update(find_hot_keys(target_ds, payload, limit, salt_threshold, side=0))
 
-    common = dict(
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    common = dict(batch_format="pyarrow", batch_size=batch_size)
     if source_equals_target or target_ds is None:
         exploded = source_ds.map_batches(
-            IndexStage,
-            fn_constructor_kwargs=dict(
-                rule_spec=payload, side=1, limit=limit, hot_keys=hot_keys,
-                n_salt=n_salt, both_sides=True,
+            cached_stage(
+                IndexStage,
+                rule_spec=payload,
+                side=1,
+                limit=limit,
+                hot_keys=hot_keys,
+                n_salt=n_salt,
+                both_sides=True,
             ),
             **common,
         )
         source_equals_target = True
     else:
         src = source_ds.map_batches(
-            IndexStage,
-            fn_constructor_kwargs=dict(rule_spec=payload, side=1, limit=limit, hot_keys=hot_keys, n_salt=n_salt),
+            cached_stage(IndexStage, rule_spec=payload, side=1, limit=limit, hot_keys=hot_keys, n_salt=n_salt),
             **common,
         )
         tgt = target_ds.map_batches(
-            IndexStage,
-            fn_constructor_kwargs=dict(rule_spec=payload, side=0, limit=limit, hot_keys=hot_keys, n_salt=n_salt),
+            cached_stage(IndexStage, rule_spec=payload, side=0, limit=limit, hot_keys=hot_keys, n_salt=n_salt),
             **common,
         )
         exploded = src.union(tgt)
@@ -317,14 +359,7 @@ def generate_links(
     def score_block(group: pa.Table) -> pa.Table:
         return scorer(group)
 
-    scored = exploded.groupby("key").map_groups(score_block, batch_format="pyarrow")
-
-    # dedup pairs found in multiple blocks (deterministic confidence → Max)
-    from ray.data.aggregate import Max
-
-    links = scored.groupby(["source", "target"]).aggregate(
-        Max("confidence", alias_name="confidence")
-    )
+    links = exploded.groupby("key").map_groups(score_block, batch_format="pyarrow")
 
     if rule.filter_limit:
         links = links.groupby("source").map_groups(
