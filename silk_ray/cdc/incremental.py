@@ -279,31 +279,17 @@ def update_links(
         dirty_flag = pa.array([u in uris for u in sub["uri"].to_pylist()], pa.bool_())
         return sub.append_column("dirty", dirty_flag)
 
-    scorer = PairScorer(payload, limit=limit, source_equals_target=True)
-
-    def score_block(group: pa.Table) -> pa.Table:
-        # pairs with at least one dirty side; clean∩clean links are stored
-        dirty_col = group["dirty"].to_pylist()
-        if not any(dirty_col):
-            return pa.table(
-                {"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
-                 "confidence": pa.array([], pa.float64())}
-            )
-        full = scorer(group)
-        uris_dirty = {u for u, d in zip(group["uri"].to_pylist(), dirty_col) if d}
-        mask = [
-            (s in uris_dirty) or (t in uris_dirty)
-            for s, t in zip(full["source"].to_pylist(), full["target"].to_pylist())
-        ]
-        return full.filter(pa.array(mask, pa.bool_()))
+    # pairs need >=1 dirty side (clean∩clean pairs keep their stored
+    # links); min-common-key dedup inside the scorer → each pair once
+    scorer = PairScorer(payload, limit=limit, source_equals_target=True, dirty_col="dirty")
 
     if bm_paths:
-        # min-common-key dedup inside score_block → each pair exactly once
-        new_links = (
-            rd.read_parquet(bm_paths)
-            .map_batches(restrict, batch_format="pyarrow")
-            .groupby("key")
-            .map_groups(score_block, batch_format="pyarrow")
+        from silk_ray.linking.pipeline import _score_partitioned
+
+        new_links = _score_partitioned(
+            rd.read_parquet(bm_paths).map_batches(restrict, batch_format="pyarrow"),
+            scorer,
+            score_partitions=max(64, n_block_partitions),
         ).materialize()  # small; avoids re-executing the chain for count()
     else:
         new_links = rd.from_arrow(

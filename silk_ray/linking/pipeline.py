@@ -139,6 +139,7 @@ class IndexStage:
         n_salt: int = 8,
         both_sides: bool = False,
         keys_only: bool = False,
+        execution_method=None,
     ):
         self.rule = _compile_rule(rule_spec)
         self.side = side
@@ -147,13 +148,17 @@ class IndexStage:
         self.n_salt = n_salt
         self.both_sides = both_sides
         self.keys_only = keys_only
+        self.execution_method = execution_method
         self.n_leaves = len(self.rule.leaf_comparisons())
         self.schema = _exploded_schema(self.n_leaves)
 
     def _emit(self, ent, uri, side, out):
         rule = self.rule
         source_or_target = side == 1
-        keys = rule.index_keys(ent, source_or_target, self.limit)
+        if self.execution_method is not None:
+            keys = self.execution_method.index_keys(ent, source_or_target)
+        else:
+            keys = rule.index_keys(ent, source_or_target, self.limit)
         if not keys:
             return
         if self.keys_only:
@@ -205,39 +210,72 @@ class IndexStage:
 
 
 class PairScorer:
-    """Post-shuffle scoring over one block group (min-common-key dedup:
-    each pair scored exactly once across all its shared blocks)."""
+    """Post-shuffle scoring over one coarse shuffle partition holding
+    MANY block groups (shuffling on ``part = key % P`` instead of the
+    raw key avoids per-tiny-group map_groups overhead; blocks are
+    re-grouped in-memory here). Min-common-key dedup: each pair scored
+    exactly once across all its shared blocks.
 
-    def __init__(self, rule_spec: dict, limit: float = 0.0, source_equals_target: bool = False):
+    ``dirty_col``: when set (incremental re-link), pairs need >=1 dirty
+    side and blocks with no dirty row are skipped entirely."""
+
+    def __init__(
+        self,
+        rule_spec: dict,
+        limit: float = 0.0,
+        source_equals_target: bool = False,
+        dirty_col: str | None = None,
+    ):
         self.rule_spec = rule_spec
         self.limit = limit
         self.source_equals_target = source_equals_target
+        self.dirty_col = dirty_col
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, part: pa.Table) -> pa.Table:
         rule = _compile_rule(self.rule_spec)
         n_leaves = len(rule.leaf_comparisons())
-        group_key = group["key"][0].as_py()
-        sides = group["side"].to_numpy(zero_copy_only=False)
-        uris = group["uri"].to_pylist()
-        key_lists = group["keys"].to_pylist()
-        key_sets = [frozenset(k) for k in key_lists]
-        vals_cols = [group[f"vals_{i}"].to_pylist() for i in range(n_leaves)]
-        src_idx = np.flatnonzero(sides == 1)
-        tgt_idx = np.flatnonzero(sides == 0)
+        if part.num_rows:
+            order = pa.compute.sort_indices(part["key"])
+            part = part.take(order)
+        keys_col = part["key"].to_numpy(zero_copy_only=False)
+        sides = part["side"].to_numpy(zero_copy_only=False)
+        uris = part["uri"].to_pylist()
+        key_sets = [frozenset(k) for k in part["keys"].to_pylist()]
+        vals_cols = [part[f"vals_{i}"].to_pylist() for i in range(n_leaves)]
+        dirty = part[self.dirty_col].to_numpy(zero_copy_only=False) if self.dirty_col else None
         out_s, out_t, out_c = [], [], []
-        if len(src_idx) and len(tgt_idx):
-            limit = self.limit
+        limit = self.limit
+        n = len(keys_col)
+        run_start = 0
+        while run_start < n:
+            run_end = run_start
+            gk = keys_col[run_start]
+            while run_end < n and keys_col[run_end] == gk:
+                run_end += 1
+            idx = range(run_start, run_end)
+            run_start, lo = run_end, idx[0]
+            if dirty is not None and not dirty[lo : idx[-1] + 1].any():
+                continue
+            src_idx = [i for i in idx if sides[i] == 1]
+            tgt_idx = [i for i in idx if sides[i] == 0]
+            if not src_idx or not tgt_idx:
+                continue
             for i in src_idx:
                 s_uri = uris[i]
                 s_keys = key_sets[i]
-                s_vals = [vals_cols[k][i] for k in range(n_leaves)]
+                s_dirty = dirty[i] if dirty is not None else True
+                s_vals = None
                 for j in tgt_idx:
                     t_uri = uris[j]
                     if self.source_equals_target and s_uri >= t_uri:
                         continue
+                    if dirty is not None and not (s_dirty or dirty[j]):
+                        continue
                     common = s_keys & key_sets[j]
-                    if min(common) != group_key:
+                    if min(common) != gk:
                         continue  # scored in a smaller shared block
+                    if s_vals is None:
+                        s_vals = [vals_cols[k][i] for k in range(n_leaves)]
                     t_vals = [vals_cols[k][j] for k in range(n_leaves)]
                     score = rule.score_from_leaf_values(s_vals, t_vals, limit)
                     if score is not None and score >= limit:
@@ -253,16 +291,43 @@ class PairScorer:
         )
 
 
-def _topk_filter(limit_per_source: int):
+def _score_partitioned(exploded, scorer, score_partitions: int):
+    """Coarse-partition shuffle + multi-block scoring per partition."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        part = (keys & 0x7FFFFFFFFFFFFFFF) % score_partitions
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def score_part(group: pa.Table) -> pa.Table:
+        return scorer(group)
+
+    return (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+
+
+def apply_link_filter(links, limit_per_source: int, filter_partitions: int = 64):
+    """Per-source top-k (Filter.scala:40-44) via a hashed-source coarse
+    partition: deterministic (confidence desc, target asc) ordering."""
     import pandas as pd
+    import zlib
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic: confidence desc, target asc (sha256-reproducibility,
-        # SURVEY.md §7.3) — Filter.scala:40-44
-        g = g.sort_values(["confidence", "target"], ascending=[False, True], kind="mergesort")
-        return g.head(limit_per_source)
+    def add_spart(df: pd.DataFrame) -> pd.DataFrame:
+        df["spart"] = [zlib.crc32(s.encode()) % filter_partitions for s in df["source"]]
+        return df
 
-    return fn
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "confidence", "target"], ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("source", sort=False).head(limit_per_source)
+        return out.drop(columns=["spart"])
+
+    return (
+        links.map_batches(add_spart, batch_format="pandas")
+        .groupby("spart")
+        .map_groups(topk, batch_format="pandas")
+    )
 
 
 def find_hot_keys(ds, rule_spec, limit, threshold, both_sides=False, side=1):
@@ -306,6 +371,8 @@ def generate_links(
     salt_threshold: int | None = None,
     n_salt: int = 8,
     batch_size: int = 4096,
+    execution_method=None,
+    score_partitions: int = 256,
 ):
     """Run the blocked linking pipeline; returns a Dataset
     ``(source, target, confidence)`` with each pair exactly once.
@@ -339,32 +406,27 @@ def generate_links(
                 hot_keys=hot_keys,
                 n_salt=n_salt,
                 both_sides=True,
+                execution_method=execution_method,
             ),
             **common,
         )
         source_equals_target = True
     else:
         src = source_ds.map_batches(
-            cached_stage(IndexStage, rule_spec=payload, side=1, limit=limit, hot_keys=hot_keys, n_salt=n_salt),
+            cached_stage(IndexStage, rule_spec=payload, side=1, limit=limit, hot_keys=hot_keys, n_salt=n_salt, execution_method=execution_method),
             **common,
         )
         tgt = target_ds.map_batches(
-            cached_stage(IndexStage, rule_spec=payload, side=0, limit=limit, hot_keys=hot_keys, n_salt=n_salt),
+            cached_stage(IndexStage, rule_spec=payload, side=0, limit=limit, hot_keys=hot_keys, n_salt=n_salt, execution_method=execution_method),
             **common,
         )
         exploded = src.union(tgt)
 
     scorer = PairScorer(payload, limit=limit, source_equals_target=source_equals_target)
-
-    def score_block(group: pa.Table) -> pa.Table:
-        return scorer(group)
-
-    links = exploded.groupby("key").map_groups(score_block, batch_format="pyarrow")
+    links = _score_partitioned(exploded, scorer, score_partitions)
 
     if rule.filter_limit:
-        links = links.groupby("source").map_groups(
-            _topk_filter(rule.filter_limit), batch_format="pandas"
-        )
+        links = apply_link_filter(links, rule.filter_limit)
     if link_limit is not None:
         links = links.limit(link_limit)
     return links

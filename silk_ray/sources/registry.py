@@ -1,0 +1,141 @@
+"""Dataset format registry + DataSource-trait operations.
+
+Maps the reference's source/sink inventory (SURVEY.md §2.1;
+``silk-core/.../dataset/DataSource.scala:30-109``, ``CsvSource.scala``,
+``JsonSource.scala``, ``TextFileSource.scala``,
+``BulkResourceBasedDataset.scala``) onto Ray Data readers/writers:
+
+| reference | here |
+|---|---|
+| CsvSource / CsvSink | ``read_dataset(path, "csv")`` / ``write_dataset(ds, dir, "csv")`` |
+| JsonDataset (streaming + in-memory) | ``"json"`` (Arrow JSON reader; nested → struct columns) |
+| TextFileDataset (whole file = one value) | ``"text_files"`` (read_binary_files + decode) |
+| Parquet lake tables (our standard form) | ``"parquet"`` |
+| BulkResourceBasedDataset (directory-of-files) | all readers accept dirs natively |
+| DataSource.retrieve(schema, limit) | ``read_dataset(..., columns=..., limit=...)`` |
+| DataSource.retrieveByUri | :func:`retrieve_by_uri` (broadcast key-set filter) |
+| DataSource.retrievePaths (most frequent paths) | :func:`retrieve_paths` |
+| PeakDataSource / SamplingDataSource | :func:`peak` / :func:`sample_entities` |
+| SafeModeDataSource | ``limit=`` guard on every read |
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _read_parquet(paths, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(paths, columns=columns, **kw)
+
+
+def _read_csv(paths, columns=None, **kw):
+    import ray.data as rd
+
+    ds = rd.read_csv(paths, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+def _read_json(paths, columns=None, **kw):
+    import ray.data as rd
+
+    ds = rd.read_json(paths, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+def _read_text_files(paths, columns=None, **kw):
+    """Whole-file-as-one-value (TextFileSource.scala semantics)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        texts = [b.decode("utf-8", "replace") for b in batch["bytes"].to_pylist()]
+        return pa.table({"path": batch["path"], "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def _read_lines(paths, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_text(paths, **kw)
+
+
+DATASET_FORMATS = {
+    "parquet": _read_parquet,
+    "csv": _read_csv,
+    "json": _read_json,
+    "text_files": _read_text_files,
+    "lines": _read_lines,
+}
+
+
+def read_dataset(paths, format: str = "parquet", columns=None, limit: int | None = None, **kw):
+    """DataSource.retrieve analogue: format dispatch + projection +
+    optional row limit (SafeMode/limit semantics, DataSource.scala:30-45)."""
+    ds = DATASET_FORMATS[format](paths, columns=columns, **kw)
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds
+
+
+def write_dataset(ds, path: str, format: str = "parquet", **kw):
+    """EntitySink analogue (EntitySink.scala:12-50): directory of part
+    files — resumable layout, never one giant file."""
+    if format == "parquet":
+        return ds.write_parquet(path, **kw)
+    if format == "csv":
+        return ds.write_csv(path, **kw)
+    if format == "json":
+        return ds.write_json(path, **kw)
+    raise ValueError(f"unknown sink format {format!r}")
+
+
+def peak(ds, n: int = 10):
+    """PeakDataSource: first-N preview rows."""
+    return ds.take(n)
+
+
+def sample_entities(ds, fraction: float, seed: int = 42):
+    """SamplingDataSource / SampleUtil reservoir sampling analogue."""
+    return ds.random_sample(fraction, seed=seed)
+
+
+def retrieve_by_uri(ds, uri_col: str, uris):
+    """DataSource.retrieveByUri: broadcast key-set semi-filter."""
+    import ray
+
+    ref = ray.put(set(uris))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = [u in keys for u in batch[uri_col].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def retrieve_paths(ds, limit: int = 50):
+    """DataSource.retrievePaths: columns ranked by non-null frequency
+    (the flat-table analogue of most-frequent property paths,
+    DataSource.scala:46-64)."""
+    import pyarrow.compute as pc
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        names, counts = [], []
+        for name in batch.column_names:
+            names.append(name)
+            counts.append(batch.num_rows - batch[name].null_count)
+        return pa.table({"path": pa.array(names), "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["n", "path"], ascending=[False, True]).head(limit).reset_index(drop=True)

@@ -1,0 +1,185 @@
+"""Training-data operators: dedup quality, text analysis, multimodal
+plumbing, ANN — plus alternate execution methods."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    """Synthetic docs with planted exact + near duplicates."""
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "pack my box with five dozen liquor jugs before the night ends here",
+        "how vexingly quick daft zebras jump over the fence in the garden",
+        "sphinx of black quartz judge my vow said the old wise man slowly",
+    ]
+    rows = []
+    doc_id = 0
+    for i, b in enumerate(base):
+        for rep in range(3):  # 3 exact copies each
+            rows.append({"doc_id": doc_id, "text": b})
+            doc_id += 1
+        # one near-duplicate: a single word changed
+        toks = b.split()
+        toks[5] = "changed"
+        rows.append({"doc_id": doc_id, "text": " ".join(toks)})
+        doc_id += 1
+    # unrelated docs
+    for j in range(10):
+        rows.append({"doc_id": doc_id, "text": f"totally unrelated document number {j} with distinct words like alpha{j} beta{j} gamma{j} delta{j} epsilon{j} zeta{j}"})
+        doc_id += 1
+    return rd.from_items(rows), rows
+
+
+def test_exact_dedup(doc_ds):
+    from silk_ray.functions.dedup import exact_dedup
+
+    ds, rows = doc_ds
+    out = exact_dedup(ds).to_pandas()
+    # 4 bases + 4 near-dups + 10 unrelated = 18 distinct texts
+    assert len(out) == 18
+    # smallest doc_id kept per duplicate class
+    assert 0 in set(out.doc_id) and 1 not in set(out.doc_id)
+
+
+def test_minhash_lsh_finds_planted_near_dups(doc_ds):
+    from silk_ray.functions.dedup import minhash_lsh_pairs
+
+    ds, rows = doc_ds
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.4).to_pandas()
+    got = set(zip(pairs.left_id, pairs.right_id))
+    # exact copies must pair up (jaccard 1.0)
+    assert (0, 1) in got and (0, 2) in got
+    # near-dup (doc 3 = base 0 with one word changed) found
+    assert (0, 3) in got
+    # unrelated docs never pair
+    unrelated = {r["doc_id"] for r in rows if "unrelated" in r["text"]}
+    assert not any(l in unrelated or r in unrelated for l, r in got)
+
+
+def test_simhash_pairs(doc_ds):
+    from silk_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds, _rows = doc_ds
+    pairs = simhash_near_dup_pairs(ds, max_hamming=6).to_pandas()
+    got = set(zip(pairs.left_id, pairs.right_id))
+    assert (0, 1) in got  # exact copies: hamming 0
+
+
+def test_ngram_jaccard_exact_pairs(doc_ds):
+    from silk_ray.functions.dedup import ngram_jaccard_pairs, shingles
+
+    ds, rows = doc_ds
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = {(l, r): j for l, r, j in zip(pairs.left_id, pairs.right_id, pairs.jaccard)}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    # verify one reported jaccard against a direct computation
+    s0 = shingles(rows[0]["text"], 3)
+    s3 = shingles(rows[3]["text"], 3)
+    assert got[(0, 3)] == pytest.approx(len(s0 & s3) / len(s0 | s3))
+
+
+def test_quality_and_langid(ray_session):
+    import ray.data as rd
+
+    from silk_ray.functions.text import LangId, QualityScorer
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "The quick brown fox is a common English sentence for tests."},
+            {"doc_id": 1, "text": "der schnelle braune fuchs springt über den faulen hund im wald"},
+            {"doc_id": 2, "text": "!!! ??? ### $$$"},
+        ]
+    )
+    scored = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=1).to_pandas()
+    noisy = scored[scored.doc_id == 2].iloc[0]
+    clean = scored[scored.doc_id == 0].iloc[0]
+    assert noisy.punct_ratio > clean.punct_ratio
+    assert clean.stop_ratio > 0
+
+    lang = docs.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert lang[lang.doc_id == 0].lang_pred.iloc[0] == "en"
+    assert lang[lang.doc_id == 1].lang_pred.iloc[0] == "de"
+
+
+def test_bpe_token_counter(ray_session):
+    import ray.data as rd
+
+    from silk_ray.functions.text import BpeishTokenCounter
+
+    docs = rd.from_items([{"doc_id": 0, "text": "hello world, it's 2024!"}])
+    out = docs.map_batches(BpeishTokenCounter, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out.n_bpe_tokens.iloc[0] >= 6
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from silk_ray.functions.multimodal import (
+        AudioFeatures,
+        VideoFrameSample,
+        decode_pipeline,
+        synth_media_table,
+    )
+
+    media = synth_media_table(30)
+    ds = rd.from_arrow(media)
+
+    imgs = decode_pipeline(ds, size=8).to_pandas()
+    assert len(imgs) == 10  # a third are images
+    assert all(len(p) == 64 for p in imgs.pixels)
+    # deterministic stub: same payload → same pixels across runs
+    imgs2 = decode_pipeline(rd.from_arrow(media), size=8).to_pandas()
+    assert imgs.pixels.iloc[0] == pytest.approx(imgs2.pixels.iloc[0])
+
+    audio = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(audio) == 10 and all(len(f) == 16 for f in audio.frame_energy)
+
+    frames = ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(frames) == 10 * 4
+
+
+def test_execution_methods(ray_session):
+    """Alternate blocking strategies produce the same verified links as
+    MultiBlock on the fixture (candidate sets differ, scored links
+    agree when blocking is lossless for the planted pairs)."""
+    import ray.data as rd
+
+    from silk_ray.cdc.generator import make_base_table
+    from silk_ray.linking.methods import (
+        BlockingMethod,
+        FullMethod,
+        MultiPassBlocking,
+        QGramsMethod,
+        SortedBlocksMethod,
+    )
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+    from silk_ray.pipelines.rules import CONFORMANCE_RULE
+
+    base = make_base_table(80, seed=77, near_dup_frac=0.25)
+    ds = add_uri_column(rd.from_arrow(base))
+
+    def links_with(method):
+        out = generate_links(
+            ds, None, CONFORMANCE_RULE, source_equals_target=True, execution_method=method
+        ).to_pandas()
+        return {(r.source, r.target) for r in out.itertuples()}
+
+    full = links_with(FullMethod())
+    assert full, "Full must find the planted links"
+    # Full is the superset oracle: every other method ⊆ Full
+    soundex_blocking = links_with(BlockingMethod(blocking_path="lang"))
+    assert soundex_blocking <= full
+    qg = links_with(QGramsMethod(blocking_path="path", q=2, threshold=0.5))
+    assert qg <= full
+    sb = links_with(SortedBlocksMethod(blocking_path="path", size=50))
+    assert sb <= full
+    mp = links_with(
+        MultiPassBlocking(passes=[BlockingMethod(blocking_path="lang"), BlockingMethod(blocking_path="path")])
+    )
+    assert mp <= full
+    # q-gram path blocking keeps the near-dup pairs (paths differ by <=2 chars)
+    assert len(qg) >= len(full) * 0.8
