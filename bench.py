@@ -58,13 +58,13 @@ def prepare_changelog() -> tuple[str, int]:
     from silk_ray.pipelines.queries import base_from_documents
 
     tag = SF_DIR.rstrip("/").split("/")[-1]
-    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}")
+    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-v2")
     done = os.path.join(seg_dir, "_DONE")
     if os.path.exists(done):
         with open(done) as f:
             return seg_dir, int(f.read())
     base = base_from_documents(SF_DIR)
-    n_events = max(20_000, base.num_rows * 3)
+    n_events = max(100_000, base.num_rows * 20)
     log = make_changelog(base, n_events, seed=5, dup_frac=0.02)
     write_changelog_segments(log, seg_dir, segment_size=50_000)
     with open(done, "w") as f:
@@ -83,7 +83,7 @@ def run_headline() -> dict:
     root = tempfile.mkdtemp(prefix="silkray_bench_lake_")
     spec = {k: v for k, v in BENCH_RULE.items() if k != "filter_limit"}
     cfg = EngineConfig(
-        epoch_size=max(10_000, n_events // 4),
+        epoch_size=max(25_000, n_events // 4),
         num_partitions=32,
         n_block_partitions=64,
         rule_spec=spec,

@@ -253,12 +253,14 @@ FROM events GROUP BY event_type, day ORDER BY event_type, day
 
 def events_latest_state(sf_dir: str):
     """CDC-style last-writer-wins state: latest event per user by event_id."""
+    from silk_ray.pipelines.relational import grouped_apply
+
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("event_id", kind="mergesort").tail(1)
 
-    out = ds.groupby("user_id").map_groups(latest, batch_format="pandas").to_pandas()
+    out = grouped_apply(ds, "user_id", latest).to_pandas()
     out = out[["user_id", "event_id", "event_type", "value"]]
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -282,7 +284,9 @@ def events_sessionize(sf_dir: str):
             {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(brk.sum()) + 1], "n_events": [len(g)]}
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    from silk_ray.pipelines.relational import grouped_apply
+
+    out = grouped_apply(ds, "user_id", sessions).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -347,7 +351,9 @@ def dedup_exact(sf_dir: str):
         g = g.sort_values("doc_id", kind="mergesort")
         return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "n_dups": [len(g)]})
 
-    out = hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas").to_pandas()
+    from silk_ray.pipelines.relational import grouped_apply
+
+    out = grouped_apply(hashed, "content_hash", keep_first, num_partitions=128).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -47,6 +47,36 @@ def broadcast_lookup(ds, key_col: str, mapping: dict, out_col: str, drop_missing
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):
+    """Hash-partitioned grouped apply: shuffle on ``hash(key) % P``
+    coarse partitions, then a vectorized pandas ``groupby`` inside each
+    partition — avoids Ray's per-group map_groups overhead when there
+    are many small groups (same trick as the linking scorer).
+
+    ``fn`` receives a pandas DataFrame of ONE key group and returns a
+    DataFrame (the classic map_groups contract)."""
+    import zlib
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        col = df[key_col]
+        if col.dtype == object:
+            df["__part"] = [zlib.crc32(str(v).encode()) % num_partitions for v in col]
+        else:
+            df["__part"] = (col.astype("int64") % num_partitions).abs()
+        return df
+
+    def apply_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part")
+        outs = [fn(g) for _, g in part.groupby(key_col, sort=True)]
+        return pd.concat(outs, ignore_index=True) if outs else fn(part.head(0))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(apply_part, batch_format="pandas")
+    )
+
+
 def round_columns(ds, cols: dict[str, int]):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         for c, nd in cols.items():
