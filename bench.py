@@ -58,7 +58,7 @@ def prepare_changelog() -> tuple[str, int]:
     from silk_ray.pipelines.queries import base_from_documents
 
     tag = SF_DIR.rstrip("/").split("/")[-1]
-    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-v2")
+    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-v3")
     done = os.path.join(seg_dir, "_DONE")
     if os.path.exists(done):
         with open(done) as f:

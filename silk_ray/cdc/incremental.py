@@ -161,27 +161,24 @@ class BlockmapUpdate:
         self.schema = _exploded_schema(n_leaves)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         bp = int(group["bp"][0].as_py())
         old_rel = self.current_files.get(bp) or self.current_files.get(str(bp))
-        dirty_uris = set(group["uri"].to_pylist())
+        dirty_uris = pa.array(sorted(set(group["uri"].to_pylist())), pa.string())
 
-        rows: list[tuple] = []
+        names = self.schema.names
+        parts = []
         if old_rel:
-            old = pq.read_table(os.path.join(self.root, old_rel))
-            keep = [u not in dirty_uris for u in old["uri"].to_pylist()]
-            old_kept = old.filter(pa.array(keep))
-            for r in old_kept.to_pylist():
-                rows.append(tuple(r[f.name] for f in self.schema))
-        adds = group.filter(pa.compute.equal(group["action"], "add"))
-        for r in adds.to_pylist():
-            rows.append(tuple(r[f.name] for f in self.schema))
+            old = pq.read_table(os.path.join(self.root, old_rel), columns=names)
+            keep = pc.invert(pc.is_in(old["uri"], value_set=dirty_uris))
+            parts.append(old.filter(keep).select(names).cast(self.schema))
+        adds = group.filter(pc.equal(group["action"], "add"))
+        parts.append(adds.select(names).cast(self.schema))
 
-        rows.sort(key=lambda t: (t[0], t[1], t[2]))  # (key, side, uri) determinism
-        cols = {
-            f.name: pa.array([r[i] for r in rows], type=f.type)
-            for i, f in enumerate(self.schema)
-        }
-        table = pa.Table.from_arrays(list(cols.values()), schema=self.schema)
+        table = pa.concat_tables(parts).sort_by(
+            [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
+        )
         path = blockmap_file(self.root, bp, self.epoch)
         ckpt.atomic_write_parquet(table, path)
         return pa.table(
@@ -274,6 +271,8 @@ def update_links(
     def restrict(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
         uris = ray.get(uris_ref)
+        if "bp" in batch.column_names:  # hive-partition column from the dir layout
+            batch = batch.drop_columns(["bp"])
         mask = [k in keys for k in batch["key"].to_pylist()]
         sub = batch.filter(pa.array(mask))
         dirty_flag = pa.array([u in uris for u in sub["uri"].to_pylist()], pa.bool_())

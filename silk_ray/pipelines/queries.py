@@ -592,16 +592,25 @@ def base_from_documents(sf_dir: str) -> pa.Table:
 
     from silk_ray.cdc.generator import pseudo_sha
 
+    import hashlib
+
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
     ).sort_by("doc_id")
     rows = docs.to_pylist()
+    # content-derived diverse filenames: a shared template name (e.g.
+    # doc_000123.md for everyone) would put ALL files into the same
+    # Levenshtein q-gram blocks — a blocking pathology, not a corpus
+    paths = [
+        f"docs/{hashlib.sha1(str(r['doc_id']).encode()).hexdigest()[:10]}_{r['doc_id'] % 100:02d}.md"
+        for r in rows
+    ]
     return pa.table(
         {
             "repo": pa.array([f"repo-{r['source']}" for r in rows], pa.string()),
-            "path": pa.array([f"docs/doc_{r['doc_id']:06d}.md" for r in rows], pa.string()),
+            "path": pa.array(paths, pa.string()),
             "commit": pa.array(
-                [pseudo_sha(f"repo-{r['source']}", f"docs/doc_{r['doc_id']:06d}.md", 0) for r in rows],
+                [pseudo_sha(f"repo-{r['source']}", p, 0) for r, p in zip(rows, paths)],
                 pa.string(),
             ),
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
