@@ -152,40 +152,87 @@ class DeltaIndexStage:
 # ---------------------------------------------------------------------------
 
 
-class BlockmapUpdate:
-    def __init__(self, root: str, epoch: int, current_files: dict[int, str], n_leaves: int):
+COMPACT_AT = 8  # delta files per blockmap partition before compaction
+
+
+def _delta_schema(n_leaves: int) -> pa.Schema:
+    return pa.schema([pa.field("action", pa.string())] + list(_exploded_schema(n_leaves)))
+
+
+def read_bp_reconciled(root: str, files: list[str], n_leaves: int) -> pa.Table:
+    """Reconcile a blockmap partition from its ordered delta files
+    (LSM-style): for every uri, only the NEWEST file mentioning it is
+    authoritative (it contains the uri's full current 'add' rows for
+    this partition; 'del' rows are pure tombstone markers — a uri whose
+    newest mention is del-only has left this partition)."""
+    import pyarrow.compute as pc
+
+    schema = _exploded_schema(n_leaves)
+    if not files:
+        return schema.empty_table()
+    tables = [pq.read_table(os.path.join(root, f)) for f in files]
+    if len(tables) == 1:
+        t = tables[0]
+        keep = pc.equal(t["action"], "add")
+        return t.filter(keep).select(schema.names).cast(schema)
+    newest: dict[str, int] = {}
+    for idx, t in enumerate(tables):
+        for u in set(t["uri"].to_pylist()):
+            newest[u] = idx
+    parts = []
+    for idx, t in enumerate(tables):
+        uris_here = t["uri"].to_pylist()
+        actions = t["action"].to_pylist()
+        mask = pa.array(
+            [a == "add" and newest[u] == idx for u, a in zip(uris_here, actions)], pa.bool_()
+        )
+        parts.append(t.filter(mask).select(schema.names).cast(schema))
+    return pa.concat_tables(parts)
+
+
+class BlockmapDeltaWrite:
+    """Append one delta file per touched blockmap partition (O(delta)
+    write), compacting when the file chain grows past COMPACT_AT."""
+
+    def __init__(self, root: str, epoch: int, current_files: dict[int, list[str]], n_leaves: int):
         self.root = root
         self.epoch = epoch
         self.current_files = current_files
         self.n_leaves = n_leaves
-        self.schema = _exploded_schema(n_leaves)
+        self.schema = _delta_schema(n_leaves)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         bp = int(group["bp"][0].as_py())
-        old_rel = self.current_files.get(bp) or self.current_files.get(str(bp))
-        dirty_uris = pa.array(sorted(set(group["uri"].to_pylist())), pa.string())
+        prior = list(self.current_files.get(bp) or self.current_files.get(str(bp)) or [])
 
-        names = self.schema.names
-        parts = []
-        if old_rel:
-            old = pq.read_table(os.path.join(self.root, old_rel), columns=names)
-            keep = pc.invert(pc.is_in(old["uri"], value_set=dirty_uris))
-            parts.append(old.filter(keep).select(names).cast(self.schema))
-        adds = group.filter(pc.equal(group["action"], "add"))
-        parts.append(adds.select(names).cast(self.schema))
-
-        table = pa.concat_tables(parts).sort_by(
-            [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
+        delta = group.select(self.schema.names).cast(self.schema).sort_by(
+            [("key", "ascending"), ("side", "ascending"), ("uri", "ascending"), ("action", "ascending")]
         )
-        path = blockmap_file(self.root, bp, self.epoch)
-        ckpt.atomic_write_parquet(table, path)
+        path = os.path.join(
+            self.root, "blockmap", f"bp={bp:05d}", f"delta-{self.epoch:06d}.parquet"
+        )
+        ckpt.atomic_write_parquet(delta, path)
+        chain = prior + [os.path.relpath(path, self.root)]
+
+        if len(chain) > COMPACT_AT:
+            merged = read_bp_reconciled(self.root, chain, self.n_leaves)
+            compacted = merged.sort_by(
+                [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
+            )
+            compacted = compacted.add_column(
+                0, "action", pa.array(["add"] * compacted.num_rows, pa.string())
+            )
+            cpath = os.path.join(
+                self.root, "blockmap", f"bp={bp:05d}", f"compact-{self.epoch:06d}.parquet"
+            )
+            ckpt.atomic_write_parquet(compacted, cpath)
+            chain = [os.path.relpath(cpath, self.root)]
+
         return pa.table(
             {
                 "bp": pa.array([bp], pa.int32()),
-                "file": pa.array([os.path.relpath(path, self.root)], pa.string()),
-                "rows": pa.array([table.num_rows], pa.int64()),
+                "files": pa.array([chain], pa.list_(pa.string())),
+                "rows": pa.array([delta.num_rows], pa.int64()),
             }
         )
 
@@ -243,16 +290,18 @@ def update_links(
         batch_format="pyarrow",
     ).materialize()  # reused thrice below; delta-sized, not lake-sized
 
-    # -- stage 2: rewrite affected blockmap partitions ------------------
-    bm_files = {int(k): v for k, v in state["blockmap"].items()}
-    updater = BlockmapUpdate(root, epoch, bm_files, n_leaves)
+    # -- stage 2: append delta files to affected blockmap partitions ----
+    bm_files: dict[int, list[str]] = {
+        int(k): (list(v) if isinstance(v, list) else [v]) for k, v in state["blockmap"].items()
+    }
+    updater = BlockmapDeltaWrite(root, epoch, bm_files, n_leaves)
 
     def update_bp(group: pa.Table) -> pa.Table:
         return updater(group)
 
     updated = changes.groupby("bp").map_groups(update_bp, batch_format="pyarrow").take_all()
     for r in updated:
-        bm_files[int(r["bp"])] = r["file"]
+        bm_files[int(r["bp"])] = list(r["files"])
 
     # -- affected keys + dirty uris (delta-sized driver state) ----------
     affected_keys: set[int] = set()
@@ -263,32 +312,41 @@ def update_links(
     affected_bps = sorted({k % n_block_partitions for k in affected_keys})
 
     # -- stage 3: re-score affected blocks ------------------------------
-    keys_ref = ray.put(affected_keys)
-    uris_ref = ray.put(dirty_uris)
+    keys_ref = ray.put(pa.array(sorted(affected_keys), pa.int64()))
+    uris_ref = ray.put(pa.array(sorted(dirty_uris), pa.string()))
+    exploded_schema = _exploded_schema(n_leaves)
 
-    bm_paths = [os.path.join(root, bm_files[bp]) for bp in affected_bps if bp in bm_files]
+    loader_items = [
+        {"bp": bp, "files": bm_files[bp]} for bp in affected_bps if bm_files.get(bp)
+    ]
 
-    def restrict(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        uris = ray.get(uris_ref)
-        if "bp" in batch.column_names:  # hive-partition column from the dir layout
-            batch = batch.drop_columns(["bp"])
-        mask = [k in keys for k in batch["key"].to_pylist()]
-        sub = batch.filter(pa.array(mask))
-        dirty_flag = pa.array([u in uris for u in sub["uri"].to_pylist()], pa.bool_())
-        return sub.append_column("dirty", dirty_flag)
+    def load_and_restrict(batch: pa.Table) -> pa.Table:
+        """Per-bp loader task: reconcile the delta chain, keep rows in
+        affected blocks (vectorized is_in), flag dirty rows."""
+        import pyarrow.compute as pc
+
+        key_set = ray.get(keys_ref)
+        uri_set = ray.get(uris_ref)
+        parts = []
+        for row in batch.to_pylist():
+            parts.append(read_bp_reconciled(root, row["files"], n_leaves))
+        t = pa.concat_tables(parts) if parts else exploded_schema.empty_table()
+        t = t.filter(pc.is_in(t["key"], value_set=key_set))
+        dirty_flag = pc.is_in(t["uri"], value_set=uri_set)
+        return t.append_column("dirty", dirty_flag)
 
     # pairs need >=1 dirty side (clean∩clean pairs keep their stored
     # links); min-common-key dedup inside the scorer → each pair once
     scorer = PairScorer(payload, limit=limit, source_equals_target=True, dirty_col="dirty")
 
-    if bm_paths:
+    if loader_items:
         from silk_ray.linking.pipeline import _score_partitioned
 
+        src = rd.from_items(loader_items).map_batches(
+            load_and_restrict, batch_format="pyarrow", batch_size=1
+        )
         new_links = _score_partitioned(
-            rd.read_parquet(bm_paths).map_batches(restrict, batch_format="pyarrow"),
-            scorer,
-            score_partitions=max(64, n_block_partitions),
+            src, scorer, score_partitions=max(64, n_block_partitions)
         ).materialize()  # small; avoids re-executing the chain for count()
     else:
         new_links = rd.from_arrow(
@@ -300,12 +358,14 @@ def update_links(
     removed_counter = {"n": 0}
 
     def drop_dirty(batch: pa.Table) -> pa.Table:
-        uris = ray.get(uris_ref)
-        mask = [
-            (s not in uris) and (t not in uris)
-            for s, t in zip(batch["source"].to_pylist(), batch["target"].to_pylist())
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+
+        uri_set = ray.get(uris_ref)  # pa.Array of dirty uris
+        keep = pc.and_(
+            pc.invert(pc.is_in(batch["source"], value_set=uri_set)),
+            pc.invert(pc.is_in(batch["target"], value_set=uri_set)),
+        )
+        return batch.filter(keep)
 
     links_dir_new = os.path.join(root, "links", f"epoch-{epoch:06d}")
     if state.get("links_dir"):

@@ -1333,6 +1333,25 @@ class UuidTransformer(Transformer):
 
 
 @register_transformer
+class ShingleTransformer(Transformer):
+    """Word k-shingles over the input token sequence (w-shingling,
+    Broder 1997). Not in the reference; the standard near-dup
+    representation — unigram sketches of natural text degenerate
+    (globally common tokens land in every sketch), shingles don't."""
+
+    id = "shingle"
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def apply(self, values):
+        toks = [v for vs in values for v in vs]
+        if len(toks) < self.k:
+            return [" ".join(toks)] if toks else []
+        return [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
+
+
+@register_transformer
 class KmvTokensTransformer(Transformer):
     """k-min-values token sketch: keep the k distinct values with the
     smallest stable hashes. Not in the reference — our scale addition

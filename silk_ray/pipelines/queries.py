@@ -553,9 +553,11 @@ def link_documents(sf_dir: str):
                  "source": {"path": "lang"}, "target": {"path": "lang"}},
                 {"metric": "jaccard", "threshold": 0.5, "weight": 2,
                  "source": {"transform": "kmvTokens", "params": {"k": 32},
-                            "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]},
+                            "inputs": [{"transform": "shingle", "params": {"k": 3},
+                                        "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]}]},
                  "target": {"transform": "kmvTokens", "params": {"k": 32},
-                            "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]}},
+                            "inputs": [{"transform": "shingle", "params": {"k": 3},
+                                        "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]}]}},
             ],
         },
     }

@@ -50,9 +50,19 @@ CONFORMANCE_RULE = {
 }
 
 KMV_TOKENS = {
+    # tokenize → 3-word shingles → 32-min-hash sketch: shingles keep the
+    # Jaccard blocking selective on natural text (a unigram sketch would
+    # put every doc containing a globally-low-hash common word into one
+    # giant block)
     "transform": "kmvTokens",
     "params": {"k": 32},
-    "inputs": [{"transform": "tokenize", "inputs": [{"path": "content"}]}],
+    "inputs": [
+        {
+            "transform": "shingle",
+            "params": {"k": 3},
+            "inputs": [{"transform": "tokenize", "inputs": [{"path": "content"}]}],
+        }
+    ],
 }
 
 BENCH_RULE = {
