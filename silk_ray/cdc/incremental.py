@@ -4,28 +4,33 @@ The RD re-expression of "only entities whose blocking keys changed are
 re-compared" (north_star; Silk's MultiBlock semantics from
 rule/execution/methods/MultiBlock.scala applied delta-wise):
 
-Persisted link state under ``lake_root/``::
+Persisted link state under ``lake_root/`` (LSM-style)::
 
-    blockmap/bp={B}/epoch-{E}.parquet   # exploded blocking index:
-                                        # (key, side, uri, vals_0..m)
-    links/epoch-{E}/part-*.parquet      # UNFILTERED link set (source,
-                                        # target, confidence)
-    _linkstate.json                     # atomic pointer {epoch, blockmap files}
+    blockmap/bp={B}/delta-{E}-*.parquet    # per-epoch delta shards:
+                                           # (action, key, side, uri, keys, vals_0..m)
+    blockmap/bp={B}/compact-{E}.parquet    # compacted chain (all 'add')
+    links/epoch-{E}/part-*.parquet         # UNFILTERED link set
+    _linkstate.json                        # atomic pointer {epoch, per-bp file chains}
 
 Per merge epoch E (consuming ``dirty/p=*/epoch-{E}.parquet`` deltas):
 
-1. **delta index** (``map_batches``): for every changed key, compute
-   the OLD payload's blocking keys (rows to drop) and the NEW payload's
-   keys + leaf-comparison values (rows to add), for both link sides.
-2. **blockmap update** (``groupby(bp)`` + per-partition rewrite): only
-   partitions containing an affected key are rewritten — O(delta), not
-   O(lake).
-3. **delta re-score**: read only affected blockmap partitions, restrict
-   to affected keys, ``groupby(key)``, score source×target pairs where
-   at least one side is dirty (clean∩clean pairs keep their stored
-   links). Dedup via groupby(source,target).max.
+1. **delta index + shard write** (``map_batches``, no shuffle): for
+   every changed key, compute the OLD payload's blocking keys
+   (tombstones) and the NEW payload's keys + leaf-comparison values,
+   for both link sides; each task writes its per-bp shard files
+   directly (same-epoch shards of one bp touch disjoint uris, so
+   reconciliation order among them is irrelevant) and returns only a
+   small ``(bp, file, key, uri)`` summary. O(delta) writes; the K-fold
+   exploded payload never enters the object store.
+2. **compaction**: partitions whose delta chain exceeds ``COMPACT_AT``
+   are reconciled and rewritten to one file (amortized O(lake/K)).
+3. **delta re-score**: per affected-bp loader tasks reconcile the
+   chain (newest-file-wins per uri), keep rows in affected blocks
+   (vectorized ``is_in``), then coarse-partition ``groupby`` + pair
+   scoring with min-common-key dedup; pairs need ≥1 dirty side
+   (clean∩clean pairs keep their stored links).
 4. **links merge** (``map_batches`` filter + union): drop stored links
-   touching a dirty uri (broadcast set), add the recomputed ones.
+   touching a dirty uri, add the recomputed ones.
 
 The maintained set is UNFILTERED (every pair with confidence ≥ limit);
 the per-source top-k LinkFilter (Filter.scala:31-57) is applied as a
@@ -89,11 +94,22 @@ def blockmap_file(root: str, bp: int, epoch: int) -> str:
 
 
 class DeltaIndexStage:
-    """Turn dirty rows into blockmap add/del rows (both link sides)."""
+    """Turn dirty rows into blockmap add/del delta rows (both link sides).
 
-    def __init__(self, rule_spec, n_block_partitions: int):
+    With ``shard_root`` set, each task writes its per-bp delta shard
+    files DIRECTLY (no shuffle: every (uri, bp) pair is produced by
+    exactly one task because the merge stage emits one dirty row per
+    key per epoch, so same-epoch shards of one bp touch disjoint uris
+    and their reconciliation order is irrelevant) and returns only a
+    small summary ``(bp, file, key, uri)`` — the driver registers the
+    shards and collects affected keys / dirty uris from it. This keeps
+    the ~K-fold exploded payload out of the object-store shuffle."""
+
+    def __init__(self, rule_spec, n_block_partitions: int, shard_root: str | None = None, epoch: int = 0):
         self.rule = _compile_rule(rule_spec)
         self.nbp = n_block_partitions
+        self.shard_root = shard_root
+        self.epoch = epoch
         self.n_leaves = len(self.rule.leaf_comparisons())
         base = _exploded_schema(self.n_leaves)
         fields = [pa.field("bp", pa.int32()), pa.field("action", pa.string())] + list(base)
@@ -144,7 +160,44 @@ class DeltaIndexStage:
                         for i, v in enumerate(vals):
                             out[f"vals_{i}"].append(v)
         arrays = [pa.array(out[f.name], type=f.type) for f in self.schema]
-        return pa.Table.from_arrays(arrays, schema=self.schema)
+        table = pa.Table.from_arrays(arrays, schema=self.schema)
+        if self.shard_root is None:
+            return table
+        return self._write_shards(table)
+
+    def _write_shards(self, table: pa.Table) -> pa.Table:
+        """Write per-bp shard files locally; return the summary rows."""
+        import uuid
+
+        import pyarrow.compute as pc
+
+        delta_schema = _delta_schema(self.n_leaves)
+        sum_bp, sum_file, sum_key, sum_uri = [], [], [], []
+        if table.num_rows:
+            for bp in pc.unique(table["bp"]).to_pylist():
+                sub = table.filter(pc.equal(table["bp"], bp))
+                shard = sub.select(delta_schema.names).cast(delta_schema).sort_by(
+                    [("key", "ascending"), ("side", "ascending"), ("uri", "ascending"), ("action", "ascending")]
+                )
+                rel = os.path.join(
+                    "blockmap", f"bp={bp:05d}",
+                    f"delta-{self.epoch:06d}-{uuid.uuid4().hex[:8]}.parquet",
+                )
+                ckpt.atomic_write_parquet(shard, os.path.join(self.shard_root, rel))
+                keys = sub["key"].to_pylist()
+                uris = sub["uri"].to_pylist()
+                sum_bp.extend([bp] * len(keys))
+                sum_file.extend([rel] * len(keys))
+                sum_key.extend(keys)
+                sum_uri.extend(uris)
+        return pa.table(
+            {
+                "bp": pa.array(sum_bp, pa.int32()),
+                "file": pa.array(sum_file, pa.string()),
+                "key": pa.array(sum_key, pa.int64()),
+                "uri": pa.array(sum_uri, pa.string()),
+            }
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -188,53 +241,6 @@ def read_bp_reconciled(root: str, files: list[str], n_leaves: int) -> pa.Table:
         )
         parts.append(t.filter(mask).select(schema.names).cast(schema))
     return pa.concat_tables(parts)
-
-
-class BlockmapDeltaWrite:
-    """Append one delta file per touched blockmap partition (O(delta)
-    write), compacting when the file chain grows past COMPACT_AT."""
-
-    def __init__(self, root: str, epoch: int, current_files: dict[int, list[str]], n_leaves: int):
-        self.root = root
-        self.epoch = epoch
-        self.current_files = current_files
-        self.n_leaves = n_leaves
-        self.schema = _delta_schema(n_leaves)
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        bp = int(group["bp"][0].as_py())
-        prior = list(self.current_files.get(bp) or self.current_files.get(str(bp)) or [])
-
-        delta = group.select(self.schema.names).cast(self.schema).sort_by(
-            [("key", "ascending"), ("side", "ascending"), ("uri", "ascending"), ("action", "ascending")]
-        )
-        path = os.path.join(
-            self.root, "blockmap", f"bp={bp:05d}", f"delta-{self.epoch:06d}.parquet"
-        )
-        ckpt.atomic_write_parquet(delta, path)
-        chain = prior + [os.path.relpath(path, self.root)]
-
-        if len(chain) > COMPACT_AT:
-            merged = read_bp_reconciled(self.root, chain, self.n_leaves)
-            compacted = merged.sort_by(
-                [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
-            )
-            compacted = compacted.add_column(
-                0, "action", pa.array(["add"] * compacted.num_rows, pa.string())
-            )
-            cpath = os.path.join(
-                self.root, "blockmap", f"bp={bp:05d}", f"compact-{self.epoch:06d}.parquet"
-            )
-            ckpt.atomic_write_parquet(compacted, cpath)
-            chain = [os.path.relpath(cpath, self.root)]
-
-        return pa.table(
-            {
-                "bp": pa.array([bp], pa.int32()),
-                "files": pa.array([chain], pa.list_(pa.string())),
-                "rows": pa.array([delta.num_rows], pa.int64()),
-            }
-        )
 
 
 # ---------------------------------------------------------------------------
@@ -282,34 +288,63 @@ def update_links(
 
     dirty_ds = rd.read_parquet(dirty_files)
 
-    # -- stage 1: delta index rows -------------------------------------
+    # -- stage 1+2: delta index + direct per-bp shard writes -------------
     from silk_ray.linking.pipeline import cached_stage
 
-    changes = dirty_ds.map_batches(
-        cached_stage(DeltaIndexStage, rule_spec=payload, n_block_partitions=n_block_partitions),
+    summary = dirty_ds.map_batches(
+        cached_stage(
+            DeltaIndexStage,
+            rule_spec=payload,
+            n_block_partitions=n_block_partitions,
+            shard_root=root,
+            epoch=epoch,
+        ),
         batch_format="pyarrow",
-    ).materialize()  # reused thrice below; delta-sized, not lake-sized
+    ).materialize()  # summary rows only (bp, file, key, uri): delta-sized
 
-    # -- stage 2: append delta files to affected blockmap partitions ----
     bm_files: dict[int, list[str]] = {
         int(k): (list(v) if isinstance(v, list) else [v]) for k, v in state["blockmap"].items()
     }
-    updater = BlockmapDeltaWrite(root, epoch, bm_files, n_leaves)
-
-    def update_bp(group: pa.Table) -> pa.Table:
-        return updater(group)
-
-    updated = changes.groupby("bp").map_groups(update_bp, batch_format="pyarrow").take_all()
-    for r in updated:
-        bm_files[int(r["bp"])] = list(r["files"])
-
-    # -- affected keys + dirty uris (delta-sized driver state) ----------
     affected_keys: set[int] = set()
     dirty_uris: set[str] = set()
-    for b in changes.iter_batches(batch_format="pyarrow"):
+    new_shards: dict[int, list[str]] = {}
+    for b in summary.iter_batches(batch_format="pyarrow"):
         affected_keys.update(b["key"].to_pylist())
         dirty_uris.update(b["uri"].to_pylist())
+        for bp, f in set(zip(b["bp"].to_pylist(), b["file"].to_pylist())):
+            new_shards.setdefault(bp, []).append(f)
+    for bp, shards in new_shards.items():
+        bm_files.setdefault(bp, []).extend(sorted(set(shards)))
     affected_bps = sorted({k % n_block_partitions for k in affected_keys})
+
+    # -- compaction: bound each partition's delta chain ------------------
+    to_compact = [bp for bp in bm_files if len(bm_files[bp]) > COMPACT_AT]
+    if to_compact:
+        def compact_bp(batch: pa.Table) -> pa.Table:
+            out_bp, out_file = [], []
+            for row in batch.to_pylist():
+                bp, files = row["bp"], row["files"]
+                merged = read_bp_reconciled(root, files, n_leaves).sort_by(
+                    [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
+                )
+                merged = merged.add_column(
+                    0, "action", pa.array(["add"] * merged.num_rows, pa.string())
+                )
+                rel = os.path.join(
+                    "blockmap", f"bp={bp:05d}", f"compact-{epoch:06d}.parquet"
+                )
+                ckpt.atomic_write_parquet(merged, os.path.join(root, rel))
+                out_bp.append(bp)
+                out_file.append(rel)
+            return pa.table({"bp": pa.array(out_bp, pa.int32()), "file": pa.array(out_file, pa.string())})
+
+        compacted = (
+            rd.from_items([{"bp": bp, "files": bm_files[bp]} for bp in to_compact])
+            .map_batches(compact_bp, batch_format="pyarrow", batch_size=4)
+            .take_all()
+        )
+        for r in compacted:
+            bm_files[int(r["bp"])] = [r["file"]]
 
     # -- stage 3: re-score affected blocks ------------------------------
     keys_ref = ray.put(pa.array(sorted(affected_keys), pa.int64()))
