@@ -84,10 +84,6 @@ def commit_linkstate(root: str, state: dict) -> None:
     os.replace(tmp, _linkstate_path(root))
 
 
-def blockmap_file(root: str, bp: int, epoch: int) -> str:
-    return os.path.join(root, "blockmap", f"bp={bp:05d}", f"epoch-{epoch:06d}.parquet")
-
-
 # ---------------------------------------------------------------------------
 # stage 1: delta index
 # ---------------------------------------------------------------------------
@@ -390,8 +386,6 @@ def update_links(
         )
 
     # -- stage 4: merge into the stored link set ------------------------
-    removed_counter = {"n": 0}
-
     def drop_dirty(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
