@@ -58,13 +58,13 @@ def prepare_changelog() -> tuple[str, int]:
     from silk_ray.pipelines.queries import base_from_documents
 
     tag = SF_DIR.rstrip("/").split("/")[-1]
-    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-v3")
+    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-v4")
     done = os.path.join(seg_dir, "_DONE")
     if os.path.exists(done):
         with open(done) as f:
             return seg_dir, int(f.read())
     base = base_from_documents(SF_DIR)
-    n_events = max(100_000, base.num_rows * 20)
+    n_events = max(400_000, base.num_rows * 20)
     log = make_changelog(base, n_events, seed=5, dup_frac=0.02)
     write_changelog_segments(log, seg_dir, segment_size=50_000)
     with open(done, "w") as f:

@@ -66,6 +66,8 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
             epoch_size=config.epoch_size,
             num_partitions=config.num_partitions,
             renames=config.renames or None,
+            link_spec=config.rule_spec if isinstance(config.rule_spec, dict) else None,
+            n_block_partitions=config.n_block_partitions,
         )
         if m is None:
             break

@@ -282,21 +282,36 @@ def update_links(
         commit_linkstate(root, state)
         return {"epoch": epoch, "links_recomputed": 0, "links_removed": 0, "links_total": _count_links(root, state)}
 
-    dirty_ds = rd.read_parquet(dirty_files)
+    # -- stage 1+2: delta index + per-bp shard writes --------------------
+    # Preferred path: the merge stage already ran the delta index fused
+    # into its tasks (MergePartition.link_spec) and left per-partition
+    # summary files — read them driver-side, zero extra Ray executions.
+    summary_dir = os.path.join(root, "summaries")
+    summary_files = []
+    if os.path.isdir(summary_dir):
+        for pdir in sorted(os.listdir(summary_dir)):
+            f = os.path.join(summary_dir, pdir, f"epoch-{epoch:06d}.parquet")
+            if os.path.exists(f):
+                summary_files.append(f)
 
-    # -- stage 1+2: delta index + direct per-bp shard writes -------------
-    from silk_ray.linking.pipeline import cached_stage
+    if summary_files:
+        summary_batches = [pq.read_table(f) for f in summary_files]
+    else:
+        # fallback (e.g. merge ran without link_spec): run the delta
+        # index over the dirty files as its own execution
+        from silk_ray.linking.pipeline import cached_stage
 
-    summary = dirty_ds.map_batches(
-        cached_stage(
-            DeltaIndexStage,
-            rule_spec=payload,
-            n_block_partitions=n_block_partitions,
-            shard_root=root,
-            epoch=epoch,
-        ),
-        batch_format="pyarrow",
-    ).materialize()  # summary rows only (bp, file, key, uri): delta-sized
+        summary_ds = rd.read_parquet(dirty_files).map_batches(
+            cached_stage(
+                DeltaIndexStage,
+                rule_spec=payload,
+                n_block_partitions=n_block_partitions,
+                shard_root=root,
+                epoch=epoch,
+            ),
+            batch_format="pyarrow",
+        )
+        summary_batches = list(summary_ds.iter_batches(batch_format="pyarrow"))
 
     bm_files: dict[int, list[str]] = {
         int(k): (list(v) if isinstance(v, list) else [v]) for k, v in state["blockmap"].items()
@@ -304,7 +319,7 @@ def update_links(
     affected_keys: set[int] = set()
     dirty_uris: set[str] = set()
     new_shards: dict[int, list[str]] = {}
-    for b in summary.iter_batches(batch_format="pyarrow"):
+    for b in summary_batches:
         affected_keys.update(b["key"].to_pylist())
         dirty_uris.update(b["uri"].to_pylist())
         for bp, f in set(zip(b["bp"].to_pylist(), b["file"].to_pylist())):
@@ -370,6 +385,21 @@ def update_links(
     # links); min-common-key dedup inside the scorer → each pair once
     scorer = PairScorer(payload, limit=limit, source_equals_target=True, dirty_col="dirty")
 
+    def tag_epoch(batch: pa.Table) -> pa.Table:
+        # per-link provenance: the epoch that (re)computed it; also how
+        # links_recomputed is counted after the single fused write
+        return batch.append_column(
+            "epoch_added", pa.array([epoch] * batch.num_rows, pa.int32())
+        )
+
+    empty_links = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "target": pa.array([], pa.string()),
+            "confidence": pa.array([], pa.float64()),
+            "epoch_added": pa.array([], pa.int32()),
+        }
+    )
     if loader_items:
         from silk_ray.linking.pipeline import _score_partitioned
 
@@ -378,18 +408,19 @@ def update_links(
         )
         new_links = _score_partitioned(
             src, scorer, score_partitions=max(64, n_block_partitions)
-        ).materialize()  # small; avoids re-executing the chain for count()
+        ).map_batches(tag_epoch, batch_format="pyarrow")
     else:
-        new_links = rd.from_arrow(
-            pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
-                      "confidence": pa.array([], pa.float64())})
-        )
+        new_links = rd.from_arrow(empty_links)
 
-    # -- stage 4: merge into the stored link set ------------------------
+    # -- stage 4: merge into the stored link set (same execution) -------
     def drop_dirty(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         uri_set = ray.get(uris_ref)  # pa.Array of dirty uris
+        if "epoch_added" not in batch.column_names:  # pre-tagging layout
+            batch = batch.append_column(
+                "epoch_added", pa.array([0] * batch.num_rows, pa.int32())
+            )
         keep = pc.and_(
             pc.invert(pc.is_in(batch["source"], value_set=uri_set)),
             pc.invert(pc.is_in(batch["target"], value_set=uri_set)),
@@ -406,7 +437,17 @@ def update_links(
     os.makedirs(links_dir_new, exist_ok=True)
     merged.write_parquet(links_dir_new)
 
-    n_new = new_links.count()
+    # count this epoch's recomputed links from the written column
+    n_new = 0
+    for f in os.listdir(links_dir_new):
+        if f.endswith(".parquet"):
+            col = pq.read_table(os.path.join(links_dir_new, f), columns=["epoch_added"])
+            n_new += int(
+                pa.compute.sum(
+                    pa.compute.cast(pa.compute.equal(col["epoch_added"], epoch), pa.int64())
+                ).as_py()
+                or 0
+            )
 
     state = {
         "epoch": epoch,

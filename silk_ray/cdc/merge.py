@@ -82,12 +82,32 @@ class MergePartition:
         hwm: dict[int, int],
         part_files: dict[int, str | None],
         renames: dict[str, str] | None = None,
+        link_spec: dict | None = None,
+        n_block_partitions: int = 64,
     ):
         self.root = root
         self.epoch = epoch
         self.hwm = hwm
         self.part_files = part_files
         self.renames = renames or {}  # event column -> state column
+        # fused incremental-linking delta index: computing blocking-key
+        # deltas here (while the dirty payloads are already in memory)
+        # saves a whole Ray execution + dirty-file re-read per epoch
+        self.link_spec = link_spec
+        self.n_block_partitions = n_block_partitions
+        self._delta_stage = None
+
+    def _get_delta_stage(self):
+        if self._delta_stage is None and self.link_spec is not None:
+            from silk_ray.cdc.incremental import DeltaIndexStage
+
+            self._delta_stage = DeltaIndexStage(
+                self.link_spec,
+                self.n_block_partitions,
+                shard_root=self.root,
+                epoch=self.epoch,
+            )
+        return self._delta_stage
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import os
@@ -175,6 +195,17 @@ class MergePartition:
         dirty_table = pa.table({k: pa.array(v, pa.string() if k != "change" else pa.string()) for k, v in d_cols.items()})
         ckpt.atomic_write_parquet(dirty_table, ckpt.dirty_file(self.root, pid, self.epoch))
 
+        # fused delta index: write blockmap shards + linker summary now
+        delta_stage = self._get_delta_stage()
+        if delta_stage is not None:
+            summary = delta_stage(dirty_table)
+            import os as _os2
+
+            summary_path = _os2.path.join(
+                self.root, "summaries", f"p={pid:05d}", f"epoch-{self.epoch:06d}.parquet"
+            )
+            ckpt.atomic_write_parquet(summary, summary_path)
+
         import os as _os
 
         rel = _os.path.relpath(part_path, self.root)
@@ -201,6 +232,8 @@ def run_epoch(
     epoch_size: int = 100_000,
     num_partitions: int = DEFAULT_PARTITIONS,
     renames: dict[str, str] | None = None,
+    link_spec: dict | None = None,
+    n_block_partitions: int = 64,
 ) -> dict | None:
     """Tail one epoch window off the changelog and merge-apply it.
 
@@ -234,7 +267,10 @@ def run_epoch(
     hwm = {pid: info["hwm"] for pid, info in manifest.partitions.items()}
     part_files = {pid: info["file"] for pid, info in manifest.partitions.items()}
 
-    merger = MergePartition(root, epoch, hwm, part_files, renames)
+    merger = MergePartition(
+        root, epoch, hwm, part_files, renames,
+        link_spec=link_spec, n_block_partitions=n_block_partitions,
+    )
 
     def merge_group(group: pa.Table) -> pa.Table:
         return merger(group)
