@@ -206,13 +206,25 @@ class IfMatchesRegex(Transformer):
 
 
 @register_transformer
-class NegateTransformer(SimpleTransformer):
-    """Boolean negation of 'true'/'false' strings (NegateTransformer.scala)."""
+class NegateTransformer(Transformer):
+    """Binary NOT over 'true'/'false'/'1'/'0' (conditional/Negate.scala:
+    case-insensitive input, canonical lowercase output, invalid values
+    raise)."""
 
     id = "negate"
+    _MAP = {"true": "false", "false": "true", "1": "0", "0": "1"}
 
-    def evaluate(self, value):
-        return {"true": "false", "false": "true"}.get(value.strip().lower(), value)
+    def apply(self, values):
+        flat = [v for vs in values for v in vs]
+        if not flat:
+            raise ValueError("negate requires at least one input value")
+        out = []
+        for v in flat:
+            key = v.strip().lower()
+            if key not in self._MAP:
+                raise ValueError(f"cannot negate {v!r}")
+            out.append(self._MAP[key])
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -355,9 +367,9 @@ class UriFixTransformer(SimpleTransformer):
 
     def evaluate(self, value):
         parsed = urllib.parse.urlparse(value)
-        if parsed.scheme and (parsed.netloc or parsed.path):
+        if parsed.scheme and (parsed.netloc or parsed.path) and " " not in value:
             return value
-        return self.uri_prefix + urllib.parse.quote(value, safe="")
+        return self.uri_prefix + urllib.parse.quote_plus(value)
 
 
 @register_transformer
@@ -622,13 +634,22 @@ class StripPostfixTransformer(SimpleTransformer):
 
 @register_transformer
 class StripUriPrefixTransformer(SimpleTransformer):
-    """Keep the fragment after the last '#' or '/' (StripUriPrefixTransformer.scala)."""
+    """Strip the URI prefix (after the last '/', '#' or ':') and decode
+    the remainder ('_' → ' ', percent-decoding); non-URIs pass through
+    (StripUriPrefixTransformer.scala examples)."""
 
     id = "stripUriPrefix"
 
     def evaluate(self, value):
-        idx = max(value.rfind("#"), value.rfind("/"))
-        return value[idx + 1 :] if idx >= 0 else value
+        parsed = urllib.parse.urlparse(value)
+        if not parsed.scheme:
+            return value
+        idx = max(value.rfind("#"), value.rfind("/"), value.rfind(":"))
+        remainder = value[idx + 1 :]
+        try:
+            return urllib.parse.unquote(remainder.replace("_", " "))
+        except Exception:
+            return remainder
 
 
 @register_transformer
@@ -773,7 +794,8 @@ class FormatNumberTransformer(SimpleTransformer):
 
 @register_transformer
 class CompareNumbersTransformer(Transformer):
-    """'true' iff all values of input1 < input2 (CompareTransformer.scala)."""
+    """'1' iff the comparator holds for ALL numbers of both sets, '0'
+    otherwise; non-numbers skipped (CompareNumbersTransformer.scala)."""
 
     id = "compareNumbers"
 
@@ -781,21 +803,24 @@ class CompareNumbersTransformer(Transformer):
         self.comparator = comparator
 
     def apply(self, values):
-        if len(values) < 2 or not values[0] or not values[1]:
-            return []
-        a = [parse_double(v) for v in values[0]]
-        b = [parse_double(v) for v in values[1]]
-        if any(x is None for x in a + b):
-            return []
-        ops = {
-            "<": lambda x, y: x < y,
-            "<=": lambda x, y: x <= y,
-            ">": lambda x, y: x > y,
-            ">=": lambda x, y: x >= y,
-            "=": lambda x, y: x == y,
-        }
-        op = ops[self.comparator]
-        return [str(all(op(x, y) for x in a for y in b)).lower()]
+        n1 = [d for d in (parse_double(v) for v in (values[0] if values else [])) if d is not None]
+        n2 = [d for d in (parse_double(v) for v in (values[1] if len(values) > 1 else [])) if d is not None]
+        if not n1 or not n2:
+            return ["0"]
+        c = self.comparator
+        if c in ("<", "less"):
+            result = max(n1) < min(n2)
+        elif c in ("<=", "lessEqual"):
+            result = max(n1) <= min(n2)
+        elif c in (">", "greater"):
+            result = min(n1) > max(n2)
+        elif c in (">=", "greaterEqual"):
+            result = min(n1) >= max(n2)
+        elif c in ("=", "equal"):
+            result = min(n1) == max(n1) and min(n2) == max(n2) and n1[0] == n2[0]
+        else:
+            raise ValueError(f"unknown comparator {c!r}")
+        return ["1" if result else "0"]
 
 
 @register_transformer
@@ -894,7 +919,8 @@ class DurationInDaysTransformer(Transformer):
 
 @register_transformer
 class CompareDatesTransformer(Transformer):
-    """'true'/'false' comparing two date inputs (CompareDatesTransformer.scala)."""
+    """'1' iff the comparator holds for ALL dates of both sets, '0'
+    otherwise (CompareDatesTransformer.scala examples)."""
 
     id = "compareDates"
 
@@ -904,16 +930,28 @@ class CompareDatesTransformer(Transformer):
     def apply(self, values):
         import datetime as dt
 
-        if len(values) < 2 or not values[0] or not values[1]:
-            return []
-        try:
-            a = [dt.datetime.strptime(v[:10], "%Y-%m-%d") for v in values[0]]
-            b = [dt.datetime.strptime(v[:10], "%Y-%m-%d") for v in values[1]]
-        except ValueError:
-            return []
-        ops = {"<": lambda x, y: x < y, ">": lambda x, y: x > y, "=": lambda x, y: x == y}
-        op = ops[self.comparator]
-        return [str(all(op(x, y) for x in a for y in b)).lower()]
+        def parse_all(vs):
+            out = []
+            for v in vs:
+                try:
+                    out.append(dt.datetime.strptime(v[:10], "%Y-%m-%d"))
+                except ValueError:
+                    pass
+            return out
+
+        a = parse_all(values[0] if values else [])
+        b = parse_all(values[1] if len(values) > 1 else [])
+        if not a or not b:
+            return ["0"]
+        if self.comparator in ("<", "less"):
+            result = max(a) < min(b)
+        elif self.comparator in (">", "greater"):
+            result = min(a) > max(b)
+        elif self.comparator in ("=", "equal"):
+            result = min(a) == max(a) and min(b) == max(b) and a[0] == b[0]
+        else:
+            raise ValueError(f"unknown comparator {self.comparator!r}")
+        return ["1" if result else "0"]
 
 
 # ---------------------------------------------------------------------------

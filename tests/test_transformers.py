@@ -53,8 +53,12 @@ VECTORS = [
     ("regexExtract", {"regex": "[0-9]+"}, [["a1b22c"]], ["1", "22"]),
     ("stripPrefix", {"prefix": "pre-"}, [["pre-x", "y"]], ["x", "y"]),
     ("stripPostfix", {"postfix": ".txt"}, [["a.txt"]], ["a"]),
+    # StripUriPrefixTransformer.scala @TransformExamples
+    ("stripUriPrefix", {}, [["http://example.org/some/path/to/value"]], ["value"]),
+    ("stripUriPrefix", {}, [["urn:scheme:value"]], ["value"]),
+    ("stripUriPrefix", {}, [["http://example.org/some/path/to/encoded%20v%C3%A4lue"]], ["encoded v\u00e4lue"]),
+    ("stripUriPrefix", {}, [["value"]], ["value"]),
     ("stripUriPrefix", {}, [["http://ex.org/res#Name"]], ["Name"]),
-    ("stripUriPrefix", {}, [["http://ex.org/res/Name"]], ["Name"]),
     ("substring", {"beginIndex": 1, "endIndex": 3}, [["abcdef"]], ["bc"]),
     ("untilCharacter", {"untilCharacter": "-"}, [["abc-def"]], ["abc"]),
     # conditional
@@ -63,7 +67,19 @@ VECTORS = [
     ("containsAllOf", {}, [["a", "b", "c"], ["a", "b"]], ["true"]),
     ("containsAllOf", {}, [["a", "b"], ["a", "z"]], ["false"]),
     ("containsAnyOf", {}, [["a", "b"], ["z", "b"]], ["true"]),
-    ("negate", {}, [["true"]], ["false"]),
+    # CompareNumbersTransformer semantics (max/min set comparison, 1/0)
+    ("compareNumbers", {"comparator": "<"}, [["1", "2"], ["3", "4"]], ["1"]),
+    ("compareNumbers", {"comparator": "<"}, [["1", "2"], ["2", "3"]], ["0"]),
+    ("compareNumbers", {"comparator": ">"}, [["5"], ["1", "2"]], ["1"]),
+    ("compareNumbers", {"comparator": "="}, [["2", "2"], ["2"]], ["1"]),
+    ("compareNumbers", {"comparator": "<"}, [["1"], ["not a number"]], ["0"]),
+    # UriFixTransformer.scala @TransformExamples
+    ("uriFix", {}, [["ab"]], ["urn:url-encoded-value:ab"]),
+    ("uriFix", {}, [["a&b"]], ["urn:url-encoded-value:a%26b"]),
+    ("uriFix", {}, [["http://example.org/some/path"]], ["http://example.org/some/path"]),
+    ("uriFix", {}, [["urn:valid:uri"]], ["urn:valid:uri"]),
+    ("uriFix", {}, [["http : invalid URI"]], ["urn:url-encoded-value:http+%3A+invalid+URI"]),
+    ("negate", {}, [["0", "1", "false", "true", "False", "True"]], ["1", "0", "true", "false", "true", "false"]),
     # numeric extras
     ("count", {}, [["a", "b"], ["c"]], ["3"]),
     ("aggregateNumbers", {"operator": "sum"}, [["1", "2"], ["3"]], ["6.0"]),
@@ -89,7 +105,11 @@ VECTORS = [
     ("dateToTimestamp", {}, [["1970-01-02"]], ["86400"]),
     ("timestampToDate", {}, [["86400"]], ["1970-01-02"]),
     ("durationInDays", {}, [["2020-01-01"], ["2020-01-11"]], ["10"]),
-    ("compareDates", {"comparator": "<"}, [["2020-01-01"], ["2020-01-02"]], ["true"]),
+    # CompareDatesTransformer.scala @TransformExamples
+    ("compareDates", {"comparator": "<"}, [["2017-01-01"], ["2017-01-02"]], ["1"]),
+    ("compareDates", {"comparator": "<"}, [["2017-01-02"], ["2017-01-01"]], ["0"]),
+    ("compareDates", {"comparator": ">"}, [["2017-01-02"], ["2017-01-01"]], ["1"]),
+    ("compareDates", {"comparator": "="}, [["2017-01-01"], ["2017-01-01"]], ["1"]),
     # linguistic
     ("soundex", {}, [["Robert"]], ["R163"]),
     ("soundex", {}, [["Rupert"]], ["R163"]),
