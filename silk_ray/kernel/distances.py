@@ -539,6 +539,55 @@ class JaccardDistance(DistanceMeasure):
 
 
 @register_distance
+class JaccardMinhashLSH(JaccardDistance):
+    """Jaccard distance (identical scoring to ``jaccard``) with banded
+    MinHash-LSH blocking instead of the reference's single-value prefix
+    index (JaccardDistance.scala:41-47).
+
+    The reference index emits one block per indexed VALUE — on corpora
+    where a few values are globally frequent (stopword-ish shingles,
+    small vocabularies) that creates mega-blocks holding most of the
+    dataset. Banded LSH requires ``rows`` minhashes to agree per block
+    (AND), so a candidate needs Jaccard ≈ collision^(1/rows) — frequent
+    single values no longer collapse everything into one block. Recall
+    is 1-(1-s^rows)^bands (probabilistic, tunable), a documented
+    deviation used by the scale-path rules."""
+
+    id = "jaccardMinhashLSH"
+
+    def __init__(self, bands: int = 6, rows: int = 6, seed: int = 97):
+        import numpy as np
+
+        self.bands = bands
+        self.rows = rows
+        n = bands * rows
+        rng = np.random.default_rng(seed)
+        self._a = rng.integers(1, 1 << 32, size=n, dtype=np.uint64)
+        self._b = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+
+    def index(self, values, limit, source_or_target):
+        import numpy as np
+
+        value_set = set(values)
+        if not value_set:
+            return Index.one_dim(set())
+        base = np.array([stable_str_hash(v) for v in value_set], dtype=np.uint64)
+        mersenne = np.uint64((1 << 61) - 1)
+        sig = ((self._a[:, None] * base[None, :] + self._b[:, None]) % mersenne).min(axis=1)
+        keys = set()
+        for band in range(self.bands):
+            chunk = sig[band * self.rows : (band + 1) * self.rows]
+            keys.add(_mix_band(band, chunk.tobytes()))
+        return Index.one_dim(keys)
+
+
+def _mix_band(band: int, payload: bytes) -> int:
+    import zlib
+
+    return (band << 32) | zlib.crc32(payload)
+
+
+@register_distance
 class DiceCoefficient(DistanceMeasure):
     """1 - 2|∩|/(|s1|+|s2|) (DiceCoefficient.scala)."""
 

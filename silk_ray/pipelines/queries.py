@@ -551,7 +551,8 @@ def link_documents(sf_dir: str):
             "operators": [
                 {"metric": "equality", "threshold": 0.0, "weight": 1, "indexing": False,
                  "source": {"path": "lang"}, "target": {"path": "lang"}},
-                {"metric": "jaccard", "threshold": 0.5, "weight": 2,
+                {"metric": "jaccardMinhashLSH", "params": {"bands": 6, "rows": 6},
+                 "threshold": 0.5, "weight": 2,
                  "source": {"transform": "kmvTokens", "params": {"k": 32},
                             "inputs": [{"transform": "shingle", "params": {"k": 3},
                                         "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]}]},

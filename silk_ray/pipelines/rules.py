@@ -88,7 +88,11 @@ BENCH_RULE = {
                 "target": FILENAME_INPUT,
             },
             {
-                "metric": "jaccard",
+                # identical jaccard scoring; banded MinHash-LSH blocking
+                # (single-shingle blocks degenerate on stopword-heavy or
+                # tiny-vocabulary corpora — see JaccardMinhashLSH)
+                "metric": "jaccardMinhashLSH",
+                "params": {"bands": 6, "rows": 6},
                 "threshold": 0.4,
                 "weight": 2,
                 "source": KMV_TOKENS,
