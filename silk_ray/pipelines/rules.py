@@ -13,7 +13,15 @@ compare payload stay O(k) per row instead of O(|content|) — the
 shuffle").
 """
 
-FILENAME_INPUT = {"transform": "stripUriPrefix", "inputs": [{"path": "path"}]}
+# basename extraction: paths are not URIs (no scheme), so stripUriPrefix
+# passes them through; strip the directory prefix explicitly — otherwise
+# every file shares the leading-directory q-grams and the Levenshtein
+# index degenerates into whole-corpus blocks
+FILENAME_INPUT = {
+    "transform": "regexReplace",
+    "params": {"regex": "^.*/", "replace": ""},
+    "inputs": [{"path": "path"}],
+}
 
 CONFORMANCE_RULE = {
     "operator": {
