@@ -62,6 +62,16 @@ class DistanceMeasure:
     def index(self, values: list[str], limit: float, source_or_target: bool) -> Index:
         return Index.default()
 
+    # -- optional fast path for the pair-scoring hot loop ----------------
+    # prepare() converts a value list into a reusable per-row object
+    # (e.g. a frozenset) so per-pair work avoids repeated conversions;
+    # apply_prepared() consumes two prepared objects. Default: identity.
+    def prepare(self, values: list[str]):
+        return values
+
+    def apply_prepared(self, p1, p2, limit: float = inf) -> float:
+        return self.apply(p1, p2, limit)
+
     # convenience for tests
     def __call__(self, values1, values2, limit=inf):
         return self.apply(values1, values2, limit)
@@ -118,6 +128,12 @@ class EqualityMetric(SimpleDistanceMeasure):
     def apply(self, values1, values2, limit=inf):
         s2 = set(values2)
         return 0.0 if any(v in s2 for v in values1) else 1.0
+
+    def prepare(self, values):
+        return frozenset(values)
+
+    def apply_prepared(self, p1, p2, limit=inf):
+        return 0.0 if not p1.isdisjoint(p2) else 1.0
 
     def evaluate(self, v1, v2, limit=inf):
         return 0.0 if v1 == v2 else 1.0
@@ -531,6 +547,15 @@ class JaccardDistance(DistanceMeasure):
         if union == 0:
             return 0.0
         return 1.0 - len(set1 & set2) / union
+
+    def prepare(self, values):
+        return frozenset(values)
+
+    def apply_prepared(self, p1, p2, limit=inf):
+        if not p1 and not p2:
+            return 0.0
+        inter = len(p1 & p2)
+        return 1.0 - inter / (len(p1) + len(p2) - inter)
 
     def index(self, values, limit, source_or_target):
         value_set = sorted(set(values))  # deterministic take-order

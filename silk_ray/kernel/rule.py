@@ -236,6 +236,42 @@ class LinkageRule:
                 vals.append([])
         return vals
 
+    def prepare_leaf_values(self, vals: list[list[str]]) -> list:
+        """Convert per-leaf value lists into the metrics' prepared forms
+        (e.g. frozensets) — done once per ROW by the pair scorer so the
+        per-pair hot loop skips repeated conversions."""
+        return [
+            comp.metric.prepare(v) for comp, v in zip(self.leaf_comparisons(), vals)
+        ]
+
+    def score_from_prepared(
+        self,
+        source_prepared: list,
+        target_prepared: list,
+        limit: float = 0.0,
+    ) -> float | None:
+        """Like :meth:`score_from_leaf_values` over prepared leaf values."""
+        pos = [0]
+
+        def walk(op: SimilarityOperator) -> float | None:
+            if isinstance(op, Comparison):
+                i = pos[0]
+                pos[0] += 1
+                p1, p2 = source_prepared[i], target_prepared[i]
+                if not p1 or not p2:
+                    return None
+                distance = op.metric.apply_prepared(p1, p2, op.threshold * (1.0 - limit))
+                if distance == 0.0 and op.threshold == 0.0:
+                    return 1.0
+                if distance <= 2.0 * op.threshold:
+                    return 1.0 - distance / op.threshold
+                return -1.0
+            assert isinstance(op, Aggregation)
+            weighted = [(walk(child), child.weight) for child in op.operators]
+            return op.aggregator.evaluate(weighted, limit)
+
+        return walk(self.operator)
+
     def score_from_leaf_values(
         self,
         source_vals: list[list[str]],

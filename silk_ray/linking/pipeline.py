@@ -243,6 +243,15 @@ class PairScorer:
         key_sets = [frozenset(k) for k in part["keys"].to_pylist()]
         vals_cols = [part[f"vals_{i}"].to_pylist() for i in range(n_leaves)]
         dirty = part[self.dirty_col].to_numpy(zero_copy_only=False) if self.dirty_col else None
+        # per-row prepared leaf values, computed lazily once per row
+        prepared: list = [None] * len(uris)
+
+        def prep(i: int):
+            p = prepared[i]
+            if p is None:
+                p = rule.prepare_leaf_values([vals_cols[k][i] for k in range(n_leaves)])
+                prepared[i] = p
+            return p
         out_s, out_t, out_c = [], [], []
         limit = self.limit
         n = len(keys_col)
@@ -264,7 +273,7 @@ class PairScorer:
                 s_uri = uris[i]
                 s_keys = key_sets[i]
                 s_dirty = dirty[i] if dirty is not None else True
-                s_vals = None
+                s_prep = None
                 for j in tgt_idx:
                     t_uri = uris[j]
                     if self.source_equals_target and s_uri >= t_uri:
@@ -274,10 +283,9 @@ class PairScorer:
                     common = s_keys & key_sets[j]
                     if min(common) != gk:
                         continue  # scored in a smaller shared block
-                    if s_vals is None:
-                        s_vals = [vals_cols[k][i] for k in range(n_leaves)]
-                    t_vals = [vals_cols[k][j] for k in range(n_leaves)]
-                    score = rule.score_from_leaf_values(s_vals, t_vals, limit)
+                    if s_prep is None:
+                        s_prep = prep(i)
+                    score = rule.score_from_prepared(s_prep, prep(j), limit)
                     if score is not None and score >= limit:
                         out_s.append(s_uri)
                         out_t.append(t_uri)
@@ -299,7 +307,19 @@ def _score_partitioned(exploded, scorer, score_partitions: int):
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def score_part(group: pa.Table) -> pa.Table:
-        return scorer(group)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = scorer(group)
+        dt = _time.perf_counter() - t0
+        if dt > 5.0:
+            # straggler diagnostics (worker log): which part, how big
+            part_id = group["part"][0].as_py() if group.num_rows else -1
+            print(
+                f"[silk_ray] slow score_part: part={part_id} rows={group.num_rows} "
+                f"pairs_out={out.num_rows} took {dt:.1f}s"
+            )
+        return out
 
     return (
         exploded.map_batches(add_part, batch_format="pyarrow")
