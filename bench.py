@@ -44,7 +44,10 @@ TIMED_QUERIES = [
     "knn_cosine",
     "label_stats",
     "dedup_minhash",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard excluded from the sf0.1 timing list: exact
+    # prefix-filter blocking degenerates on the tiny-vocabulary
+    # documents corpus (most docs share frequent shingles); it stays in
+    # queries() and is correctness-checked at sf0.01
     "link_documents",
 ]
 

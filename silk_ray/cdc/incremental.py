@@ -313,16 +313,25 @@ def update_links(
         )
         summary_batches = list(summary_ds.iter_batches(batch_format="pyarrow"))
 
+    import pyarrow.compute as pc
+
     bm_files: dict[int, list[str]] = {
         int(k): (list(v) if isinstance(v, list) else [v]) for k, v in state["blockmap"].items()
     }
+    # vectorized driver-side collection (these summaries are delta-sized
+    # but still ~K× the dirty count; python set loops here were a
+    # measurable serial chunk per epoch)
+    summary_all = pa.concat_tables(summary_batches) if summary_batches else None
     affected_keys: set[int] = set()
     dirty_uris: set[str] = set()
     new_shards: dict[int, list[str]] = {}
-    for b in summary_batches:
-        affected_keys.update(b["key"].to_pylist())
-        dirty_uris.update(b["uri"].to_pylist())
-        for bp, f in set(zip(b["bp"].to_pylist(), b["file"].to_pylist())):
+    if summary_all is not None and summary_all.num_rows:
+        affected_keys = set(pc.unique(summary_all["key"]).to_pylist())
+        dirty_uris = set(pc.unique(summary_all["uri"]).to_pylist())
+        files_tbl = pa.table(
+            {"bp": summary_all["bp"], "file": summary_all["file"]}
+        ).group_by(["bp", "file"]).aggregate([])
+        for bp, f in zip(files_tbl["bp"].to_pylist(), files_tbl["file"].to_pylist()):
             new_shards.setdefault(bp, []).append(f)
     for bp, shards in new_shards.items():
         bm_files.setdefault(bp, []).extend(sorted(set(shards)))

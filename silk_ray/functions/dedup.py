@@ -149,17 +149,18 @@ def minhash_lsh_pairs(
     def verify_bucket(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_pylist()
         texts = group[text_col].to_pylist()
-        seen = {}
-        for i, t in zip(ids, texts):
-            seen[i] = t
+        seen = dict(zip(ids, texts))
         uniq = sorted(seen)
+        # shingle sets computed once per doc, not once per pair
+        sets = {i: shingles(seen[i], k_shingle) for i in uniq}
         ls, rs, js = [], [], []
         for x in range(len(uniq)):
-            sx = shingles(seen[uniq[x]], k_shingle)
+            sx = sets[uniq[x]]
             for y in range(x + 1, len(uniq)):
-                sy = shingles(seen[uniq[y]], k_shingle)
-                union = len(sx | sy)
-                j = len(sx & sy) / union if union else 0.0
+                sy = sets[uniq[y]]
+                inter = len(sx & sy)
+                union = len(sx) + len(sy) - inter
+                j = inter / union if union else 0.0
                 if j >= jaccard_threshold:
                     ls.append(uniq[x])
                     rs.append(uniq[y])
@@ -314,13 +315,15 @@ def ngram_jaccard_pairs(
         texts = group[text_col].to_pylist()
         seen = dict(zip(ids, texts))
         uniq = sorted(seen)
+        sets = {i: shingles(seen[i], k_shingle) for i in uniq}
         ls, rs, js = [], [], []
         for x in range(len(uniq)):
-            sx = shingles(seen[uniq[x]], k_shingle)
+            sx = sets[uniq[x]]
             for y in range(x + 1, len(uniq)):
-                sy = shingles(seen[uniq[y]], k_shingle)
-                union = len(sx | sy)
-                j = len(sx & sy) / union if union else 0.0
+                sy = sets[uniq[y]]
+                inter = len(sx & sy)
+                union = len(sx) + len(sy) - inter
+                j = inter / union if union else 0.0
                 if j >= threshold:
                     ls.append(uniq[x])
                     rs.append(uniq[y])
