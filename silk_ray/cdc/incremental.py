@@ -443,6 +443,13 @@ def update_links(
         merged = kept.union(new_links)
     else:
         merged = new_links
+    # Idempotent replay: write_parquet APPENDS uniquely-named files, so a
+    # crash between this write and commit_linkstate would otherwise leave
+    # a partial epoch dir that a replay doubles. Clearing any previous
+    # attempt first keeps the linkstate pointer swap the sole commit point.
+    import shutil
+
+    shutil.rmtree(links_dir_new, ignore_errors=True)
     os.makedirs(links_dir_new, exist_ok=True)
     merged.write_parquet(links_dir_new)
 
@@ -518,14 +525,18 @@ def links_table(root: str) -> pa.Table:
     )
 
 
-def filtered_links(root: str, filter_limit: int | None) -> pa.Table:
-    """Per-source top-k view (LinkFilter, Filter.scala:40-44)."""
+def filtered_links(root: str, filter_limit: int | None, unambiguous: bool = False) -> pa.Table:
+    """Per-source top-k view (LinkFilter, Filter.scala:40-44); with
+    ``unambiguous`` keep only single-link sources (Filter.scala:46-57)."""
     t = links_table(root)
     if not filter_limit or t.num_rows == 0:
         return t
     import pandas as pd
 
     df = t.to_pandas()
+    if unambiguous:
+        n = df.groupby("source", sort=False)["target"].transform("size")
+        return pa.Table.from_pandas(df[n == 1].reset_index(drop=True), preserve_index=False)
     df = df.sort_values(["source", "confidence", "target"], ascending=[True, False, True], kind="mergesort")
     df = df.groupby("source", sort=True).head(filter_limit).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

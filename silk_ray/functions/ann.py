@@ -17,9 +17,9 @@ import numpy as np
 import pyarrow as pa
 
 
-def _matrix(col) -> np.ndarray:
+def _matrix(col, dtype=np.float32) -> np.ndarray:
     lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float32)
+    return np.asarray(lists, dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -39,14 +39,16 @@ class BruteForceScorer:
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
         self.query_ids, qm = q
-        self.qm = _normalize(np.asarray(qm, dtype=np.float32))
+        # float64 throughout: the driver's value-hash rounds cosine to 6
+        # decimals, which sits at the edge of float32 precision
+        self.qm = _normalize(np.asarray(qm, dtype=np.float64))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        m = _normalize(_matrix(batch[self.vec_col]))
+        m = _normalize(_matrix(batch[self.vec_col], dtype=np.float64))
         sims = self.qm @ m.T  # (Q, B)
         k = min(self.k, sims.shape[1])
         out_q, out_n, out_s = [], [], []
@@ -91,7 +93,7 @@ def knn_bruteforce(
     """Exact cosine top-k: returns (query_id, neighbor_id, cosine)."""
     import ray
 
-    ref = ray.put((list(query_ids), np.asarray(query_vectors, dtype=np.float32)))
+    ref = ray.put((list(query_ids), np.asarray(query_vectors, dtype=np.float64)))
     partial = ds.map_batches(
         BruteForceScorer,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k + (1 if exclude_self else 0), id_col=id_col, vec_col=vec_col),
@@ -138,14 +140,15 @@ def knn_lsh(
     qm = np.asarray(query_vectors, dtype=np.float32)
     hasher = HyperplaneHasher(qm.shape[1], n_bits, n_tables)
     q_buckets: dict[int, list[tuple[int, np.ndarray]]] = {}
-    qn = _normalize(qm)
+    qn = _normalize(np.asarray(query_vectors, dtype=np.float64))
     for qi, (q_id, row) in enumerate(zip(query_ids, hasher.buckets(qm))):
         for b in row:
             q_buckets.setdefault(int(b), []).append((q_id, qn[qi]))
     qref = ray.put(q_buckets)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        m = _matrix(batch[vec_col])
+        lists = batch[vec_col].to_pylist()
+        m = np.asarray(lists, dtype=np.float32)
         ids = batch[id_col].to_pylist()
         bks = hasher.buckets(m)
         ob, oi, ov = [], [], []
@@ -153,12 +156,12 @@ def knn_lsh(
             for b in bks[i]:
                 ob.append(int(b))
                 oi.append(ids[i])
-                ov.append(m[i].tolist())
+                ov.append(lists[i])  # original values, scored in float64
         return pa.table(
             {
                 "bucket": pa.array(ob, pa.int64()),
                 id_col: pa.array(oi, pa.int64()),
-                vec_col: pa.array(ov, pa.list_(pa.float32())),
+                vec_col: pa.array(ov, pa.list_(pa.float64())),
             }
         )
 
@@ -172,7 +175,7 @@ def knn_lsh(
         if not queries:
             return empty
         ids = np.asarray(group[id_col].to_pylist())
-        m = _normalize(_matrix(group[vec_col]))
+        m = _normalize(_matrix(group[vec_col], dtype=np.float64))
         out_q, out_n, out_s = [], [], []
         for q_id, qv in queries:
             sims = m @ qv

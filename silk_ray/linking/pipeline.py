@@ -328,15 +328,25 @@ def _score_partitioned(exploded, scorer, score_partitions: int):
     )
 
 
-def apply_link_filter(links, limit_per_source: int, filter_partitions: int = 64):
-    """Per-source top-k (Filter.scala:40-44) via a hashed-source coarse
-    partition: deterministic (confidence desc, target asc) ordering."""
+def _add_spart(filter_partitions: int):
     import pandas as pd
     import zlib
 
     def add_spart(df: pd.DataFrame) -> pd.DataFrame:
-        df["spart"] = [zlib.crc32(s.encode()) % filter_partitions for s in df["source"]]
+        srcs = df["source"]
+        # vectorized-ish crc over the unique sources per batch (links per
+        # source cluster, so uniques are far fewer than rows)
+        uniq = {s: zlib.crc32(s.encode()) % filter_partitions for s in srcs.unique()}
+        df["spart"] = srcs.map(uniq)
         return df
+
+    return add_spart
+
+
+def apply_link_filter(links, limit_per_source: int, filter_partitions: int = 64):
+    """Per-source top-k (Filter.scala:40-44) via a hashed-source coarse
+    partition: deterministic (confidence desc, target asc) ordering."""
+    import pandas as pd
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["source", "confidence", "target"], ascending=[True, False, True], kind="mergesort")
@@ -344,9 +354,28 @@ def apply_link_filter(links, limit_per_source: int, filter_partitions: int = 64)
         return out.drop(columns=["spart"])
 
     return (
-        links.map_batches(add_spart, batch_format="pandas")
+        links.map_batches(_add_spart(filter_partitions), batch_format="pandas")
         .groupby("spart")
         .map_groups(topk, batch_format="pandas")
+    )
+
+
+def apply_unambiguous_filter(links, filter_partitions: int = 64):
+    """LinkFilter "unambiguous" mode (Filter.scala:46-57): keep a source
+    URI's single link iff that source has EXACTLY ONE distinct link.
+    The scoring pipeline already emits each (source, target) pair once,
+    so distinct-link count per source == row count per source."""
+    import pandas as pd
+
+    def keep_unambiguous(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("source", sort=False)["target"].transform("size")
+        out = g[n == 1]
+        return out.drop(columns=["spart"])
+
+    return (
+        links.map_batches(_add_spart(filter_partitions), batch_format="pandas")
+        .groupby("spart")
+        .map_groups(keep_unambiguous, batch_format="pandas")
     )
 
 
@@ -446,7 +475,12 @@ def generate_links(
     links = _score_partitioned(exploded, scorer, score_partitions)
 
     if rule.filter_limit:
-        links = apply_link_filter(links, rule.filter_limit)
+        # Filter.scala:36-48: within the limit branch, unambiguous mode
+        # replaces top-k (keeps only single-link sources)
+        if rule.filter_unambiguous:
+            links = apply_unambiguous_filter(links)
+        else:
+            links = apply_link_filter(links, rule.filter_limit)
     if link_limit is not None:
         links = links.limit(link_limit)
     return links

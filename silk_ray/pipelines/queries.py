@@ -86,8 +86,11 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_revenue_topk(sf_dir: str):
-    """3-way join via broadcast semi-filters → groupby → top-k."""
-    from ray.data.aggregate import Sum
+    """3-way join: broadcast semi-filter for the dimension (customer),
+    hash-partitioned shuffle join for orders⋈lineitem (both fact-sized),
+    then partial top-k per block — nothing fact-derived touches the
+    driver until the final ≤10·num_blocks rows."""
+    from ray.data.aggregate import Max, Sum
 
     from silk_ray.pipelines.relational import broadcast_semi_filter
 
@@ -96,7 +99,7 @@ def q3_revenue_topk(sf_dir: str):
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    cust_keys = set(building.to_pandas()["c_custkey"])  # small side
+    cust_keys = set(building.to_pandas()["c_custkey"])  # dimension-sized broadcast
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders.map_batches(
@@ -104,24 +107,54 @@ def q3_revenue_topk(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = broadcast_semi_filter(orders, "o_custkey", cust_keys)
-    order_keys = set(orders.to_pandas()["o_orderkey"])  # still small at test scales
+
+    # shuffle join via key-tagged union + one groupby aggregate:
+    # orders rows carry (revenue=0, is_order=1); lineitem rows are
+    # pre-aggregated per batch to (key, partial revenue, is_li=1)
+    def mark_order(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "l_orderkey": b["o_orderkey"],
+                "revenue": pa.array(np.zeros(n), pa.float64()),
+                "is_order": pa.array(np.ones(n, dtype=np.int32)),
+                "is_li": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    li = li.map_batches(
-        lambda b: b.filter(pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
-        batch_format="pyarrow",
-    )
-    li = broadcast_semi_filter(li, "l_orderkey", order_keys)
 
-    def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15"))))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        g = pa.table({"l_orderkey": b["l_orderkey"], "revenue": rev}).group_by("l_orderkey").aggregate(
+            [("revenue", "sum")]
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "revenue": pc.cast(g["revenue_sum"], pa.float64()),
+                "is_order": pa.array(np.zeros(n, dtype=np.int32)),
+                "is_li": pa.array(np.ones(n, dtype=np.int32)),
+            }
+        )
 
-    agg = li.map_batches(revenue, batch_format="pyarrow").groupby("l_orderkey").aggregate(
-        Sum("revenue", alias_name="revenue")
+    tagged = orders.map_batches(mark_order, batch_format="pyarrow").union(
+        li.map_batches(li_partial, batch_format="pyarrow")
     )
-    df = agg.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    agg = tagged.groupby("l_orderkey").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Max("is_order", alias_name="is_order"),
+        Max("is_li", alias_name="is_li"),
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["is_order"] == 1) & (df["is_li"] == 1)][["l_orderkey", "revenue"]].copy()
+        df["revenue"] = df["revenue"].round(2)
+        return df.sort_values(["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort").head(10)
+
+    df = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
     df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort").head(10)
     return df.reset_index(drop=True)
 
@@ -291,7 +324,7 @@ def events_sessionize(sf_dir: str):
 
 
 EVENTS_SESSIONIZE_SQL = """
-SELECT user_id, 1 + sum(brk) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     > INTERVAL 30 MINUTE, false) THEN 1 ELSE 0 END AS brk
@@ -450,10 +483,10 @@ def knn_cosine(sf_dir: str):
 KNN_COSINE_SQL = """
 SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.embedding, e.embedding) AS cosine,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
          ) AS rn
   FROM embeddings q CROSS JOIN embeddings e
   WHERE q.vec_id < 10 AND e.vec_id != q.vec_id

@@ -120,6 +120,35 @@ def test_self_link_triangular(ray_session):
     assert all(s < t for s, t in pairs)
 
 
+def test_unambiguous_filter_drops_multilink_sources(ray_session):
+    """LinkFilter unambiguous mode (Filter.scala:46-57): sources with >1
+    distinct link are dropped entirely; single-link sources survive."""
+    import ray.data as rd
+
+    from silk_ray.linking.pipeline import generate_links
+
+    src = pa.table({"uri": ["s1", "s2"], "name": ["alpha", "beta"]})
+    tgt = pa.table({"uri": ["t1", "t2", "t3"], "name": ["alpha", "alpha", "beta"]})
+    op = {
+        "metric": "equality",
+        "threshold": 0.0,
+        "source": {"path": "name"},
+        "target": {"path": "name"},
+    }
+
+    plain = generate_links(
+        rd.from_arrow(src), rd.from_arrow(tgt), {"operator": op}
+    ).to_pandas()
+    assert set(zip(plain.source, plain.target)) == {("s1", "t1"), ("s1", "t2"), ("s2", "t3")}
+
+    unamb = generate_links(
+        rd.from_arrow(src),
+        rd.from_arrow(tgt),
+        {"operator": op, "filter_limit": 1, "filter_unambiguous": True},
+    ).to_pandas()
+    assert set(zip(unamb.source, unamb.target)) == {("s2", "t3")}
+
+
 def test_salting_preserves_results(ray_session, fixture_tables):
     import ray.data as rd
 
