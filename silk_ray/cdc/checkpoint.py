@@ -8,7 +8,8 @@ Exactly-once design (north_rule; SURVEY.md §7.1 step 5):
       _manifest.json                 # current epoch + per-partition file & HWM (atomic swap)
       _checkpoints/offsets-{E}.json  # append-only commit log (one per epoch)
       _metrics/epoch-{E}.json        # per-epoch lineage + metrics
-      partitions/p={P}/epoch-{E}.parquet
+      partitions/p={P}/epoch-{E}.parquet    # per-epoch DELTA (upserts + tombstones)
+      partitions/p={P}/compact-{E}.parquet  # compacted chain (LSM)
       dirty/p={P}/epoch-{E}.parquet  # changed-entity delta (incremental linking)
       links/...                      # maintained link table
 
@@ -31,7 +32,8 @@ class Manifest:
     def __init__(self, epoch: int, next_offset: int, partitions: dict[int, dict]):
         self.epoch = epoch
         self.next_offset = next_offset
-        # pid -> {"file": relpath | None, "hwm": int, "rows": int}
+        # pid -> {"files": [relpath, ...] (delta chain, oldest first),
+        #         "hwm": int, "rows": int, "epoch": int}
         self.partitions = partitions
 
     @staticmethod
@@ -116,7 +118,13 @@ def partition_dir(root: str, pid: int) -> str:
 
 
 def partition_file(root: str, pid: int, epoch: int) -> str:
+    """Per-epoch DELTA file of a lake partition (LSM chain member)."""
     return os.path.join(partition_dir(root, pid), f"epoch-{epoch:06d}.parquet")
+
+
+def compact_file(root: str, pid: int, epoch: int) -> str:
+    """Compacted chain of a lake partition (chain resets to this file)."""
+    return os.path.join(partition_dir(root, pid), f"compact-{epoch:06d}.parquet")
 
 
 def dirty_file(root: str, pid: int, epoch: int) -> str:

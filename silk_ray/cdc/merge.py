@@ -1,100 +1,219 @@
-"""Commit-ordered, idempotent merge-apply of changelog epochs into the lake.
+"""Commit-ordered, idempotent, **delta-native** merge-apply of changelog
+epochs into the lake.
 
-The stateful heart of the engine (north_rule; SURVEY.md §7.0/§7.1 step 5):
+The stateful heart of the engine (north_rule; SURVEY.md §7.0/§7.1 step 5),
+LSM-style so per-epoch cost is O(delta), not O(state):
 
 - events for epoch E = offset window ``[next_offset, next_offset+size)``
   read with Parquet row-group pushdown;
 - key partitioning: ``pid = crc32(repo \\x00 path) % P`` added in a
-  vectorized ``map_batches`` stage, then ``groupby("pid")`` co-locates
-  every key's events (the shuffle key reused by all lake operations);
-- per-partition merge task (``map_groups``): read the current partition
-  file, skip events at-or-below the partition HWM and duplicate
-  offsets, apply in offset order (last-writer-wins; ``D`` deletes),
-  sort state by (repo, path) and write the new partition file
-  atomically. Deterministic bytes ⇒ task retries and epoch replays
-  converge (exactly-once = idempotence + atomic manifest swap);
+  ``map_batches`` stage (the crc is also persisted as the ``_kh`` row
+  key-hash used for row-group pruning), then ``groupby("pid")``
+  co-locates every key's events — the shuffle key reused by all lake
+  operations;
+- per-partition merge task (``map_groups``), fully vectorized Arrow:
+
+  1. drop events at-or-below the partition HWM and duplicate offsets
+     (sort + neighbor-compare masks);
+  2. reduce to the **net** last event per key (last-writer-wins within
+     the epoch: sort by (key, offset), keep last per key);
+  3. look up the pre-epoch payload of just the changed keys from the
+     partition's delta chain (reads filtered on ``_kh`` so Parquet
+     row-group statistics prune untouched row groups);
+  4. write ONE per-epoch **delta file**: net upserts (full payload +
+     ``_offset``) and tombstones (``_deleted=true``) — never a rewrite
+     of the whole partition;
+  5. when the chain exceeds ``LAKE_COMPACT_AT`` files, reconcile it
+     (newest-file-wins per key, tombstones drop out) and rewrite one
+     compact file — the only O(partition-state) moment, amortized
+     1/LAKE_COMPACT_AT per epoch.
+
+  Deterministic bytes ⇒ task retries and epoch replays converge
+  (exactly-once = idempotence + atomic manifest swap);
 - schema evolution: new event payload columns are unified into the
-  state schema (missing → null); renamed columns are mapped through a
-  Silk-style DirectMapping rename (EntitySchema.renameProperty,
-  silk-core/.../entity/EntitySchema.scala:147-153);
+  state schema (missing → null, on both sides); renamed columns are
+  mapped through a Silk-style DirectMapping rename
+  (EntitySchema.renameProperty, silk-core/.../entity/EntitySchema.scala:147-153);
 - each epoch also writes a per-partition *dirty delta* (old + new
-  payload per changed key) consumed by incremental re-linking, plus
-  lineage metrics (events applied, skew ratio, rows).
+  payload per changed key, **typed** per the unified schema) consumed
+  by incremental re-linking, plus lineage metrics (events applied,
+  skew ratio, live rows tracked incrementally).
 
 State is never authoritative in RAM: everything reconstructs from
-(lake snapshot + offset log) — SURVEY.md §7.3 "actor-state restart".
+(lake delta chains + offset log) — SURVEY.md §7.3 "actor-state restart".
 """
 
 from __future__ import annotations
 
+import os
 import zlib
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from silk_ray.cdc import checkpoint as ckpt
 
 KEY_COLS = ("repo", "path")
 META_COLS = ("offset", "op")
+INTERNAL_COLS = ("_offset", "_deleted", "_kh")
 DEFAULT_PARTITIONS = 64
+LAKE_COMPACT_AT = 8  # delta files per lake partition before compaction
 
 
 def key_partition(repo: str, path: str, num_partitions: int) -> int:
     return zlib.crc32(f"{repo}\x00{path}".encode()) % num_partitions
 
 
+def _crc_keys(keys: list[bytes]) -> np.ndarray:
+    return np.fromiter((zlib.crc32(k) for k in keys), dtype=np.int64, count=len(keys))
+
+
 def add_pid_column(num_partitions: int):
+    """Append ``_kh`` (stable key hash, persisted for row-group pruning)
+    and ``pid`` (= _kh % P, the merge shuffle key)."""
+
     def fn(batch: pa.Table) -> pa.Table:
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        pids = [key_partition(r, p, num_partitions) for r, p in zip(repos, paths)]
-        return batch.append_column("pid", pa.array(pids, pa.int32()))
+        joined = pc.binary_join_element_wise(
+            pc.cast(batch["repo"], pa.binary()), pc.cast(batch["path"], pa.binary()), b"\x00"
+        )
+        kh = _crc_keys(joined.to_pylist())
+        batch = batch.append_column("_kh", pa.array(kh, pa.int64()))
+        return batch.append_column("pid", pa.array(kh % num_partitions, pa.int32()))
 
     return fn
 
 
+def _key_column(table: pa.Table) -> pa.Array:
+    """repo \\x00 path composite key as a single Array."""
+    return _as_array(pc.binary_join_element_wise(table["repo"], table["path"], "\x00"))
+
+
 def _payload_columns(event_schema: pa.Schema) -> list[str]:
-    return [n for n in event_schema.names if n not in META_COLS and n != "pid"]
+    return [n for n in event_schema.names if n not in META_COLS and n not in ("pid", "_kh")]
 
 
-def _unify_schema(state: pa.Table | None, payload_cols: list[str], event_table: pa.Table) -> pa.Schema:
-    """Union of existing state schema and event payload columns."""
+def _as_array(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _first_occurrence_mask(arr) -> pa.Array:
+    """True at rows whose value differs from the previous row (input
+    must be sorted by this column)."""
+    arr = _as_array(arr)
+    n = len(arr)
+    if n <= 1:
+        return pa.array([True] * n, pa.bool_())
+    neq = _as_array(pc.not_equal(arr.slice(1), arr.slice(0, n - 1)))
+    return pa.concat_arrays([pa.array([True]), neq])
+
+
+def _last_occurrence_mask(arr) -> pa.Array:
+    """True at the LAST row of each equal-value run (sorted input)."""
+    arr = _as_array(arr)
+    n = len(arr)
+    if n <= 1:
+        return pa.array([True] * n, pa.bool_())
+    neq = _as_array(pc.not_equal(arr.slice(1), arr.slice(0, n - 1)))
+    return pa.concat_arrays([neq, pa.array([True])])
+
+
+def _unify_chain_schema(tables: list[pa.Table]) -> pa.Schema:
+    """Union of payload schemas across chain files (insertion order:
+    oldest file first, new columns appended as they appear)."""
     fields: dict[str, pa.Field] = {}
-    if state is not None:
-        for f in state.schema:
-            if f.name != "_offset":
+    for t in tables:
+        for f in t.schema:
+            if f.name not in fields:
                 fields[f.name] = f
-    for c in payload_cols:
-        if c not in fields:
-            fields[c] = pa.field(c, event_table.schema.field(c).type)
-    fields["_offset"] = pa.field("_offset", pa.int64())
     return pa.schema(list(fields.values()))
+
+
+def _pad_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = {}
+    for f in schema:
+        if f.name in t.column_names:
+            col = t[f.name]
+            cols[f.name] = col if col.type == f.type else pc.cast(col, f.type)
+        else:
+            cols[f.name] = pa.nulls(t.num_rows, f.type)
+    return pa.table(cols)
+
+
+def reconcile_tables(tables: list[pa.Table]) -> pa.Table:
+    """Reconcile a delta chain (ordered oldest→newest): for each
+    (repo, path) key only the newest file's row is authoritative;
+    tombstone rows (``_deleted``) drop the key. Output keeps the
+    internal ``_offset``/``_kh`` columns, drops ``_deleted``."""
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.schema(
+            [pa.field("repo", pa.string()), pa.field("path", pa.string())]
+        ).empty_table()
+    schema = _unify_chain_schema(tables)
+    parts = []
+    for i, t in enumerate(tables):
+        t = _pad_to_schema(t, schema)
+        parts.append(t.append_column("_fidx", pa.array(np.full(t.num_rows, i, np.int32))))
+    allt = pa.concat_tables(parts)
+    allt = allt.append_column("_k", _key_column(allt))
+    order = pc.sort_indices(
+        allt, sort_keys=[("_k", "ascending"), ("_fidx", "descending")]
+    )
+    allt = allt.take(order)
+    mask = _first_occurrence_mask(allt["_k"].combine_chunks())
+    live = allt.filter(mask)
+    if "_deleted" in live.column_names:
+        live = live.filter(
+            pc.invert(pc.fill_null(live["_deleted"], False))
+        ).drop_columns(["_deleted"])
+    return live.drop_columns(["_fidx", "_k"])
+
+
+def _read_chain(root: str, files: list[str], kh_filter: pa.Array | None = None) -> list[pa.Table]:
+    """Read a partition's delta chain; with ``kh_filter`` set, reads are
+    filtered on the persisted ``_kh`` key hash so Parquet row-group
+    statistics can prune row groups holding no changed key."""
+    out = []
+    for f in files:
+        path = os.path.join(root, f)
+        if kh_filter is not None:
+            t = pq.read_table(path, filters=pc.field("_kh").isin(kh_filter))
+        else:
+            t = pq.read_table(path)
+        out.append(t)
+    return out
 
 
 class MergePartition:
     """Per-partition merge task body. Instantiated on the driver with the
-    epoch's small control state (HWM map, paths) and shipped to tasks."""
+    epoch's small control state (HWM map, chain map) and shipped to tasks."""
 
     def __init__(
         self,
         root: str,
         epoch: int,
         hwm: dict[int, int],
-        part_files: dict[int, str | None],
+        part_files: dict[int, list[str]],
+        part_rows: dict[int, int],
         renames: dict[str, str] | None = None,
         link_spec: dict | None = None,
         n_block_partitions: int = 64,
+        compact_at: int = LAKE_COMPACT_AT,
     ):
         self.root = root
         self.epoch = epoch
         self.hwm = hwm
         self.part_files = part_files
+        self.part_rows = part_rows
         self.renames = renames or {}  # event column -> state column
         # fused incremental-linking delta index: computing blocking-key
         # deltas here (while the dirty payloads are already in memory)
         # saves a whole Ray execution + dirty-file re-read per epoch
         self.link_spec = link_spec
         self.n_block_partitions = n_block_partitions
+        self.compact_at = compact_at
         self._delta_stage = None
 
     def _get_delta_stage(self):
@@ -110,120 +229,236 @@ class MergePartition:
         return self._delta_stage
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import os
-
         pid = int(group["pid"][0].as_py())
-        events = group.sort_by("offset")
+        events = group.drop_columns(["pid"])
         if self.renames:
             names = [self.renames.get(n, n) for n in events.column_names]
             events = events.rename_columns(names)
+
+        chain = list(self.part_files.get(pid) or [])
+        hwm = self.hwm.get(pid, -1)
+        prev_rows = int(self.part_rows.get(pid, 0))
+
+        # -- 1. HWM + duplicate-offset filtering (vectorized) -----------
+        n_in = events.num_rows
+        ev = events.filter(pc.greater(events["offset"], hwm))
+        below_hwm = n_in - ev.num_rows
+        ev = ev.sort_by("offset")
+        first = _first_occurrence_mask(ev["offset"].combine_chunks())
+        dup_skipped = ev.num_rows - int(pc.sum(first).as_py() or 0)
+        ev = ev.filter(first)
+        applied = ev.num_rows
+        new_hwm = int(ev["offset"][-1].as_py()) if applied else hwm
+        upserts = int(
+            pc.sum(pc.cast(pc.not_equal(ev["op"], "D"), pa.int64())).as_py() or 0
+        )
+
+        # -- 2. net last event per key -----------------------------------
+        ev = ev.append_column("_k", _key_column(ev))
+        order = pc.sort_indices(ev, sort_keys=[("_k", "ascending"), ("offset", "ascending")])
+        ev = ev.take(order)
+        net = ev.filter(_last_occurrence_mask(ev["_k"].combine_chunks()))
         payload_cols = _payload_columns(events.schema)
 
-        old_file = self.part_files.get(pid)
-        state: pa.Table | None = None
-        if old_file:
-            state = pq.read_table(os.path.join(self.root, old_file))
-        schema = _unify_schema(state, payload_cols, events)
-        state_cols = [f.name for f in schema if f.name != "_offset"]
+        # -- 3. pre-epoch payload of changed keys (pruned chain read) ----
+        old = None
+        if net.num_rows and chain:
+            kh_filter = pc.unique(net["_kh"].combine_chunks())
+            old = reconcile_tables(_read_chain(self.root, chain, kh_filter))
+            old = old.append_column("_k", _key_column(old))
+            # exact-match (crc is just the prefilter)
+            old = old.filter(pc.is_in(old["_k"], value_set=net["_k"].combine_chunks()))
 
-        # current state as dict keyed by (repo, path)
-        current: dict[tuple, dict] = {}
-        if state is not None:
-            for row in state.to_pylist():
-                current[(row["repo"], row["path"])] = {c: row.get(c) for c in state_cols + ["_offset"]}
+        state_schema = self._state_schema(net, old, payload_cols)
+        state_cols = [
+            f.name for f in state_schema if f.name not in ("_offset", "_deleted", "_kh")
+        ]
 
-        hwm = self.hwm.get(pid, -1)
-        seen_offsets: set[int] = set()
-        applied = dup_skipped = below_hwm = upserts = deletes = 0
-        dirty: dict[tuple, dict] = {}
+        # align old rows to net rows positionally (delta-sized python
+        # index; payload stays in Arrow)
+        old_idx_by_key: dict = {}
+        if old is not None and old.num_rows:
+            for i, k in enumerate(old["_k"].to_pylist()):
+                old_idx_by_key[k] = i
+        net_keys = net["_k"].to_pylist()
+        net_ops = net["op"].to_pylist()
+        old_pos = [old_idx_by_key.get(k, -1) for k in net_keys]  # -1 = absent
 
-        ev_rows = events.to_pylist()
-        for ev in ev_rows:
-            off = ev["offset"]
-            if off <= hwm:
-                below_hwm += 1
-                continue
-            if off in seen_offsets:
-                dup_skipped += 1
-                continue
-            seen_offsets.add(off)
-            applied += 1
-            k = (ev["repo"], ev["path"])
-            old_row = current.get(k)
-            if k not in dirty:
-                dirty[k] = {"old": dict(old_row) if old_row else None}
-            if ev["op"] == "D":
-                if k in current:
-                    del current[k]
-                    deletes += 1
+        is_del = np.array([op == "D" for op in net_ops])
+        had_old = np.array([p >= 0 for p in old_pos])
+        inserts_net = int((~is_del & ~had_old).sum())
+        deletes_net = int((is_del & had_old).sum())
+        new_rows = prev_rows + inserts_net - deletes_net
+
+        # -- 4. epoch delta file: upserts + tombstones --------------------
+        keep = ~is_del | had_old  # net-D with no prior row → nothing at all
+        keep_arr = pa.array(keep)
+        delta_src = net.filter(keep_arr)
+        d_is_del = pa.array(is_del[keep])
+        delta_cols: dict[str, pa.Array] = {}
+        for name in state_cols:
+            if name in KEY_COLS:
+                delta_cols[name] = delta_src[name].combine_chunks()
+            elif name in delta_src.column_names:
+                ftype = state_schema.field(name).type
+                col = delta_src[name]
+                col = col if col.type == ftype else pc.cast(col, ftype)
+                # tombstones carry no payload
+                delta_cols[name] = pc.if_else(
+                    d_is_del, pa.nulls(delta_src.num_rows, ftype), col.combine_chunks()
+                )
             else:
-                row = {c: ev.get(c) for c in state_cols}
-                row["_offset"] = off
-                current[k] = row
-                upserts += 1
-        new_hwm = max(seen_offsets) if seen_offsets else hwm
+                delta_cols[name] = pa.nulls(
+                    delta_src.num_rows, state_schema.field(name).type
+                )
+        delta_cols["_offset"] = delta_src["offset"].combine_chunks()
+        delta_cols["_deleted"] = d_is_del
+        delta_cols["_kh"] = delta_src["_kh"].combine_chunks()
+        delta_table = pa.table(delta_cols).sort_by(
+            [("_kh", "ascending"), ("repo", "ascending"), ("path", "ascending")]
+        )
+        delta_path = ckpt.partition_file(self.root, pid, self.epoch)
+        ckpt.atomic_write_parquet(delta_table, delta_path)
+        chain.append(os.path.relpath(delta_path, self.root))
 
-        # deterministic state: sort by natural key (SURVEY.md §4 ordering)
-        ordered_keys = sorted(current.keys())
-        out_cols = {}
-        for f in schema:
-            out_cols[f.name] = pa.array([current[k].get(f.name) for k in ordered_keys], type=f.type)
-        new_state = pa.table(out_cols)
-        part_path = ckpt.partition_file(self.root, pid, self.epoch)
-        ckpt.atomic_write_parquet(new_state, part_path)
+        # -- 5. compaction: bound the chain length ------------------------
+        if len(chain) > self.compact_at:
+            full = reconcile_tables(_read_chain(self.root, chain))
+            full = full.sort_by(
+                [("_kh", "ascending"), ("repo", "ascending"), ("path", "ascending")]
+            )
+            full = full.append_column(
+                "_deleted", pa.array(np.zeros(full.num_rows, dtype=bool))
+            )
+            compact_path = ckpt.compact_file(self.root, pid, self.epoch)
+            ckpt.atomic_write_parquet(full, compact_path)
+            chain = [os.path.relpath(compact_path, self.root)]
 
-        # dirty delta for incremental re-linking
-        dirty_keys = sorted(dirty.keys())
-        d_cols: dict[str, list] = {"repo": [], "path": [], "change": []}
-        for c in state_cols:
-            if c not in KEY_COLS:
-                d_cols[f"new_{c}"] = []
-                d_cols[f"old_{c}"] = []
-        for k in dirty_keys:
-            new_row = current.get(k)
-            old_row = dirty[k]["old"]
-            if new_row is None and old_row is None:
-                continue  # inserted then deleted within the epoch, never linked
-            d_cols["repo"].append(k[0])
-            d_cols["path"].append(k[1])
-            d_cols["change"].append("D" if new_row is None else ("I" if old_row is None else "U"))
-            for c in state_cols:
-                if c in KEY_COLS:
-                    continue
-                d_cols[f"new_{c}"].append(None if new_row is None else new_row.get(c))
-                d_cols[f"old_{c}"].append(None if old_row is None else old_row.get(c))
-        dirty_table = pa.table({k: pa.array(v, pa.string() if k != "change" else pa.string()) for k, v in d_cols.items()})
+        # -- 6. dirty delta for incremental re-linking (typed) ------------
+        dirty_table = self._dirty_table(
+            net, old, old_pos, is_del, had_old, state_schema, state_cols
+        )
         ckpt.atomic_write_parquet(dirty_table, ckpt.dirty_file(self.root, pid, self.epoch))
 
         # fused delta index: write blockmap shards + linker summary now
         delta_stage = self._get_delta_stage()
         if delta_stage is not None:
             summary = delta_stage(dirty_table)
-            import os as _os2
-
-            summary_path = _os2.path.join(
+            summary_path = os.path.join(
                 self.root, "summaries", f"p={pid:05d}", f"epoch-{self.epoch:06d}.parquet"
             )
             ckpt.atomic_write_parquet(summary, summary_path)
 
-        import os as _os
-
-        rel = _os.path.relpath(part_path, self.root)
         return pa.table(
             {
                 "pid": pa.array([pid], pa.int32()),
-                "events_in": pa.array([len(ev_rows)], pa.int64()),
+                "events_in": pa.array([n_in], pa.int64()),
                 "applied": pa.array([applied], pa.int64()),
                 "dup_skipped": pa.array([dup_skipped], pa.int64()),
                 "below_hwm": pa.array([below_hwm], pa.int64()),
                 "upserts": pa.array([upserts], pa.int64()),
-                "deletes": pa.array([deletes], pa.int64()),
-                "rows": pa.array([new_state.num_rows], pa.int64()),
+                "deletes": pa.array([deletes_net], pa.int64()),
+                "rows": pa.array([new_rows], pa.int64()),
                 "hwm": pa.array([new_hwm], pa.int64()),
-                "file": pa.array([rel], pa.string()),
+                "files": pa.array([chain], pa.list_(pa.string())),
                 "dirty": pa.array([dirty_table.num_rows], pa.int64()),
             }
         )
+
+    def _state_schema(
+        self, net: pa.Table, old: pa.Table | None, payload_cols: list[str]
+    ) -> pa.Schema:
+        """Union of pre-epoch chain schema and event payload columns."""
+        fields: dict[str, pa.Field] = {}
+        if old is not None:
+            for f in old.schema:
+                if f.name not in ("_offset", "_kh", "_k"):
+                    fields[f.name] = f
+        for c in payload_cols:
+            if c not in fields:
+                fields[c] = pa.field(c, net.schema.field(c).type)
+        return pa.schema(list(fields.values()))
+
+    def _dirty_table(
+        self,
+        net: pa.Table,
+        old: pa.Table | None,
+        old_pos: list[int],
+        is_del: np.ndarray,
+        had_old: np.ndarray,
+        state_schema: pa.Schema,
+        state_cols: list[str],
+    ) -> pa.Table:
+        """(repo, path, change, new_*, old_*) per changed key, typed per
+        the unified state schema; keys inserted-then-deleted within the
+        epoch (no old, no new) are excluded."""
+        keep = ~(is_del & ~had_old)
+        keep_arr = pa.array(keep)
+        src = net.filter(keep_arr)
+        k_is_del = is_del[keep]
+        k_had_old = had_old[keep]
+        take_old = pa.array(
+            [p if p >= 0 else None for p, kp in zip(old_pos, keep) if kp],
+            pa.int64(),
+        )
+        change = np.where(k_is_del, "D", np.where(k_had_old, "U", "I"))
+        cols: dict[str, pa.Array] = {
+            "repo": src["repo"].combine_chunks(),
+            "path": src["path"].combine_chunks(),
+            "change": pa.array(change.tolist(), pa.string()),
+        }
+        n = src.num_rows
+        del_mask = pa.array(k_is_del)
+        for c in state_cols:
+            if c in KEY_COLS:
+                continue
+            ftype = state_schema.field(c).type
+            if c in src.column_names:
+                col = src[c]
+                col = col if col.type == ftype else pc.cast(col, ftype)
+                cols[f"new_{c}"] = pc.if_else(del_mask, pa.nulls(n, ftype), col.combine_chunks())
+            else:
+                cols[f"new_{c}"] = pa.nulls(n, ftype)
+            if old is not None and c in old.column_names:
+                ocol = old[c].combine_chunks()
+                ocol = ocol if ocol.type == ftype else pc.cast(ocol, ftype)
+                cols[f"old_{c}"] = ocol.take(take_old)
+            else:
+                cols[f"old_{c}"] = pa.nulls(n, ftype)
+        return pa.table(cols).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def _next_existing_offset(changelog, lo: int) -> int | None:
+    """Smallest changelog offset >= lo, or None when exhausted. For
+    Parquet changelogs this scans fragment row-group statistics first,
+    reading only candidate row groups (offset-gap resilience)."""
+    if isinstance(changelog, pa.Table):
+        t = changelog.filter(pc.greater_equal(changelog["offset"], lo))
+        if t.num_rows == 0:
+            return None
+        return int(pc.min(t["offset"]).as_py())
+
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(changelog, format="parquet")
+    best: int | None = None
+    for frag in dataset.get_fragments():
+        try:
+            frag.ensure_complete_metadata()
+            rg_stats = [
+                rg.statistics.get("offset") if rg.statistics else None
+                for rg in frag.row_groups
+            ]
+        except Exception:
+            rg_stats = None
+        if rg_stats and all(s is not None for s in rg_stats):
+            if all(s["max"] < lo for s in rg_stats):
+                continue
+        t = frag.to_table(columns=["offset"], filter=pc.field("offset") >= lo)
+        if t.num_rows:
+            m = int(pc.min(t["offset"]).as_py())
+            best = m if best is None else min(best, m)
+    return best
 
 
 def run_epoch(
@@ -234,21 +469,24 @@ def run_epoch(
     renames: dict[str, str] | None = None,
     link_spec: dict | None = None,
     n_block_partitions: int = 64,
+    compact_at: int = LAKE_COMPACT_AT,
 ) -> dict | None:
     """Tail one epoch window off the changelog and merge-apply it.
 
     ``changelog`` is a parquet path/dir (the binlog segments) or an
     in-memory ``pa.Table`` (tests). Returns the epoch metrics dict, or
-    None when no events remain.
+    None when no events remain. Offset gaps larger than one window are
+    skipped over (the window anchors at the next existing offset).
     """
     import ray.data as rd
 
     manifest = ckpt.read_manifest(root)
     lo = manifest.next_offset
+    nxt = _next_existing_offset(changelog, lo)
+    if nxt is None:
+        return None
+    lo = max(lo, nxt)
     hi = lo + epoch_size
-
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
     flt = (pc.field("offset") >= lo) & (pc.field("offset") < hi)
     if isinstance(changelog, pa.Table):
@@ -265,11 +503,13 @@ def run_epoch(
 
     epoch = manifest.epoch + 1
     hwm = {pid: info["hwm"] for pid, info in manifest.partitions.items()}
-    part_files = {pid: info["file"] for pid, info in manifest.partitions.items()}
+    part_files = {pid: info["files"] for pid, info in manifest.partitions.items()}
+    part_rows = {pid: info.get("rows", 0) for pid, info in manifest.partitions.items()}
 
     merger = MergePartition(
-        root, epoch, hwm, part_files, renames,
+        root, epoch, hwm, part_files, part_rows, renames,
         link_spec=link_spec, n_block_partitions=n_block_partitions,
+        compact_at=compact_at,
     )
 
     def merge_group(group: pa.Table) -> pa.Table:
@@ -286,7 +526,7 @@ def run_epoch(
     new_partitions = dict(manifest.partitions)
     for r in metrics_rows:
         new_partitions[int(r["pid"])] = {
-            "file": r["file"],
+            "files": list(r["files"]),
             "hwm": int(r["hwm"]),
             "rows": int(r["rows"]),
             "epoch": epoch,
@@ -298,7 +538,10 @@ def run_epoch(
     )
     ckpt.commit_manifest(root, new_manifest, window=(lo, hi))
 
-    per_part = {int(r["pid"]): {k: int(v) for k, v in r.items() if k not in ("pid", "file")} for r in metrics_rows}
+    per_part = {
+        int(r["pid"]): {k: int(v) for k, v in r.items() if k not in ("pid", "files")}
+        for r in metrics_rows
+    }
     events_per_part = [r["events_in"] for r in metrics_rows]
     mean_ev = sum(events_per_part) / len(events_per_part)
     metrics = {
@@ -307,7 +550,8 @@ def run_epoch(
         "events_applied": int(sum(r["applied"] for r in metrics_rows)),
         "dup_skipped": int(sum(r["dup_skipped"] for r in metrics_rows)),
         "below_hwm": int(sum(r["below_hwm"] for r in metrics_rows)),
-        "rows_total": int(sum(r["rows"] for r in metrics_rows)),
+        "rows_total": int(sum(r["rows"] for r in metrics_rows))
+        + int(sum(part_rows.get(pid, 0) for pid in part_rows if pid not in per_part)),
         "dirty_total": int(sum(r["dirty"] for r in metrics_rows)),
         "partitions_touched": len(metrics_rows),
         "skew_ratio": (max(events_per_part) / mean_ev) if mean_ev else 0.0,
@@ -332,47 +576,60 @@ def run_to_completion(root: str, changelog, epoch_size: int = 100_000, **kw) -> 
 # ---------------------------------------------------------------------------
 
 
-def current_files(root: str) -> list[str]:
-    import os
-
+def partition_chains(root: str) -> dict[int, list[str]]:
+    """pid → ordered delta-chain file paths (absolute)."""
     manifest = ckpt.read_manifest(root)
-    return [
-        os.path.join(root, info["file"])
-        for _, info in sorted(manifest.partitions.items())
-        if info["file"]
-    ]
+    return {
+        pid: [os.path.join(root, f) for f in info.get("files", [])]
+        for pid, info in sorted(manifest.partitions.items())
+        if info.get("files")
+    }
+
+
+def _load_partition(files: list[str], drop_internal: bool = True) -> pa.Table:
+    t = reconcile_tables([pq.read_table(f) for f in files])
+    if drop_internal:
+        t = t.drop_columns([c for c in ("_kh",) if c in t.column_names])
+    return t
 
 
 def snapshot_dataset(root: str):
-    """The lake's current state as a Ray Dataset (streaming read)."""
+    """The lake's current state as a Ray Dataset: one reconcile task per
+    partition chain (streaming; never materializes the lake)."""
     import ray.data as rd
 
-    files = current_files(root)
-    if not files:
+    chains = partition_chains(root)
+    if not chains:
         import pandas as pd
 
         return rd.from_pandas(pd.DataFrame({"repo": [], "path": []}))
-    return rd.read_parquet(files)
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = [_load_partition(row["files"]) for row in batch.to_pylist()]
+        return out[0] if len(out) == 1 else pa.concat_tables(out, promote_options="default")
+
+    return rd.from_items(
+        [{"pid": pid, "files": files} for pid, files in chains.items()]
+    ).map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
 def state_table(root: str, drop_offset: bool = True) -> pa.Table:
-    """Driver-side full state (tests / small lakes only), sorted by key."""
-    files = current_files(root)
-    if not files:
+    """Driver-side full state (tests / small lakes only), sorted by key;
+    chain schemas unified (evolution-added columns null-padded)."""
+    chains = partition_chains(root)
+    if not chains:
         return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
-    tables = [pq.read_table(f) for f in files]
-    schema = tables[0].schema
-    aligned = []
-    for t in tables:
-        cols = []
-        for f in schema:
-            cols.append(t[f.name] if f.name in t.column_names else pa.nulls(t.num_rows, f.type))
-        aligned.append(pa.table(dict(zip(schema.names, cols))))
-    out = pa.concat_tables(aligned, promote_options="default").sort_by(
+    tables = [_load_partition(files) for files in chains.values()]
+    schema = _unify_chain_schema([t for t in tables if t.num_rows]) if any(
+        t.num_rows for t in tables
+    ) else tables[0].schema
+    aligned = [_pad_to_schema(t, schema) for t in tables]
+    out = pa.concat_tables(aligned).sort_by(
         [("repo", "ascending"), ("path", "ascending")]
     )
-    if drop_offset and "_offset" in out.column_names:
-        out = out.drop_columns(["_offset"])
+    drop = [c for c in (("_offset",) if drop_offset else ()) if c in out.column_names]
+    if drop:
+        out = out.drop_columns(drop)
     return out
 
 

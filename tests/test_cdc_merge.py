@@ -98,6 +98,27 @@ def test_manifest_and_offset_log(ray_session, changelog, tmp_path):
     assert all("skew_ratio" in m for m in metrics)
 
 
+def test_lsm_chain_compacts_and_stays_correct(ray_session, changelog, tmp_path):
+    """Many small epochs: delta chains stay bounded by compact_at and the
+    reconciled state still matches the sequential oracle."""
+    root = str(tmp_path / "lake")
+    metrics = run_to_completion(
+        root, changelog, epoch_size=100, num_partitions=2, compact_at=4
+    )
+    assert len(metrics) == 12
+    manifest = ckpt.read_manifest(root)
+    assert manifest.partitions
+    for _pid, info in manifest.partitions.items():
+        assert 1 <= len(info["files"]) <= 5  # compact_at + this epoch's delta
+    assert any(
+        any("compact-" in f for f in info["files"])
+        for info in manifest.partitions.values()
+    )
+    assert _strip(_engine_state(root)) == _strip(_oracle_state(changelog))
+    # live-row tracking matches the actual reconciled state
+    assert metrics[-1]["rows_total"] == state_table(root).num_rows
+
+
 def test_schema_evolution(ray_session, tmp_path):
     """Events switch to an evolved schema mid-stream: added `branch`
     column, `language` renamed to `lang` through a transform-rule-style
