@@ -14,6 +14,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 
@@ -97,6 +98,116 @@ class MinHasher:
         )
 
 
+def _sketch_of(text: str, k: int) -> np.ndarray:
+    """Sorted unique crc32 hashes of the doc's word k-shingles — the
+    compact per-doc payload that replaces raw text in every shuffle.
+    Jaccard over hashed shingles equals Jaccard over the shingles
+    themselves (up to crc collisions)."""
+    sh = shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint32)
+    return np.unique(np.fromiter((zlib.crc32(s.encode()) for s in sh), np.uint32, len(sh)))
+
+
+def _candidate_pairs(band_rows, id_col: str):
+    """(bucket, id) rows → distinct (left_id, right_id) candidate pairs
+    with left < right. Only ids move through both shuffles."""
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        id_type = group[id_col].type
+        uniq = sorted(set(group[id_col].to_pylist()))
+        ls, rs = [], []
+        for x in range(len(uniq)):
+            for y in range(x + 1, len(uniq)):
+                ls.append(uniq[x])
+                rs.append(uniq[y])
+        return pa.table({"left_id": pa.array(ls, id_type), "right_id": pa.array(rs, id_type)})
+
+    pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+    # same pair can surface from several buckets → distinct
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["left_id", "right_id"]).aggregate(Count()).drop_columns(["count()"])
+
+
+def _attach_sketch(pairs, sketches, id_col: str, pair_key: str, carry: list[str], out_name: str):
+    """Hash-shuffle equi-join of the per-doc sketch onto pair rows,
+    expressed as union + groupby(key) + map_groups (no Dataset.join:
+    Arrow's hash join rejects list payloads and its aggregator pool can
+    deadlock when partitions exceed session CPUs). Inner semantics:
+    pair rows whose key has no sketch row are dropped. ``carry`` columns
+    ending in ``_l``/``_r`` are binary sketches; the rest are doc ids."""
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        cols = {"_jk": b[pair_key], "_side": pa.array(np.ones(b.num_rows, np.int8))}
+        for c in carry:
+            cols[c] = b[c]
+        cols[out_name] = pa.nulls(b.num_rows, pa.binary())
+        return pa.table(cols)
+
+    def tag_sketches(b: pa.Table) -> pa.Table:
+        id_type = b[id_col].type
+        cols = {"_jk": b[id_col], "_side": pa.array(np.zeros(b.num_rows, np.int8))}
+        for c in carry:
+            ctype = pa.binary() if c.endswith(("_l", "_r")) else id_type
+            cols[c] = pa.nulls(b.num_rows, ctype)
+        cols[out_name] = b["sketch"]
+        return pa.table(cols)
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sketches.map_batches(tag_sketches, batch_format="pyarrow")
+    )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        sk_rows = np.flatnonzero(side == 0)
+        pair_rows = np.flatnonzero(side == 1)
+        out_schema = pa.schema(
+            [g.schema.field(c) for c in carry] + [pa.field(out_name, pa.binary())]
+        )
+        if sk_rows.size == 0 or pair_rows.size == 0:
+            return out_schema.empty_table()
+        sketch_val = g[out_name][int(sk_rows[0])].as_py()
+        sub = g.take(pa.array(pair_rows))
+        cols = {c: sub[c] for c in carry}
+        cols[out_name] = pa.array([sketch_val] * sub.num_rows, pa.binary())
+        return pa.table(cols)
+
+    return tagged.groupby("_jk").map_groups(merge_group, batch_format="pyarrow")
+
+
+def _verify_pairs(pairs, sketches, id_col: str, threshold: float, score_col: str):
+    """Attach each side's shingle-hash sketch to the candidate pairs
+    (two hash-shuffle joins over pair-sized data) and compute the exact
+    Jaccard from the sorted sketches."""
+    left = _attach_sketch(pairs, sketches, id_col, "left_id", ["left_id", "right_id"], "sketch_l")
+    both = _attach_sketch(left, sketches, id_col, "right_id", ["left_id", "right_id", "sketch_l"], "sketch_r")
+
+    def score(batch: pa.Table) -> pa.Table:
+        id_type = batch["left_id"].type
+        ls, rs, js = [], [], []
+        for lid, rid, sl, sr in zip(
+            batch["left_id"].to_pylist(),
+            batch["right_id"].to_pylist(),
+            batch["sketch_l"].to_pylist(),
+            batch["sketch_r"].to_pylist(),
+        ):
+            a = np.frombuffer(sl or b"", dtype=np.uint32)
+            b = np.frombuffer(sr or b"", dtype=np.uint32)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                ls.append(lid)
+                rs.append(rid)
+                js.append(j)
+        return pa.table(
+            {"left_id": pa.array(ls, id_type), "right_id": pa.array(rs, id_type), score_col: pa.array(js, pa.float64())}
+        )
+
+    return both.map_batches(score, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -107,77 +218,64 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     concurrency=(1, 8),
 ):
-    """MinHash → band buckets → candidate pairs → shingle-Jaccard verify.
+    """MinHash → band buckets → candidate pairs → sketch-Jaccard verify.
 
     Returns a Dataset ``(left_id, right_id, jaccard)`` with left < right.
-    Classic shingle→minhash→band→bucket-groupby plan; verification
-    re-reads only candidate docs' shingle sets (carried through the
-    bucket shuffle as the signature + text hash, then verified with the
-    true Jaccard over re-tokenized shingles carried per row).
-    """
+    Classic shingle→minhash→band→bucket-groupby plan. Scale shape: the
+    band shuffle carries only ``(bucket, id)`` (raw text never leaves
+    the first stage — shuffle bytes per doc are O(bands·8), not
+    O(bands·|text|)); verification joins each side's compact
+    shingle-hash sketch onto the candidate pairs and computes the exact
+    Jaccard from the sketches (identical to shingle-set Jaccard)."""
     rows_per_band = n_perm // bands
 
-    class BandStage(MinHasher):
+    class SketchStage(MinHasher):
+        """Per doc: banded LSH bucket keys + the shingle-hash sketch."""
+
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            texts = batch[text_col].to_pylist()
-            out_band, out_bucket, out_id, out_text = [], [], [], []
-            for i, t in zip(ids, texts):
+            ids = batch[self.id_col].to_pylist()
+            texts = batch[self.text_col].to_pylist()
+            buckets = []
+            sk = []
+            for t in texts:
                 sig = self.signature(t)
-                for band in range(bands):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    bucket = zlib.crc32(chunk.tobytes())
-                    out_band.append(band)
-                    out_bucket.append((band << 32) | bucket)
-                    out_id.append(i)
-                    out_text.append(t)
+                sk.append(_sketch_of(t, self.k).tobytes())
+                buckets.append(
+                    [
+                        (band << 32) | zlib.crc32(sig[band * rows_per_band : (band + 1) * rows_per_band].tobytes())
+                        for band in range(bands)
+                    ]
+                )
             return pa.table(
                 {
-                    "bucket": pa.array(out_bucket, pa.int64()),
-                    id_col: pa.array(out_id),
-                    text_col: pa.array(out_text, pa.string()),
+                    self.id_col: batch[self.id_col],
+                    "buckets": pa.array(buckets, pa.list_(pa.int64())),
+                    "sketch": pa.array(sk, pa.binary()),
                 }
             )
 
-    banded = ds.map_batches(
-        BandStage,
+    sketched = ds.map_batches(
+        SketchStage,
         fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
 
-    def verify_bucket(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        texts = group[text_col].to_pylist()
-        seen = dict(zip(ids, texts))
-        uniq = sorted(seen)
-        # shingle sets computed once per doc, not once per pair
-        sets = {i: shingles(seen[i], k_shingle) for i in uniq}
-        ls, rs, js = [], [], []
-        for x in range(len(uniq)):
-            sx = sets[uniq[x]]
-            for y in range(x + 1, len(uniq)):
-                sy = sets[uniq[y]]
-                inter = len(sx & sy)
-                union = len(sx) + len(sy) - inter
-                j = inter / union if union else 0.0
-                if j >= jaccard_threshold:
-                    ls.append(uniq[x])
-                    rs.append(uniq[y])
-                    js.append(j)
-        return pa.table(
-            {
-                "left_id": pa.array(ls),
-                "right_id": pa.array(rs),
-                "jaccard": pa.array(js, pa.float64()),
-            }
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        flat = pa.Table.from_arrays(
+            [
+                pc.list_parent_indices(batch["buckets"].combine_chunks()),
+                pc.list_flatten(batch["buckets"].combine_chunks()),
+            ],
+            names=["_row", "bucket"],
         )
+        ids = batch[id_col].take(flat["_row"])
+        return pa.table({"bucket": flat["bucket"], id_col: ids})
 
-    pairs = banded.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
-    # same pair can match in several bands → dedup
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["left_id", "right_id"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    band_rows = sketched.map_batches(explode_bands, batch_format="pyarrow")
+    cand = _candidate_pairs(band_rows, id_col)
+    sketches = sketched.select_columns([id_col, "sketch"])
+    return _verify_pairs(cand, sketches, id_col, jaccard_threshold, "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -290,49 +388,40 @@ def ngram_jaccard_pairs(
 ):
     """Exact all-pairs n-gram Jaccard ≥ threshold via prefix filtering:
     each doc emits its ⌊n(1-t)⌋+1 smallest-hashed shingles as block keys
-    (same guarantee as JaccardDistance.index, JaccardDistance.scala:41-47),
-    pairs verified with true Jaccard in-bucket."""
+    (same guarantee as JaccardDistance.index, JaccardDistance.scala:41-47).
+    Only ``(bucket, id)`` rows move through the blocking shuffle; each
+    side's shingle-hash sketch is joined back onto the candidate pairs
+    and the exact Jaccard computed from the sketches."""
 
-    def emit_prefix(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        ob, oi, ot = [], [], []
-        for i, t in zip(ids, texts):
-            sh = sorted(shingles(t, k_shingle), key=lambda s: zlib.crc32(s.encode()))
-            prefix_len = int(len(sh) * (1 - threshold)) + 1
-            for s in sh[:prefix_len]:
-                ob.append(zlib.crc32(s.encode()))
-                oi.append(i)
-                ot.append(t)
+    def sketch_stage(batch: pa.Table) -> pa.Table:
+        """Per doc: the sorted shingle-hash sketch + its prefix hashes
+        as block keys. Raw text never enters a shuffle."""
+        sketches = [_sketch_of(t, k_shingle) for t in batch[text_col].to_pylist()]
+        prefixes = []
+        for sk in sketches:
+            prefix_len = int(sk.size * (1 - threshold)) + 1
+            prefixes.append(sk[:prefix_len].astype(np.int64).tolist())
         return pa.table(
-            {"bucket": pa.array(ob, pa.int64()), id_col: pa.array(oi), text_col: pa.array(ot, pa.string())}
+            {
+                id_col: batch[id_col],
+                "buckets": pa.array(prefixes, pa.list_(pa.int64())),
+                "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
+            }
         )
 
-    blocked = ds.map_batches(emit_prefix, batch_format="pyarrow")
+    sketched = ds.map_batches(sketch_stage, batch_format="pyarrow")
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        texts = group[text_col].to_pylist()
-        seen = dict(zip(ids, texts))
-        uniq = sorted(seen)
-        sets = {i: shingles(seen[i], k_shingle) for i in uniq}
-        ls, rs, js = [], [], []
-        for x in range(len(uniq)):
-            sx = sets[uniq[x]]
-            for y in range(x + 1, len(uniq)):
-                sy = sets[uniq[y]]
-                inter = len(sx & sy)
-                union = len(sx) + len(sy) - inter
-                j = inter / union if union else 0.0
-                if j >= threshold:
-                    ls.append(uniq[x])
-                    rs.append(uniq[y])
-                    js.append(j)
-        return pa.table(
-            {"left_id": pa.array(ls), "right_id": pa.array(rs), "jaccard": pa.array(js, pa.float64())}
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        flat = pa.Table.from_arrays(
+            [
+                pc.list_parent_indices(batch["buckets"].combine_chunks()),
+                pc.list_flatten(batch["buckets"].combine_chunks()),
+            ],
+            names=["_row", "bucket"],
         )
+        return pa.table({"bucket": flat["bucket"], id_col: batch[id_col].take(flat["_row"])})
 
-    from ray.data.aggregate import Max
-
-    pairs = blocked.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    return pairs.groupby(["left_id", "right_id"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    band_rows = sketched.map_batches(explode_prefix, batch_format="pyarrow")
+    cand = _candidate_pairs(band_rows, id_col)
+    sketches = sketched.select_columns([id_col, "sketch"])
+    return _verify_pairs(cand, sketches, id_col, threshold, "jaccard")
