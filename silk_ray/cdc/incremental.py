@@ -375,6 +375,25 @@ def update_links(
         {"bp": bp, "files": bm_files[bp]} for bp in affected_bps if bm_files.get(bp)
     ]
 
+    # adaptive parallelism: size loader tasks and score partitions to the
+    # affected chains' actual bytes (driver-side stat; one getsize per
+    # chain file). Fixed counts (64/64) cost ~10s of pure task/shuffle
+    # overhead per epoch on small deltas while the useful compute is
+    # milliseconds; at scale the byte-based count grows back to the cap.
+    target_task_bytes = 32 << 20
+    total_bm_bytes = 0
+    for it in loader_items:
+        for f in it["files"]:
+            try:
+                total_bm_bytes += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    n_loader_tasks = max(1, min(len(loader_items), total_bm_bytes // target_task_bytes + 1))
+    loader_batch = max(1, -(-len(loader_items) // n_loader_tasks))
+    score_partitions = int(
+        max(1, min(max(64, n_block_partitions), total_bm_bytes // (target_task_bytes // 2) + 1))
+    )
+
     def load_and_restrict(batch: pa.Table) -> pa.Table:
         """Per-bp loader task: reconcile the delta chain, keep rows in
         affected blocks (vectorized is_in), flag dirty rows."""
@@ -413,10 +432,10 @@ def update_links(
         from silk_ray.linking.pipeline import _score_partitioned
 
         src = rd.from_items(loader_items).map_batches(
-            load_and_restrict, batch_format="pyarrow", batch_size=1
+            load_and_restrict, batch_format="pyarrow", batch_size=loader_batch
         )
         new_links = _score_partitioned(
-            src, scorer, score_partitions=max(64, n_block_partitions)
+            src, scorer, score_partitions=score_partitions
         ).map_batches(tag_epoch, batch_format="pyarrow")
     else:
         new_links = rd.from_arrow(empty_links)
@@ -452,6 +471,8 @@ def update_links(
     shutil.rmtree(links_dir_new, ignore_errors=True)
     os.makedirs(links_dir_new, exist_ok=True)
     merged.write_parquet(links_dir_new)
+    if os.environ.get("SILKRAY_LINK_STATS"):
+        print(f"[silk_ray] update_links epoch {epoch} stats:\n{merged.stats()}")
 
     # count this epoch's recomputed links from the written column
     n_new = 0

@@ -497,7 +497,13 @@ def run_epoch(
             return None
         events = rd.from_arrow(table)
     else:
-        events = rd.read_parquet(changelog, filter=flt)
+        # block count sized to the merge partitioning: Ray's default
+        # ~200-block read parallelism turns a 100k-row epoch window into
+        # hundreds of tiny blocks, and the block count cascades into the
+        # add-pid task count, the sort fan-in and the map_groups task
+        # count — pure overhead at small windows; at scale one merge
+        # partition per block is exactly the parallelism we want.
+        events = rd.read_parquet(changelog, filter=flt, override_num_blocks=num_partitions)
 
     events = events.map_batches(add_pid_column(num_partitions), batch_format="pyarrow")
 
@@ -515,9 +521,10 @@ def run_epoch(
     def merge_group(group: pa.Table) -> pa.Table:
         return merger(group)
 
-    metrics_rows = (
-        events.groupby("pid").map_groups(merge_group, batch_format="pyarrow").take_all()
-    )
+    merged_ds = events.groupby("pid").map_groups(merge_group, batch_format="pyarrow")
+    metrics_rows = merged_ds.take_all()
+    if os.environ.get("SILKRAY_MERGE_STATS"):
+        print(f"[silk_ray] run_epoch {epoch} stats:\n{merged_ds.stats()}")
     if not metrics_rows:
         return None
 

@@ -254,12 +254,20 @@ def minhash_lsh_pairs(
                 }
             )
 
+    # Computed ONCE and pinned (object store, spillable): the sketch
+    # table feeds three consumers (band explode + both join sides);
+    # without materializing, each consumer re-runs the shingling, and
+    # the triple actor-pool lineage can deadlock Ray's resource
+    # reservation on small CPU counts. Task-based stage via
+    # cached_stage: per-worker construction, no actor-pool reservation.
+    from silk_ray.linking.pipeline import cached_stage
+
     sketched = ds.map_batches(
-        SketchStage,
-        fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, text_col=text_col, id_col=id_col),
+        cached_stage(
+            SketchStage, n_perm=n_perm, k_shingle=k_shingle, text_col=text_col, id_col=id_col
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    ).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         flat = pa.Table.from_arrays(
@@ -409,7 +417,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    sketched = ds.map_batches(sketch_stage, batch_format="pyarrow")
+    # materialized once: three consumers (prefix explode + both join
+    # sides) would otherwise re-run the shingling per consumer
+    sketched = ds.map_batches(sketch_stage, batch_format="pyarrow").materialize()
 
     def explode_prefix(batch: pa.Table) -> pa.Table:
         flat = pa.Table.from_arrays(

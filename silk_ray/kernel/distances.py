@@ -19,6 +19,7 @@ Every measure documents the reference file it matches.
 from __future__ import annotations
 
 import math
+import re
 import unicodedata
 from math import inf
 
@@ -427,6 +428,185 @@ class QGramsMetric(SimpleDistanceMeasure):
         grams = q_grams(value, self.q)
         index_size = int(round(len(grams) * limit + 0.5))
         return Index.one_dim({self._index_qgram(g) for g in grams[:index_size]}, self.index_size)
+
+
+_JAVA_PUNCT = r"!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~"
+
+
+def _java_regex(pattern: str) -> str:
+    """Translate the Java regex constructs the reference uses in
+    tokenizer patterns (``\\p{Punct}``) to Python ``re`` syntax."""
+    return pattern.replace(r"\p{Punct}", _JAVA_PUNCT)
+
+
+@register_distance
+class TokenwiseStringDistance(SimpleDistanceMeasure):
+    """IDF-weighted token-alignment distance
+    (tokenbased/TokenwiseStringDistance.scala:89-356).
+
+    Strings are tokenized, every token pair is scored with the chosen
+    character metric, a greedy one-to-one alignment is picked in
+    descending score order, and the alignment is aggregated
+    Jaccard-style: intersection = Σ w1·w2·score over matches, union =
+    intersection + Σ (w1²+w2²)(1−score) over matches + Σ w² over
+    unmatched tokens. Stopwords get a lower weight; optional incremental
+    IDF weights (collected during indexing), match threshold, token-
+    length weight adjustment and Kendall's-tau ordering impact."""
+
+    id = "tokenwiseDistance"
+
+    def __init__(
+        self,
+        ignoreCase: bool = True,
+        metricName: str = "levenshtein",
+        splitRegex: str = r"[\s\d\p{Punct}]+",
+        stopwords: str = "",
+        stopwordWeight: float = 0.01,
+        nonStopwordWeight: float = 0.1,
+        useIncrementalIdfWeights: bool = False,
+        matchThreshold: float = 0.0,
+        orderingImpact: float = 0.0,
+        adjustByTokenLength: bool = False,
+    ):
+        for name, v in (
+            ("stopwordWeight", stopwordWeight),
+            ("nonStopwordWeight", nonStopwordWeight),
+            ("matchThreshold", matchThreshold),
+            ("orderingImpact", orderingImpact),
+        ):
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"{name} must be in [0,1]")
+        if metricName == "levenshtein":
+            self.metric = LevenshteinMetric()
+        elif metricName == "jaro":
+            self.metric = JaroDistanceMetric()
+        elif metricName == "jaroWinkler":
+            self.metric = JaroWinklerDistance()
+        else:
+            raise ValueError(
+                f"unknown value '{metricName}' for parameter 'metricName', "
+                "must be one of ['levenshtein', 'jaro', 'jaroWinkler']"
+            )
+        self.ignore_case = ignoreCase
+        self.split_re = re.compile(_java_regex(splitRegex))
+        self.stopwords = {
+            w.lower() if ignoreCase else w for w in re.split(r"[,\s]+", stopwords)
+        }
+        self.stopword_weight = stopwordWeight
+        self.non_stopword_weight = nonStopwordWeight
+        self.use_idf = useIncrementalIdfWeights
+        self.match_threshold = matchThreshold
+        self.ordering_impact = orderingImpact
+        self.adjust_by_token_length = adjustByTokenLength
+        # incremental IDF state (populated while indexing, like the
+        # reference's documentFrequencies map)
+        self.doc_freq: dict[str, int] = {}
+        self.doc_count = 0
+
+    def tokenize(self, s: str) -> list[str]:
+        toks = self.split_re.split(s)
+        if self.ignore_case:
+            toks = [t.lower() for t in toks]
+        return [t for t in toks if t]
+
+    def _weight(self, token: str) -> float:
+        fixed = self.stopword_weight if token in self.stopwords else self.non_stopword_weight
+        if not self.use_idf:
+            return fixed
+        df = self.doc_freq.get(token, 0)
+        if df == 0:
+            return fixed
+        return min(fixed, math.log(self.doc_count / df))
+
+    @staticmethod
+    def _kendalls_tau(seq1: list[int], seq2: list[int]) -> float:
+        n = len(seq1)
+        if n == 1:
+            return 1.0
+        num = 0.0
+        for i in range(n):
+            for j in range(i):
+                a = seq1[i] - seq1[j]
+                b = seq2[i] - seq2[j]
+                if (a > 0) == (b > 0) and (a < 0) == (b < 0):
+                    num += 1.0
+        return num / (0.5 * n * (n - 1))
+
+    def evaluate(self, v1, v2, limit=inf):
+        t1 = self.tokenize(v1)
+        t2 = self.tokenize(v2)
+        if not t1 or not t2:
+            return 1.0
+        w1 = [self._weight(t) for t in t1]
+        w2 = [self._weight(t) for t in t2]
+        if self.adjust_by_token_length:
+            m1 = max(len(t) for t in t1)
+            m2 = max(len(t) for t in t2)
+            w1 = [w * len(t) / m1 for w, t in zip(w1, t1)]
+            w2 = [w * len(t) / m2 for w, t in zip(w2, t2)]
+
+        scores = []
+        for i, a in enumerate(t1):
+            for j, b in enumerate(t2):
+                s = 1.0 - self.metric.evaluate(a, b, limit)
+                if s >= self.match_threshold:
+                    scores.append((s, i, j))
+        scores.sort(key=lambda t: -t[0])  # stable: ties keep (i, j) order
+
+        matched1 = [False] * len(t1)
+        matched2 = [False] * len(t2)
+        n1 = n2 = 0
+        last = 1.0
+        alignment = []
+        for s, i, j in scores:
+            if n1 < len(t1) and n2 < len(t2) and last > 0.0 and not matched1[i] and not matched2[j]:
+                last = s
+                matched1[i] = True
+                matched2[j] = True
+                n1 += 1
+                n2 += 1
+                alignment.append((s, i, j))
+
+        intersection = 0.0
+        union_matched = 0.0
+        for s, i, j in alignment:
+            wi, wj = w1[i], w2[j]
+            part = wi * wj * s
+            intersection += part
+            union_matched += part + (wi * wi + wj * wj) * (1.0 - s)
+        union_unmatched = sum(w * w for w, m in zip(w1, matched1) if not m) + sum(
+            w * w for w, m in zip(w2, matched2) if not m
+        )
+        union = union_matched + union_unmatched
+        score = 1.0 if union == 0.0 else intersection / union
+
+        if self.ordering_impact > 0.0 and len(alignment) > 1:
+            # positions in alignment order, sorted by descending token
+            # index on each side (TokenwiseStringDistance.scala:262-271)
+            pos1 = [p for _, p in sorted(((i, p) for p, (_, i, _) in enumerate(alignment)), key=lambda x: -x[0])]
+            pos2 = [p for _, p in sorted(((j, p) for p, (_, _, j) in enumerate(alignment)), key=lambda x: -x[0])]
+            tau = self._kendalls_tau(pos1, pos2)
+            return 1.0 - score * (1 - self.ordering_impact * (1 - tau))
+        return 1.0 - score
+
+    def empty_index(self, limit):
+        return self.metric.empty_index(limit)
+
+    def index_value(self, value, limit, source_or_target):
+        """≥1 common token required for comparison; per-token indexes of
+        the character metric, merged (TokenwiseStringDistance.scala:340-356)."""
+        tokens = self.tokenize(value)
+        if not tokens:
+            return self.empty_index(limit)
+        if self.use_idf:
+            self.doc_count += 1
+            for tok in set(tokens):
+                self.doc_freq[tok] = self.doc_freq.get(tok, 0) + 1
+        out = None
+        for tok in dict.fromkeys(tokens):
+            idx = self.metric.index_value(tok, limit, source_or_target)
+            out = idx if out is None else out.merge(idx)
+        return out
 
 
 @register_distance

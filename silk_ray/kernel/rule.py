@@ -368,7 +368,103 @@ class TransformRule:
         return self.input.apply(entity)
 
 
+def parse_uri_pattern(pattern: str) -> Input:
+    """Compile a URI template pattern like
+    ``http://example.org/{repo}/file/{path}`` into an input tree
+    (UriPattern.parse, TransformRule.scala:548-574; segment grammar
+    UriPatternParser.scala:43-103): constants stay literal, the first
+    path segment is uri-fixed, later path segments are URL-encoded, all
+    concatenated. ``{}`` refers to the entity's own ``uri`` column."""
+    segments: list[tuple[str, str]] = []
+    cur: list[str] = []
+    inside = False
+    for ch in pattern.strip():
+        if ch == "{":
+            if inside:
+                raise ValueError("Illegal character '{' inside path expression of URI pattern")
+            if cur:
+                segments.append(("const", "".join(cur)))
+                cur = []
+            inside = True
+        elif ch == "}":
+            if not inside:
+                raise ValueError("Illegal character '}' inside constant part of URI pattern")
+            segments.append(("path", "".join(cur)))
+            cur = []
+            inside = False
+        else:
+            cur.append(ch)
+    if inside:
+        raise ValueError("URI pattern ends unexpectedly inside a path expression")
+    if cur:
+        segments.append(("const", "".join(cur)))
+
+    def path_input(p: str) -> PathInput:
+        return PathInput("uri" if p == "" else p)
+
+    if segments == [("path", "")]:
+        inputs: list[Input] = [TransformInput(get_transformer("uriFix"), (path_input(""),))]
+    else:
+        inputs = []
+        for idx, (kind, value) in enumerate(segments):
+            if kind == "path" and idx == 0:
+                inputs.append(TransformInput(get_transformer("uriFix"), (path_input(value),)))
+            elif kind == "path":
+                inputs.append(TransformInput(get_transformer("urlEncode"), (path_input(value),)))
+            else:
+                inputs.append(TransformInput(get_transformer("constant", value=value), ()))
+    return TransformInput(get_transformer("concat"), tuple(inputs))
+
+
+@dataclass
+class ObjectMappingRule(TransformRule):
+    """Nested child-entity mapping (ObjectMapping,
+    TransformRule.scala:376-428; schema recursion
+    TransformSpec.scala:127-171) re-expressed for Arrow batches: the
+    child rules evaluate against the parent row (optionally under a
+    ``source_path`` column prefix, the flat equivalent of the relative
+    source path) and produce ONE ``pa.struct`` output column."""
+
+    rules: list[TransformRule] = field(default_factory=list)
+    source_path: str = ""
+
+    def _child_entity(self, entity: Entity) -> Entity:
+        if not self.source_path:
+            return entity
+        prefix = self.source_path + "."
+        out: Entity = dict(entity)
+        for k, v in entity.items():
+            if k.startswith(prefix):
+                out[k[len(prefix):]] = v
+        return out
+
+    def apply_struct(self, entity: Entity) -> dict[str, str | None]:
+        ent = self._child_entity(entity)
+        out: dict[str, str | None] = {}
+        for rule in self.rules:
+            vals = rule.apply(ent)
+            out[rule.target] = vals[0] if vals else None
+        return out
+
+    def apply(self, entity):  # as a plain value rule: the child URI if any
+        s = self.apply_struct(entity)
+        uri = s.get("uri")
+        return [uri] if uri is not None else []
+
+
 def transform_rule_from_dict(spec: dict[str, Any]) -> TransformRule:
+    if "uri_pattern" in spec:
+        return TransformRule(
+            target=spec.get("target", "uri"), input=parse_uri_pattern(spec["uri_pattern"])
+        )
+    if "object" in spec:
+        obj = spec["object"]
+        return ObjectMappingRule(
+            target=spec["target"],
+            input=PathInput(""),
+            rules=[transform_rule_from_dict(r) for r in obj.get("rules", [])],
+            source_path=obj.get("source_path", ""),
+        )
     return TransformRule(target=spec["target"], input=input_from_dict(spec["input"]))
 
 
@@ -422,6 +518,21 @@ class CompiledTransform:
         row_cache: list[Entity] | None = None
 
         for rule in self.rules:
+            if isinstance(rule, ObjectMappingRule):
+                # nested child entities → one struct column
+                if row_cache is None:
+                    row_cache = _rows_as_entities(table)
+                struct_type = pa.struct(
+                    [pa.field(r.target, pa.string()) for r in rule.rules]
+                )
+                struct_vals: list[dict | None] = [None] * n
+                for i, ent in enumerate(row_cache):
+                    try:
+                        struct_vals[i] = rule.apply_struct(ent)
+                    except Exception as exc:
+                        errors[i] = f"{rule.target}: {exc}"
+                out_cols[rule.target] = pa.array(struct_vals, type=struct_type)
+                continue
             vec = self._vectorized(rule.input, table)
             if vec is not None:
                 out_cols[rule.target] = vec

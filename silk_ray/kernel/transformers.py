@@ -954,6 +954,157 @@ class CompareDatesTransformer(Transformer):
         return ["1" if result else "0"]
 
 
+_DURATION_RE = re.compile(
+    r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _parse_xsd_datetime(value: str):
+    """xsd:date / xsd:dateTime lexical value → datetime (UTC when naive),
+    the subset of DatatypeConverter.parseDateTime the engine needs."""
+    import datetime as dt
+
+    v = value.strip()
+    try:
+        if len(v) == 10:
+            d = dt.datetime.strptime(v, "%Y-%m-%d")
+        else:
+            d = dt.datetime.fromisoformat(v)
+    except ValueError:
+        return None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return d
+
+
+def _millis_to_xsd_duration(ms: float) -> str:
+    """Millisecond span → xsd:duration in the day/time canonical form
+    Java's DatatypeFactory.newDuration(long) produces (no year/month
+    fields — months are not a fixed span)."""
+    sign = "-" if ms < 0 else ""
+    ms = abs(int(round(ms)))
+    if ms == 0:
+        return "PT0.000S"
+    days, rem = divmod(ms, 86_400_000)
+    h, rem = divmod(rem, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    sec = rem / 1000.0
+    day_part = f"{days}D" if days else ""
+    return f"{sign}P{day_part}T{h}H{m}M{sec:.3f}S"
+
+
+def _xsd_duration_to_millis(value: str, ref=None) -> float:
+    """xsd:duration → milliseconds (Duration.getTimeInMillis(new Date())):
+    year/month fields are resolved by calendar addition at ``ref``
+    (now, by default) — like the reference, month lengths depend on the
+    anchor date."""
+    m = _DURATION_RE.match(value.strip())
+    if not m or (m.group(0) in ("P", "-P")):
+        raise ValueError(f"invalid xsd:duration {value!r}")
+    sign = -1.0 if m.group(1) else 1.0
+    y, mo, d, h, mi = (int(g or 0) for g in m.groups()[1:6])
+    s = float(m.group(7) or 0.0)
+    ms = (((d * 24 + h) * 60 + mi) * 60 + s) * 1000.0
+    months = y * 12 + mo
+    if months:
+        import datetime as dt
+
+        ref = ref or dt.datetime.now(dt.timezone.utc)
+        total = ref.year * 12 + (ref.month - 1) + months
+        year, month = divmod(total, 12)
+        try:
+            shifted = ref.replace(year=year, month=month + 1)
+        except ValueError:  # day clamping (e.g. Jan 31 + 1 month)
+            last_day = [31, 29 if (year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)) else 28,
+                        31, 30, 31, 30, 31, 31, 30, 31, 30, 31][month]
+            shifted = ref.replace(year=year, month=month + 1, day=min(ref.day, last_day))
+        ms += (shifted - ref).total_seconds() * 1000.0
+    return sign * ms
+
+
+@register_transformer
+class DurationTransformer(Transformer):
+    """xsd:duration between two dateTime inputs
+    (date/DurationTransformer.scala:18-39); cross product of the two
+    input sets, duration = date2 − date1."""
+
+    id = "duration"
+
+    def apply(self, values):
+        if len(values) < 2:
+            return list(values[0]) if values else []
+        out = []
+        for v1 in values[0]:
+            for v2 in values[1]:
+                d1 = _parse_xsd_datetime(v1)
+                d2 = _parse_xsd_datetime(v2)
+                if d1 is None or d2 is None:
+                    continue
+                out.append(_millis_to_xsd_duration((d2 - d1).total_seconds() * 1000.0))
+        return out
+
+
+@register_transformer
+class DurationInSecondsTransformer(SimpleTransformer):
+    """xsd:duration → seconds (date/DurationInSecondsTransformer.scala)."""
+
+    id = "durationInSeconds"
+
+    def evaluate(self, value):
+        return str(_xsd_duration_to_millis(value) / 1000.0)
+
+
+@register_transformer
+class DurationInYearsTransformer(SimpleTransformer):
+    """xsd:duration → years, 365.25-day years
+    (date/DurationInYearsTransformer.scala)."""
+
+    id = "durationInYears"
+
+    def evaluate(self, value):
+        days = _xsd_duration_to_millis(value) / 1000.0 / 60.0 / 60.0 / 24.0
+        return str(days / 365.25)
+
+
+@register_transformer
+class NumberToDurationTransformer(SimpleTransformer):
+    """number + unit → xsd:duration (date/NumberToDurationTransformer.scala;
+    vectors NumberToDurationTransformerTest.scala:24-26)."""
+
+    id = "numberToDuration"
+    _UNITS = ("milliseconds", "seconds", "day", "month", "year")
+
+    def __init__(self, unit: str = "day"):
+        if unit not in self._UNITS:
+            raise ValueError(f"unit must be one of {self._UNITS}")
+        self.unit = unit
+
+    def evaluate(self, value):
+        number = float(value)
+        if self.unit == "milliseconds":
+            return _millis_to_xsd_duration(number)
+        if self.unit == "seconds":
+            return _millis_to_xsd_duration(number * 1000)
+        if self.unit == "day":
+            return _millis_to_xsd_duration(number * 86_400_000)
+        if self.unit == "month":
+            return f"P0Y{int(number)}M"
+        return f"P{int(number)}Y0M"
+
+
+@register_transformer
+class CurrentDateTransformer(Transformer):
+    """Current date-time in XML format (date/CurrentDateTransformer.scala)."""
+
+    id = "currentDate"
+
+    def apply(self, values):
+        import datetime as dt
+
+        return [dt.datetime.now().astimezone().isoformat(timespec="milliseconds")]
+
+
 # ---------------------------------------------------------------------------
 # linguistic (transformer/linguistic/)
 # ---------------------------------------------------------------------------
@@ -1460,3 +1611,158 @@ class ValidateNumberOfValues(Transformer):
         if not (self.min <= len(flat) <= self.max):
             raise ValidationError(f"{len(flat)} values outside [{self.min}, {self.max}]")
         return flat
+
+
+@register_transformer
+class ValidateDateAfter(Transformer):
+    """First input date must be after the second; outputs the first
+    input on success (validation/ValidateDateAfter.scala:54-76 incl.
+    its @TransformExamples)."""
+
+    id = "validateDateAfter"
+
+    def __init__(self, allowEqual: bool = False):
+        self.allow_equal = allowEqual
+
+    def apply(self, values):
+        if len(values) != 2:
+            raise ValueError("validateDateAfter accepts exactly two inputs")
+        d1 = _parse_xsd_datetime(values[0][0])
+        d2 = _parse_xsd_datetime(values[1][0])
+        if d1 is None or d2 is None:
+            raise ValidationError("unparseable date input")
+        if d1 == d2:
+            if self.allow_equal:
+                return list(values[0])
+            raise ValidationError(f"Date {values[0][0]} is not after date {values[1][0]}, but equal")
+        if d1 > d2:
+            return list(values[0])
+        raise ValidationError(f"Date {values[0][0]} is not after date {values[1][0]}.")
+
+
+@register_transformer
+class ValidateDateRange(SimpleTransformer):
+    """Dates must fall inside [minDate, maxDate]
+    (validation/ValidateDateRange.scala:30-55)."""
+
+    id = "validateDateRange"
+
+    def __init__(self, minDate: str = "1900-01-01", maxDate: str = "2100-12-31"):
+        self.min_date = _parse_xsd_datetime(minDate)
+        self.max_date = _parse_xsd_datetime(maxDate)
+        if self.min_date is None or self.max_date is None:
+            raise ValueError("minDate/maxDate must be YYYY-MM-DD")
+
+    def evaluate(self, value):
+        d = _parse_xsd_datetime(value)
+        if d is None:
+            raise ValidationError(f"unparseable date {value!r}")
+        if d < self.min_date:
+            raise ValidationError(f"Date {value} is earlier than allowed minimum {self.min_date.date()}")
+        if d > self.max_date:
+            raise ValidationError(f"Date {value} is later than allowed maximum {self.max_date.date()}")
+        return value
+
+
+# ---------------------------------------------------------------------------
+# conversion / value / numeric stragglers
+# ---------------------------------------------------------------------------
+
+
+@register_transformer
+class ConvertCharsetTransformer(SimpleTransformer):
+    """Reinterpret the string's bytes from sourceCharset as
+    targetCharset (conversion/ConvertCharsetTransformer.scala:22-35)."""
+
+    id = "convertCharset"
+
+    def __init__(self, sourceCharset: str = "ISO-8859-1", targetCharset: str = "UTF-8"):
+        import codecs
+
+        for cs in (sourceCharset, targetCharset):
+            try:
+                codecs.lookup(cs)
+            except LookupError:
+                raise ValueError(f"charset {cs} is unsupported")
+        self.source = sourceCharset
+        self.target = targetCharset
+
+    def evaluate(self, value):
+        # java.lang.String semantics: unmappable bytes/chars become
+        # replacement characters rather than raising
+        return value.encode(self.source, errors="replace").decode(self.target, errors="replace")
+
+
+@register_transformer
+class RandomNumberTransformer(Transformer):
+    """Generates a set of uniform random numbers
+    (value/RandomNumberTransformer.scala:15-29). A ``seed`` parameter is
+    added beyond the reference so distributed runs can be made
+    deterministic per task."""
+
+    id = "randomNumber"
+
+    def __init__(self, min: float = 0.0, max: float = 100.0, minCount: int = 1, maxCount: int = 1, seed: int | None = None):
+        import random
+
+        self.min = min
+        self.max = max
+        self.min_count = minCount
+        self.max_count = maxCount
+        self.rng = random.Random(seed)
+
+    def apply(self, values):
+        count = self.min_count + self.rng.randrange(1 + self.max_count - self.min_count)
+        return [str(self.min + (self.max - self.min) * self.rng.random()) for _ in range(count)]
+
+
+@register_transformer
+class PhysicalQuantityExtractor(Transformer):
+    """Extract '{Number}{UnitPrefix}{Symbol}' physical quantities,
+    converted to the base unit (numeric/PhysicalQuantityExtractor.scala:29-93;
+    vectors PhysicalQuantityExtractorTest.scala:9-40)."""
+
+    id = "extractPhysicalQuantity"
+
+    _PREFIXES = {
+        "p": 1e-12, "n": 1e-9, "μ": 1e-6, "U": 1e-6, "u": 1e-6,
+        "m": 1e-3, "c": 1e-2, "d": 1e-1, "da": 10.0, "h": 100.0,
+        "k": 1e3, "K": 1e3, "M": 1e6, "G": 1e9,
+    }
+
+    def __init__(self, symbol: str = "m", numberFormat: str = "en", filter: str = "", index: int = 0):
+        self.symbol = symbol
+        # decimal separator by locale: en-style dot vs continental comma
+        self.comma_decimal = numberFormat.split("-")[0] not in ("en", "us")
+        self.filter = re.compile(filter, re.IGNORECASE) if filter else None
+        self.index = index
+        prefixes = "|".join(sorted(self._PREFIXES, key=len, reverse=True))
+        self.pattern = re.compile(
+            rf"(-?[\d.,]+)\s*({prefixes})?{re.escape(symbol)}(?:$|[^a-zA-Zμ])"
+        )
+
+    def _parse_number(self, s: str) -> float:
+        if self.comma_decimal:
+            s = s.replace(".", "").replace(",", ".")
+        else:
+            s = s.replace(",", "")
+        return float(s)
+
+    def evaluate(self, value: str) -> str | None:
+        if self.filter is not None and not self.filter.search(value):
+            return None
+        matches = list(self.pattern.finditer(value))
+        if self.index >= len(matches):
+            return None
+        m = matches[self.index]
+        number = self._parse_number(m.group(1))
+        factor = self._PREFIXES.get(m.group(2) or "", 1.0)
+        return str(number * factor)
+
+    def apply(self, values):
+        out = []
+        for v in values[0] if values else []:
+            r = self.evaluate(v)
+            if r is not None:
+                out.append(r)
+        return out

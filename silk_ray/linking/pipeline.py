@@ -300,7 +300,16 @@ class PairScorer:
 
 
 def _score_partitioned(exploded, scorer, score_partitions: int):
-    """Coarse-partition shuffle + multi-block scoring per partition."""
+    """Coarse-partition shuffle + multi-block scoring per partition.
+
+    With ``score_partitions == 1`` (tiny deltas) the all-to-all shuffle
+    is skipped entirely: coalesce to one block and score it directly —
+    the sort-based groupby costs seconds of fixed overhead per run."""
+    if score_partitions <= 1:
+        return exploded.repartition(1).map_batches(
+            lambda part: scorer(part), batch_format="pyarrow", batch_size=None
+        )
+
     def add_part(batch: pa.Table) -> pa.Table:
         keys = batch["key"].to_numpy(zero_copy_only=False)
         part = (keys & 0x7FFFFFFFFFFFFFFF) % score_partitions

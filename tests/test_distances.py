@@ -230,3 +230,75 @@ def test_stoilos_substring():
     assert m.evaluate("abcdef", "abcdef") == pytest.approx(0.0)
     assert m.evaluate("abcdef", "uvwxyz") == pytest.approx(1.0)
     assert m.evaluate("project alpha", "alpha project") < 0.5
+
+
+def test_tokenwise_distance():
+    # reference vectors: TokenwiseStringDistanceTest.scala:21-116
+    m = get_distance(
+        "tokenwiseDistance",
+        metricName="levenshtein",
+        stopwords="and or in on the a from thy mr mrs who",
+        nonStopwordWeight=0.1,
+        stopwordWeight=0.001,
+    )
+    assert m.evaluate("several seditious scribes", "several seditious scribes", 1.0) == 0.0
+    assert m.evaluate("several seditious scribes", "scribes seditious several", 1.0) == 0.0
+    assert m.evaluate("several seditious scribes", "several seditious scribes from caesarea", 1.0) == pytest.approx(0.251, abs=0.001)
+    assert m.evaluate("several seditious scribes from caesarea", "several seditious scribes", 1.0) == pytest.approx(0.251, abs=0.001)
+    assert m.evaluate("several seditious scibes", "several seditious scribes", 1.0) == pytest.approx(0.091, abs=0.001)
+    assert m.evaluate("", "", 1.0) == 1.0
+    assert m.evaluate("Anything", "", 1.0) == 1.0
+    assert m.evaluate("", "Anything", 1.0) == 1.0
+    assert m.evaluate("Hotel Hilton in Manhattan", "hotel hilton manhattan", 1.0) == pytest.approx(0.001, abs=0.001)
+    # stopword weighting quirks
+    assert m.evaluate("the", "thy", 1.0) == pytest.approx(0.5, abs=0.001)
+    assert m.evaluate("and", "any", 1.0) == pytest.approx(0.9804, abs=0.001)
+    assert m.evaluate("war", "was", 1.0) == pytest.approx(0.5, abs=0.001)
+    assert m.evaluate("Mr Doe", "Mrs Dow", 1.0) == pytest.approx(0.5, abs=0.001)
+    assert m.evaluate("Mr John Doe", "Mrs John Doe", 1.0) == pytest.approx(0.0, abs=0.0001)
+    assert m.evaluate("Mr John Doe", "Mr John Doe", 1.0) == 0.0
+    assert m.evaluate("the who", "the who", 1.0) == 0.0
+    assert m.evaluate("the the", "the who", 1.0) == 0.5
+    # only one of two identical tokens is matched
+    assert m.evaluate("Hotel Hotel", "Hotel", 1.0) == pytest.approx(0.5, abs=0.001)
+    assert m.evaluate("several seditious scribes", "several sedated scribes", 1.0) == pytest.approx(0.313, abs=0.001)
+
+
+def test_tokenwise_distance_params():
+    base = dict(
+        metricName="levenshtein",
+        stopwords="and or in on the a from thy mr mrs",
+        nonStopwordWeight=0.1,
+        stopwordWeight=0.001,
+    )
+    by_len = get_distance("tokenwiseDistance", adjustByTokenLength=True, **base)
+    assert by_len.evaluate("Hotel Hotel", "Hotel", 1.0) == pytest.approx(0.5, abs=0.001)
+    assert by_len.evaluate("Hotel California", "Hotel", 1.0) == pytest.approx(0.667, abs=0.001)
+    ordered = get_distance("tokenwiseDistance", orderingImpact=0.5, **base)
+    assert ordered.evaluate("several seditious scribes", "scribes seditious several", 1.0) == 0.5
+    thresh = get_distance("tokenwiseDistance", matchThreshold=0.85, **base)
+    assert thresh.evaluate("several seditious scribes", "several sedated scribes", 1.0) == pytest.approx(0.5, abs=0.001)
+    special = get_distance(
+        "tokenwiseDistance", metricName="levenshtein", stopwords="and for ould",
+        nonStopwordWeight=1.0, stopwordWeight=0.0,
+    )
+    assert special.evaluate("Sirenia + Niobeth", "ould Sirenia and for Niobeth", 1.0) == 0.0
+    only_stop = get_distance(
+        "tokenwiseDistance", metricName="levenshtein", stopwords="Hotel",
+        nonStopwordWeight=1.0, stopwordWeight=0.0,
+    )
+    assert only_stop.evaluate("Hotel California", "California", 1.0) == 0.0
+    # equals jaccard with unit weights + matchThreshold=1.0
+    jacc_like = get_distance(
+        "tokenwiseDistance", metricName="levenshtein", stopwords="",
+        nonStopwordWeight=1.0, stopwordWeight=1.0, matchThreshold=1.0,
+    )
+    jd = get_distance("jaccard")
+    assert jacc_like.evaluate(
+        "several seditious scribes", "several seditious scribes from caesarea", 1.0
+    ) == pytest.approx(jd.apply(["several", "seditious", "scribes"], ["several", "seditious", "scribes", "from", "caesarea"], 1.0))
+    # blocking: >=1 shared token required
+    idx1 = m_idx = get_distance("tokenwiseDistance", **base)
+    assert idx1.index(["Hotel Hilton Manhattan"], 0.1, True).matches(
+        m_idx.index(["hilton hotel"], 0.1, False)
+    )

@@ -157,3 +157,71 @@ def test_transform_error_capture():
     assert out["num"].to_pylist()[0] == "5"
     errors = out["error"].to_pylist()
     assert errors[0] is None and errors[1] is not None
+
+
+def test_uri_pattern_mapping():
+    # PatternUriMapping (TransformRule.scala:289-301) + UriPattern.parse
+    # (TransformRule.scala:548-574): constants literal, first path
+    # uri-fixed, later paths url-encoded, concatenated.
+    import pyarrow as pa
+
+    from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+    rule = transform_rule_from_dict(
+        {"target": "uri", "uri_pattern": "http://example.org/{repo}/file/{path}"}
+    )
+    ct = CompiledTransform([rule])
+    out = ct(pa.table({"repo": ["r one", "r2"], "path": ["a/b.py", "c d.py"]}))
+    assert out["uri"].to_pylist() == [
+        "http://example.org/r+one/file/a%2Fb.py",
+        "http://example.org/r2/file/c+d.py",
+    ]
+    # leading path segment is uri-fixed (UriFixTransformer semantics)
+    lead = transform_rule_from_dict({"target": "uri", "uri_pattern": "{repo}/x"})
+    out2 = CompiledTransform([lead])(pa.table({"repo": ["http://a.org/r", "plain value"]}))
+    assert out2["uri"].to_pylist() == [
+        "http://a.org/r/x",
+        "urn:url-encoded-value:plain+value/x",
+    ]
+    # {} = the entity's own uri column
+    self_ref = transform_rule_from_dict({"target": "u2", "uri_pattern": "{}suffix"})
+    out3 = CompiledTransform([self_ref])(pa.table({"uri": ["http://e.org/1"]}))
+    assert out3["u2"].to_pylist() == ["http://e.org/1suffix"]
+    # malformed patterns rejected loudly (UriPatternParser.scala:77-99)
+    import pytest as _pytest
+
+    for bad in ("a{b{c}", "a}b", "open{end"):
+        with _pytest.raises(ValueError):
+            transform_rule_from_dict({"target": "u", "uri_pattern": bad})
+
+
+def test_object_mapping_nested_struct():
+    # ObjectMapping (TransformRule.scala:376-428): child rules evaluate
+    # under a source-path prefix and emit one struct column.
+    import pyarrow as pa
+
+    from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+    rule = transform_rule_from_dict(
+        {
+            "target": "author",
+            "object": {
+                "source_path": "author",
+                "rules": [
+                    {"target": "uri", "uri_pattern": "http://example.org/person/{name}"},
+                    {
+                        "target": "name_uc",
+                        "input": {"transform": "upperCase", "inputs": [{"path": "name"}]},
+                    },
+                ],
+            },
+        }
+    )
+    ct = CompiledTransform([rule])
+    batch = pa.table({"author.name": ["ada", "bob"], "title": ["t1", "t2"]})
+    out = ct(batch)
+    assert out["author"].to_pylist() == [
+        {"uri": "http://example.org/person/ada", "name_uc": "ADA"},
+        {"uri": "http://example.org/person/bob", "name_uc": "BOB"},
+    ]
+    assert pa.types.is_struct(out["author"].type)

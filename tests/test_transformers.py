@@ -156,3 +156,100 @@ def test_phonetic_same_sound_same_code():
 def test_registry_size():
     # broad coverage of the reference's transformer inventory (SURVEY.md §2.2)
     assert len(TRANSFORMERS) >= 55
+
+
+def test_duration_family():
+    # NumberToDurationTransformerTest.scala:24-26
+    t = get_transformer("numberToDuration", unit="day")
+    assert t.apply([["4"]]) == ["P4DT0H0M0.000S"]
+    assert t.apply([["0"]]) == ["PT0.000S"]
+    assert get_transformer("numberToDuration", unit="seconds").apply([["90"]]) == ["PT0H1M30.000S"]
+    assert get_transformer("numberToDuration", unit="month").apply([["5"]]) == ["P0Y5M"]
+    assert get_transformer("numberToDuration", unit="year").apply([["2"]]) == ["P2Y0M"]
+    # duration between two dateTimes (DurationTransformer.scala)
+    d = get_transformer("duration")
+    assert d.apply([["2020-01-01"], ["2020-01-05"]]) == ["P4DT0H0M0.000S"]
+    assert d.apply([["2020-01-05"], ["2020-01-01"]]) == ["-P4DT0H0M0.000S"]
+    assert d.apply([["2020-01-01T00:00:00"], ["2020-01-01T01:30:00"]]) == ["PT1H30M0.000S"]
+    # conversions (DurationInSeconds/YearsTransformer.scala)
+    s = get_transformer("durationInSeconds")
+    assert float(s.apply([["P1DT0H0M0.000S"]])[0]) == 86400.0
+    assert float(s.apply([["PT1M30.000S"]])[0]) == 90.0
+    y = get_transformer("durationInYears")
+    assert float(y.apply([["P365DT6H0M0.000S"]])[0]) == pytest.approx(1.0)
+    # currentDate emits an ISO timestamp
+    cur = get_transformer("currentDate").apply([])
+    assert len(cur) == 1 and cur[0][:2] == "20" and "T" in cur[0]
+
+
+def test_validate_date_transformers():
+    from silk_ray.kernel.transformers import ValidationError
+
+    # ValidateDateAfter.scala @TransformExamples
+    v = get_transformer("validateDateAfter")
+    with pytest.raises(ValidationError):
+        v.apply([["2015-04-02"], ["2015-04-03"]])
+    assert v.apply([["2015-04-04"], ["2015-04-03"]]) == ["2015-04-04"]
+    assert get_transformer("validateDateAfter", allowEqual=True).apply(
+        [["2015-04-03"], ["2015-04-03"]]
+    ) == ["2015-04-03"]
+    with pytest.raises(ValidationError):
+        get_transformer("validateDateAfter", allowEqual=False).apply(
+            [["2015-04-03"], ["2015-04-03"]]
+        )
+    r = get_transformer("validateDateRange", minDate="1900-01-01", maxDate="2000-12-12")
+    assert r.apply([["1950-06-15"]]) == ["1950-06-15"]
+    with pytest.raises(ValidationError):
+        r.apply([["2001-01-01"]])
+    with pytest.raises(ValidationError):
+        r.apply([["1899-12-31"]])
+
+
+def test_convert_charset():
+    t = get_transformer("convertCharset", sourceCharset="ISO-8859-1", targetCharset="UTF-8")
+    # 'é' encoded latin-1 (0xE9) read back as UTF-8 is invalid → replacement
+    assert t.apply([["abc"]]) == ["abc"]
+    assert t.apply([["café"]]) == ["caf�"]
+    rt = get_transformer("convertCharset", sourceCharset="UTF-8", targetCharset="ISO-8859-1")
+    assert rt.apply([["café"]]) == ["cafÃ©"]
+    with pytest.raises(ValueError):
+        get_transformer("convertCharset", sourceCharset="no-such-charset")
+
+
+def test_random_number():
+    t = get_transformer("randomNumber", min=5.0, max=6.0, minCount=2, maxCount=4, seed=7)
+    out = t.apply([])
+    assert 2 <= len(out) <= 4
+    assert all(5.0 <= float(v) <= 6.0 for v in out)
+    # seeded → deterministic
+    again = get_transformer("randomNumber", min=5.0, max=6.0, minCount=2, maxCount=4, seed=7)
+    assert again.apply([]) == out
+
+
+def test_physical_quantity_extractor():
+    # PhysicalQuantityExtractorTest.scala:9-40
+    def extract(value, symbol, fmt="en", index=0):
+        t = get_transformer("extractPhysicalQuantity", symbol=symbol, numberFormat=fmt, index=index)
+        out = t.apply([[value]])
+        return float(out[0]) if out else None
+
+    assert extract("0.1F", "F") == pytest.approx(0.1)
+    assert extract("230V", "V") == 230
+    assert extract("-100C", "C") == -100
+    assert extract("50km", "m") == 50000
+    assert extract("500mV", "V") == pytest.approx(0.5)
+    assert extract("10.5m", "m") == 10.5
+    assert extract("10,5m", "m", "de") == 10.5
+    assert extract("10,000.5m", "m") == 10000.5
+    assert extract("10.000,5m", "m", "de") == 10000.5
+    assert extract("Capacitor 10000pF 10V ### durable", "F") == pytest.approx(1e-8)
+    assert extract("Capacitor 10000pF 10V ### durable", "V") == 10
+    assert extract("74LVC387xxx/f50_5.4V/3.45V_XXX", "V") == pytest.approx(5.4)
+    assert extract("74LVC387xxx/f50_5.4V_3.45V_XXX", "V") == pytest.approx(5.4)
+    assert extract("2.7V/5.5V", "V", index=0) == pytest.approx(2.7)
+    assert extract("2.7V/5.5V", "V", index=1) == pytest.approx(5.5)
+    assert extract("2.7V/5.5V", "V", index=2) is None
+    # filter param: only extract when the regex matches
+    t = get_transformer("extractPhysicalQuantity", symbol="V", filter="capacitor")
+    assert t.apply([["resistor 10V"]]) == []
+    assert t.apply([["Capacitor 10V"]]) == ["10.0"]
