@@ -17,6 +17,8 @@ from silk_ray.kernel.rule import (
     TransformInput,
 )
 from silk_ray.kernel.evaluation import EvaluationResult, evaluate_links
+from silk_ray.kernel import temporal as _temporal  # noqa: F401 — registers the temporal pack
+from silk_ray.kernel import spatial as _spatial  # noqa: F401 — registers the spatial pack
 
 __all__ = [
     "Index",
