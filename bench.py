@@ -178,7 +178,7 @@ def scaling() -> None:
     # would not need this
     prepare_warm = run(8)  # also warms the changelog cache + page cache
     samples = {8: [], 32: []}
-    for ncpu in (8, 32, 8, 32):
+    for ncpu in (8, 32, 8, 32, 8, 32):
         time.sleep(45)
         samples[ncpu].append(run(ncpu))
     lo = min(samples[8], key=lambda r: r["value"])

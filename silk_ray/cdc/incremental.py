@@ -375,12 +375,14 @@ def update_links(
         {"bp": bp, "files": bm_files[bp]} for bp in affected_bps if bm_files.get(bp)
     ]
 
-    # adaptive parallelism: size loader tasks and score partitions to the
-    # affected chains' actual bytes (driver-side stat; one getsize per
-    # chain file). Fixed counts (64/64) cost ~10s of pure task/shuffle
-    # overhead per epoch on small deltas while the useful compute is
-    # milliseconds; at scale the byte-based count grows back to the cap.
-    target_task_bytes = 32 << 20
+    # adaptive parallelism: size loader tasks and score partitions to
+    # the work actually present — affected-chain bytes (driver-side
+    # getsize) AND the delta-summary row count (pair scoring is
+    # CPU-bound per exploded row, so compressed bytes alone undercount
+    # it). Fixed counts (64/64) cost ~10s of pure task/shuffle overhead
+    # per epoch on small deltas while the useful compute is
+    # milliseconds; both terms grow the counts back to the cap at scale.
+    n_summary = int(summary_all.num_rows) if summary_all is not None else 0
     total_bm_bytes = 0
     for it in loader_items:
         for f in it["files"]:
@@ -388,11 +390,10 @@ def update_links(
                 total_bm_bytes += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
-    n_loader_tasks = max(1, min(len(loader_items), total_bm_bytes // target_task_bytes + 1))
-    loader_batch = max(1, -(-len(loader_items) // n_loader_tasks))
-    score_partitions = int(
-        max(1, min(max(64, n_block_partitions), total_bm_bytes // (target_task_bytes // 2) + 1))
+    n_loader_tasks = int(
+        max(1, min(len(loader_items), max(total_bm_bytes // (8 << 20), n_summary // 3_000) + 1))
     )
+    loader_batch = max(1, -(-len(loader_items) // n_loader_tasks))
 
     def load_and_restrict(batch: pa.Table) -> pa.Table:
         """Per-bp loader task: reconcile the delta chain, keep rows in
@@ -429,14 +430,20 @@ def update_links(
         }
     )
     if loader_items:
-        from silk_ray.linking.pipeline import _score_partitioned
+        # NO score shuffle: loader items are per-bp and bp = key %
+        # n_block_partitions, so every row of a key is already
+        # co-located inside one loader task — the scorer (which sorts
+        # by key in-memory and applies min-common-key pair dedup
+        # globally via the per-row key set) runs fused in the same task
+        # right after the chain load. The batch-linking path still
+        # shuffles because its exploded rows aren't pre-partitioned
+        # (linking/pipeline.py _score_partitioned).
+        def load_restrict_score(batch: pa.Table) -> pa.Table:
+            return tag_epoch(scorer(load_and_restrict(batch)))
 
-        src = rd.from_items(loader_items).map_batches(
-            load_and_restrict, batch_format="pyarrow", batch_size=loader_batch
+        new_links = rd.from_items(loader_items).map_batches(
+            load_restrict_score, batch_format="pyarrow", batch_size=loader_batch
         )
-        new_links = _score_partitioned(
-            src, scorer, score_partitions=score_partitions
-        ).map_batches(tag_epoch, batch_format="pyarrow")
     else:
         new_links = rd.from_arrow(empty_links)
 
@@ -456,12 +463,19 @@ def update_links(
         return batch.filter(keep)
 
     links_dir_new = os.path.join(root, "links", f"epoch-{epoch:06d}")
+    # block count sized to the stored link count: ~500k links per file
+    # keeps epoch N+1's read from inheriting epoch N's task fan-out
+    # (unsized, the per-epoch union wrote one file per upstream block
+    # and the file count compounded every epoch)
+    n_link_blocks = max(1, min(64, _count_links(root, state) // 500_000 + 1))
     if state.get("links_dir"):
-        old_links = rd.read_parquet(os.path.join(root, state["links_dir"]))
+        old_links = rd.read_parquet(
+            os.path.join(root, state["links_dir"]), override_num_blocks=n_link_blocks
+        )
         kept = old_links.map_batches(drop_dirty, batch_format="pyarrow")
-        merged = kept.union(new_links)
+        merged = kept.union(new_links).repartition(n_link_blocks)
     else:
-        merged = new_links
+        merged = new_links.repartition(n_link_blocks)
     # Idempotent replay: write_parquet APPENDS uniquely-named files, so a
     # crash between this write and commit_linkstate would otherwise leave
     # a partial epoch dir that a replay doubles. Clearing any previous

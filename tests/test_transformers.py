@@ -253,3 +253,24 @@ def test_physical_quantity_extractor():
     t = get_transformer("extractPhysicalQuantity", symbol="V", filter="capacitor")
     assert t.apply([["resistor 10V"]]) == []
     assert t.apply([["Capacitor 10V"]]) == ["10.0"]
+
+
+def test_regex_replace_python_only_syntax():
+    # RE2 rejects lookarounds/backreferences; the vectorized Arrow path
+    # must be disabled (not crash the task) and per-row Python used.
+    import pyarrow as pa
+
+    from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+    t = get_transformer("regexReplace", regex=r"(\w)\1", replace="X")
+    assert t.evaluate_array is None
+    assert t.apply([["aabb", "abc"]]) == ["XX", "abc"]
+    simple = get_transformer("regexReplace", regex="b+", replace="B")
+    assert simple.evaluate_array is not None
+    rule = transform_rule_from_dict(
+        {"target": "out", "input": {"transform": "regexReplace",
+         "params": {"regex": r"(?<=a)b", "replace": "X"}, "inputs": [{"path": "s"}]}}
+    )
+    out = CompiledTransform([rule])(pa.table({"s": ["ab", "cb"]}))
+    assert out["out"].to_pylist() == ["aX", "cb"]
+    assert "error" not in out.column_names
