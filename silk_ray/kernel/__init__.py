@@ -19,6 +19,7 @@ from silk_ray.kernel.rule import (
 from silk_ray.kernel.evaluation import EvaluationResult, evaluate_links
 from silk_ray.kernel import temporal as _temporal  # noqa: F401 — registers the temporal pack
 from silk_ray.kernel import spatial as _spatial  # noqa: F401 — registers the spatial pack
+from silk_ray.kernel import asian as _asian  # noqa: F401 — registers the asian pack
 
 __all__ = [
     "Index",

@@ -63,12 +63,61 @@ def _read_lines(paths, columns=None, **kw):
     return rd.read_text(paths, **kw)
 
 
+def _read_xml(paths, columns=None, base_path: str = "", multi_valued: bool = False, **kw):
+    """XmlSource (XmlSourceStreaming.scala:24-130 semantics, flat-table
+    re-expression): ``base_path`` ("/Root/Entity" or "Entity") selects
+    the entity elements; each becomes one row with a column per
+    attribute (``@name``) and per child tag (text). Repeated child tags
+    produce a ``list<string>`` column with ``multi_valued=True``, else
+    the first occurrence. Parsing runs distributed in ``map_batches``
+    over ``read_binary_files`` — one task per file batch."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    parts = [p for p in base_path.strip("/").split("/") if p]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        rows: list[dict] = []
+        for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            root = ET.fromstring(blob)
+            # base path: absolute from below the root element
+            nodes = [root]
+            for tag in parts[1:] if parts and root.tag == parts[0] else parts:
+                nodes = [c for n in nodes for c in n if c.tag == tag]
+            for node in nodes:
+                row: dict = {"_file": path}
+                for k, v in node.attrib.items():
+                    row[f"@{k}"] = v
+                for child in node:
+                    text = (child.text or "").strip()
+                    if multi_valued:
+                        row.setdefault(child.tag, []).append(text)
+                    elif child.tag not in row:
+                        row[child.tag] = text
+                if not list(node) and (node.text or "").strip():
+                    row["#text"] = node.text.strip()
+                rows.append(row)
+        names = sorted({k for r in rows for k in r}) or ["_file"]
+        cols = {}
+        for name in names:
+            vals = [r.get(name) for r in rows]
+            typ = pa.list_(pa.string()) if multi_valued and name not in ("_file",) and not name.startswith("@") else pa.string()
+            cols[name] = pa.array(vals, typ)
+        return pa.table(cols)
+
+    out = ds.map_batches(parse, batch_format="pyarrow")
+    return out.select_columns(columns) if columns else out
+
+
 DATASET_FORMATS = {
     "parquet": _read_parquet,
     "csv": _read_csv,
     "json": _read_json,
     "text_files": _read_text_files,
     "lines": _read_lines,
+    "xml": _read_xml,
 }
 
 
@@ -90,7 +139,44 @@ def write_dataset(ds, path: str, format: str = "parquet", **kw):
         return ds.write_csv(path, **kw)
     if format == "json":
         return ds.write_json(path, **kw)
+    if format == "xml":
+        return _write_xml(ds, path, **kw)
     raise ValueError(f"unknown sink format {format!r}")
+
+
+def _write_xml(ds, path: str, root_tag: str = "Entities", entity_tag: str = "Entity"):
+    """XmlSink (XmlSink.scala / XmlEntityWriter semantics): one XML part
+    file per block, entities as ``<Entity><col>value</col>…</Entity>``;
+    ``@attr`` columns become attributes. Directory-of-parts layout like
+    every other sink (resumable, never one giant file)."""
+    import os
+    import uuid
+    import xml.etree.ElementTree as ET
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        root = ET.Element(root_tag)
+        cols = batch.column_names
+        for i in range(batch.num_rows):
+            ent = ET.SubElement(root, entity_tag)
+            for c in cols:
+                v = batch[c][i].as_py()
+                if v is None:
+                    continue
+                if c.startswith("@"):
+                    ent.set(c[1:], str(v))
+                    continue
+                vals = v if isinstance(v, list) else [v]
+                for item in vals:
+                    ET.SubElement(ent, c).text = str(item)
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.xml")
+        tmp = fname + ".tmp"
+        ET.ElementTree(root).write(tmp, encoding="utf-8", xml_declaration=True)
+        os.replace(tmp, fname)
+        return pa.table({"file": pa.array([fname]), "rows": pa.array([batch.num_rows], pa.int64())})
+
+    return ds.map_batches(write_part, batch_format="pyarrow", batch_size=None).take_all()
 
 
 def peak(ds, n: int = 10):

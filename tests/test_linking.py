@@ -163,3 +163,26 @@ def test_salting_preserves_results(ray_session, fixture_tables):
     ).to_pandas()
     key = lambda df: sorted(zip(df.source, df.target, df.confidence.round(9)))
     assert key(plain) == key(salted)
+
+
+def test_stringmap_candidate_pairs():
+    # StringMap.scala:24-50 — FastMap-embedded candidate generation:
+    # every truly-similar pair (levenshtein <= threshold) must survive
+    # the mapped-space filter (contractive embedding => no false
+    # negatives), and the filter should prune some dissimilar pairs.
+    from silk_ray.kernel.distances import LevenshteinDistance
+    from silk_ray.kernel.stringmap import comparison_pairs
+
+    src = [["smith"], ["johnson"], ["williams"], ["brown"], ["jones"], ["miller"]]
+    tgt = [["smyth"], ["jonson"], ["wiliams"], ["braun"], ["davis"], ["garcia"]]
+    pairs = set(comparison_pairs(src, tgt, dist_threshold=2, threshold_percentage=1.0, dimensionality=8))
+    lev = LevenshteinDistance()
+    truly_similar = {
+        (i, j)
+        for i in range(len(src))
+        for j in range(len(tgt))
+        if lev.apply(src[i], tgt[j]) <= 2
+    }
+    assert truly_similar, "fixture must contain similar pairs"
+    assert truly_similar <= pairs  # completeness
+    assert len(pairs) < len(src) * len(tgt)  # pruning

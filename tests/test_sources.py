@@ -85,3 +85,34 @@ def test_retrieve_paths(ray_session, table):
     out = retrieve_paths(ds)
     assert set(out.path) == {"uri", "name", "val"}
     assert (out.n == 100).all()
+
+
+def test_xml_source_and_sink(tmp_path):
+    # XmlSourceStreaming.scala semantics: base path selects entity
+    # nodes; attributes -> @cols, child tags -> text columns.
+    xml = """<?xml version="1.0"?>
+<Persons>
+  <Person id="p1"><Name>Ada</Name><Phone>1</Phone><Phone>2</Phone></Person>
+  <Person id="p2"><Name>Bob</Name></Person>
+</Persons>"""
+    src = tmp_path / "persons.xml"
+    src.write_text(xml)
+    from silk_ray.sources.registry import read_dataset, write_dataset
+
+    ds = read_dataset(str(src), "xml", base_path="/Persons/Person")
+    df = ds.to_pandas().sort_values("@id").reset_index(drop=True)
+    assert list(df["@id"]) == ["p1", "p2"]
+    assert list(df["Name"]) == ["Ada", "Bob"]
+    assert df["Phone"][0] == "1"  # first occurrence in single-valued mode
+
+    multi = read_dataset(str(src), "xml", base_path="/Persons/Person", multi_valued=True)
+    mrows = sorted(multi.take_all(), key=lambda r: r["@id"])
+    assert list(mrows[0]["Phone"]) == ["1", "2"]
+
+    # sink roundtrip
+    out_dir = tmp_path / "out"
+    parts = write_dataset(ds.drop_columns(["_file"]), str(out_dir), "xml")
+    assert sum(p["rows"] for p in parts) == 2
+    back = read_dataset(str(out_dir), "xml", base_path="/Entities/Entity")
+    bdf = back.to_pandas().sort_values("@id").reset_index(drop=True)
+    assert list(bdf["Name"]) == ["Ada", "Bob"]
