@@ -52,7 +52,7 @@ TIMED_QUERIES = [
 ]
 
 
-def prepare_changelog() -> tuple[str, int]:
+def prepare_changelog(min_events: int = 400_000) -> tuple[str, int]:
     """Deterministic changelog parquet for this sf tier (cached so the
     two scaling runs and repeat benches share identical input)."""
     import pyarrow.parquet as pq
@@ -61,13 +61,13 @@ def prepare_changelog() -> tuple[str, int]:
     from silk_ray.pipelines.queries import base_from_documents
 
     tag = SF_DIR.rstrip("/").split("/")[-1]
-    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-v4")
+    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-{min_events}-v4")
     done = os.path.join(seg_dir, "_DONE")
     if os.path.exists(done):
         with open(done) as f:
             return seg_dir, int(f.read())
     base = base_from_documents(SF_DIR)
-    n_events = max(400_000, base.num_rows * 20)
+    n_events = max(min_events, base.num_rows * 20)
     log = make_changelog(base, n_events, seed=5, dup_frac=0.02)
     write_changelog_segments(log, seg_dir, segment_size=50_000)
     with open(done, "w") as f:
@@ -82,7 +82,13 @@ def run_headline() -> dict:
     from silk_ray.cdc.engine import EngineConfig, run
     from silk_ray.pipelines.rules import BENCH_RULE
 
-    seg_dir, n_events = prepare_changelog()
+    # --scaling uses a 4x-larger changelog (SILKRAY_SCALE_EVENTS, same
+    # cached input at both CPU levels): the N-vs-4N criterion is about
+    # sustained throughput at 10^10 events, so per-run fixed costs
+    # (ray.init, per-epoch planning/commits) must be amortized by real
+    # work, not dominate it
+    min_events = int(os.environ.get("SILKRAY_SCALE_EVENTS", "400000"))
+    seg_dir, n_events = prepare_changelog(min_events)
     # lake on tmpfs when available: back-to-back runs otherwise contend
     # with the previous run's dirty-page writeback on the root disk
     lake_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -160,7 +166,11 @@ def scaling() -> None:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            SILKRAY_SCALE_EVENTS=os.environ.get("SILKRAY_SCALE_EVENTS", "1600000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
@@ -172,15 +182,19 @@ def scaling() -> None:
 
     # this sandbox VM throttles under sustained full-machine load (run-
     # to-run wall time swings up to 2x on identical deterministic input,
-    # while sub-saturation runs are stable within 1%) — so sample each
-    # level twice, interleaved with cool-down gaps, and report the
-    # best-case (min) per level; a real fixed-size cluster comparison
-    # would not need this
-    prepare_warm = run(8)  # also warms the changelog cache + page cache
+    # while sub-saturation runs are stable within ±4%) — so sample each
+    # level SILKRAY_SCALE_SAMPLES times, interleaved with cool-down
+    # gaps, and report the best-case (min) per level; a real fixed-size
+    # cluster comparison would not need this
+    n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "2"))
+    # build the changelog cache outside the timed samples
+    os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "1600000")
+    prepare_changelog(int(os.environ["SILKRAY_SCALE_EVENTS"]))
     samples = {8: [], 32: []}
-    for ncpu in (8, 32, 8, 32, 8, 32):
-        time.sleep(45)
-        samples[ncpu].append(run(ncpu))
+    for _ in range(n_samples):
+        for ncpu in (8, 32):
+            samples[ncpu].append(run(ncpu))
+            time.sleep(45)
     lo = min(samples[8], key=lambda r: r["value"])
     hi = min(samples[32], key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
@@ -194,8 +208,8 @@ def scaling() -> None:
                 "sec_32_samples": [r["value"] for r in samples[32]],
                 "events_per_sec_8": lo["events_per_sec"],
                 "events_per_sec_32": hi["events_per_sec"],
+                "events": lo["events_applied"],
                 "scaling_efficiency": round(eff, 3),
-                "warmup_sec_8": prepare_warm["value"],
             }
         )
     )

@@ -371,42 +371,66 @@ def update_links(
     uris_ref = ray.put(pa.array(sorted(dirty_uris), pa.string()))
     exploded_schema = _exploded_schema(n_leaves)
 
-    loader_items = [
-        {"bp": bp, "files": bm_files[bp]} for bp in affected_bps if bm_files.get(bp)
-    ]
+    # per-bp delta row counts (driver-side, from the summary): large
+    # bps are SUB-SPLIT by key so no single scoring task becomes the
+    # serial tail — pair scoring is O(block²)-ish and task-level skew
+    # was the measured scaling blocker (straggler tasks of 5-6 s)
+    rows_per_bp: dict[int, int] = {}
+    if summary_all is not None and summary_all.num_rows:
+        bp_counts = pa.table({"bp": summary_all["bp"]}).group_by("bp").aggregate([("bp", "count")])
+        rows_per_bp = dict(
+            zip(bp_counts["bp"].to_pylist(), bp_counts["bp_count"].to_pylist())
+        )
+    SPLIT_ROWS = 1_000
+    loader_items = []
+    for bp in affected_bps:
+        if not bm_files.get(bp):
+            continue
+        msplit = max(1, -(-rows_per_bp.get(bp, 0) // SPLIT_ROWS))
+        for r in range(msplit):
+            loader_items.append(
+                {"bp": bp, "files": bm_files[bp], "msplit": msplit, "rsplit": r}
+            )
 
-    # adaptive parallelism: size loader tasks and score partitions to
-    # the work actually present — affected-chain bytes (driver-side
-    # getsize) AND the delta-summary row count (pair scoring is
-    # CPU-bound per exploded row, so compressed bytes alone undercount
-    # it). Fixed counts (64/64) cost ~10s of pure task/shuffle overhead
-    # per epoch on small deltas while the useful compute is
-    # milliseconds; both terms grow the counts back to the cap at scale.
+    # adaptive parallelism: size loader tasks by the work actually
+    # present — affected-chain bytes (driver-side getsize) AND the
+    # delta-summary row count (pair scoring is CPU-bound per exploded
+    # row, so compressed bytes alone undercount it). Fixed counts
+    # (64/64) cost ~10s of pure task/shuffle overhead per epoch on
+    # small deltas while the useful compute is milliseconds; both terms
+    # grow the counts back to the cap at scale.
     n_summary = int(summary_all.num_rows) if summary_all is not None else 0
     total_bm_bytes = 0
-    for it in loader_items:
-        for f in it["files"]:
+    for bp in affected_bps:
+        for f in bm_files.get(bp) or ():
             try:
                 total_bm_bytes += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
     n_loader_tasks = int(
-        max(1, min(len(loader_items), max(total_bm_bytes // (8 << 20), n_summary // 3_000) + 1))
+        max(1, min(len(loader_items), max(total_bm_bytes // (8 << 20), n_summary // 1_500) + 1))
     )
     loader_batch = max(1, -(-len(loader_items) // n_loader_tasks))
 
     def load_and_restrict(batch: pa.Table) -> pa.Table:
-        """Per-bp loader task: reconcile the delta chain, keep rows in
-        affected blocks (vectorized is_in), flag dirty rows."""
+        """Per-(bp, key-split) loader: reconcile the delta chain, keep
+        rows in affected blocks (vectorized is_in), apply the key
+        sub-split for hot bps, flag dirty rows."""
+        import numpy as np
         import pyarrow.compute as pc
 
         key_set = ray.get(keys_ref)
         uri_set = ray.get(uris_ref)
         parts = []
         for row in batch.to_pylist():
-            parts.append(read_bp_reconciled(root, row["files"], n_leaves))
+            t = read_bp_reconciled(root, row["files"], n_leaves)
+            t = t.filter(pc.is_in(t["key"], value_set=key_set))
+            if row["msplit"] > 1 and t.num_rows:
+                keys_np = t["key"].to_numpy(zero_copy_only=False)
+                mask = (keys_np // n_block_partitions) % row["msplit"] == row["rsplit"]
+                t = t.filter(pa.array(mask))
+            parts.append(t)
         t = pa.concat_tables(parts) if parts else exploded_schema.empty_table()
-        t = t.filter(pc.is_in(t["key"], value_set=key_set))
         dirty_flag = pc.is_in(t["uri"], value_set=uri_set)
         return t.append_column("dirty", dirty_flag)
 

@@ -183,3 +183,41 @@ def test_execution_methods(ray_session):
     assert mp <= full
     # q-gram path blocking keeps the near-dup pairs (paths differ by <=2 chars)
     assert len(qg) >= len(full) * 0.8
+
+
+def test_freetext_extractors(ray_session, tmp_path):
+    import ray.data as rd
+
+    from silk_ray.functions.freetext import (
+        bag_of_words_extractor,
+        dictionary_extractor,
+        feature_value_pairs_extractor,
+        regex_extractor,
+        round_numeric_strings,
+    )
+
+    train = rd.from_items([{"label": "Python Rust"}, {"label": "Go"}])
+    docs = rd.from_items(
+        [
+            {"id": 1, "text": "writing python daily"},
+            {"id": 2, "text": "mostly java here"},
+        ]
+    )
+    bow = bag_of_words_extractor(docs, "text", train, "label").to_pandas().sort_values("id")
+    assert list(bow["extracted"]) == ["python", ""]
+
+    fvp_train = rd.from_items([{"label": "mostly java here"}])
+    fvp = feature_value_pairs_extractor(docs, "text", fvp_train, "label").to_pandas().sort_values("id")
+    assert list(fvp["extracted"]) == ["", "mostly java here"]
+
+    rex = regex_extractor(docs, "text", r"\b\w+ing\b").to_pandas().sort_values("id")
+    assert list(rex["extracted"]) == ["writing", ""]
+
+    dic = tmp_path / "dict.txt"
+    dic.write_text("alpha\nbeta")
+    dce = dictionary_extractor(docs, str(dic)).to_pandas()
+    assert set(dce["extracted"]) == {"alpha\nbeta"}
+
+    nums = rd.from_items([{"v": "3.6"}, {"v": "-2.2"}, {"v": "x1"}])
+    rounded = round_numeric_strings(nums, "v").to_pandas()
+    assert sorted(rounded["v"]) == ["-2", "4", "x1"]
