@@ -31,6 +31,8 @@ CACHE_DIR = os.environ.get("SILKRAY_BENCH_CACHE", "/tmp/silkray_bench_cache")
 TIMED_QUERIES = [
     "q1_pricing_summary",
     "q3_revenue_topk",
+    "q5_local_supplier",
+    "q10_returned_items",
     "revenue_per_nation",
     "top_orders",
     "events_daily",

@@ -233,6 +233,242 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def _broadcast_arrays(keys, values):
+    """(sorted keys, aligned values) shipped once via ray.put for
+    vectorized searchsorted lookups inside tasks."""
+    import ray
+
+    keys = np.asarray(keys)
+    order = np.argsort(keys)
+    return ray.put((keys[order], np.asarray(values)[order]))
+
+
+def _lookup(ref, vals):
+    import ray
+
+    sorted_keys, sorted_vals = ray.get(ref)
+    idx = np.clip(np.searchsorted(sorted_keys, vals), 0, max(len(sorted_keys) - 1, 0))
+    hit = (len(sorted_keys) > 0) & (sorted_keys[idx] == vals)
+    return hit, sorted_vals[idx]
+
+
+def q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape: 6-table join where customer and supplier must be
+    in the same ASIA nation. Dimensions (region⋈nation, customer keys,
+    supplier keys) broadcast as sorted arrays; orders⋈lineitem is a
+    hash-partitioned shuffle join (tagged union + groupby(part) +
+    vectorized pandas merge per partition) — both fact tables stream."""
+    from ray.data.aggregate import Sum
+
+    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    asia_key = int(region.loc[region.r_name == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = nation[nation.n_regionkey == asia_key]
+    nation_names = dict(zip(asia_nations.n_nationkey, asia_nations.n_name))
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust.c_nationkey.isin(nation_names)]
+    cust_ref = _broadcast_arrays(cust.c_custkey.to_numpy(), cust.c_nationkey.to_numpy())
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_ref = _broadcast_arrays(supp.s_suppkey.to_numpy(), supp.s_nationkey.to_numpy())
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    n_part = 64
+
+    def order_side(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        hit, nk = _lookup(cust_ref, b["o_custkey"].to_numpy())
+        b = b.filter(pa.array(hit))
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "part": pc.cast(pc.bit_wise_and(b["o_orderkey"], n_part - 1), pa.int32()),
+                "cust_nation": pa.array(nk[hit], pa.int64()),
+                "suppkey": pa.nulls(n, pa.int64()),
+                "revenue": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_side(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "part": pc.cast(pc.bit_wise_and(b["l_orderkey"], n_part - 1), pa.int32()),
+                "cust_nation": pa.nulls(n, pa.int64()),
+                "suppkey": b["l_suppkey"],
+                "revenue": rev,
+            }
+        )
+
+    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
+        li.map_batches(li_side, batch_format="pyarrow")
+    )
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df.cust_nation.notna()][["okey", "cust_nation"]]
+        l = df[df.cust_nation.isna()][["okey", "suppkey", "revenue"]]
+        m = l.merge(o, on="okey")
+        if m.empty:
+            return pd.DataFrame({"n_nationkey": pd.Series([], dtype="int64"),
+                                 "revenue": pd.Series([], dtype="float64")})
+        hit, s_nation = _lookup(supp_ref, m.suppkey.to_numpy(dtype=np.int64))
+        m = m[hit & (s_nation == m.cust_nation.to_numpy())]
+        m["n_nationkey"] = m.cust_nation.astype("int64")
+        return m.groupby("n_nationkey", as_index=False)["revenue"].sum()
+
+    agg = (
+        tagged.groupby("part")
+        .map_groups(join_part, batch_format="pandas")
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg.n_nationkey.map(nation_names)
+    agg["revenue"] = agg["revenue"].round(2)
+    return (
+        agg[["n_name", "revenue"]]
+        .sort_values("revenue", ascending=False)
+        .reset_index(drop=True)
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. orders⋈lineitem is the hash-partitioned shuffle join;
+    customer/nation details are attached only to the final 20 keys via
+    a filtered parquet read."""
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+    n_part = 64
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_side(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "part": pc.cast(pc.bit_wise_and(b["o_orderkey"], n_part - 1), pa.int32()),
+                "custkey": b["o_custkey"],
+                "revenue": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def li_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        g = pa.table({"okey": b["l_orderkey"], "revenue": rev}).group_by("okey").aggregate(
+            [("revenue", "sum")]
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "okey": g["okey"],
+                "part": pc.cast(pc.bit_wise_and(g["okey"], n_part - 1), pa.int32()),
+                "custkey": pa.nulls(n, pa.int64()),
+                "revenue": pc.cast(g["revenue_sum"], pa.float64()),
+            }
+        )
+
+    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
+        li.map_batches(li_side, batch_format="pyarrow")
+    )
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df.revenue.isna()][["okey", "custkey"]]
+        l = df[df.revenue.notna()][["okey", "revenue"]]
+        m = l.merge(o, on="okey")
+        if m.empty:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "revenue": pd.Series([], dtype="float64")})
+        m["c_custkey"] = m.custkey.astype("int64")
+        return m.groupby("c_custkey", as_index=False)["revenue"].sum()
+
+    agg = tagged.groupby("part").map_groups(join_part, batch_format="pandas")
+    agg = agg.groupby("c_custkey").aggregate(Sum("revenue", alias_name="revenue"))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["revenue"].round(2)
+        return df.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort").head(20)
+
+    top = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort").head(20)
+
+    # attach customer + nation details for just the final 20 keys
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=pads.field("c_custkey").isin(top.c_custkey.tolist()),
+    ).to_pandas()
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    return (
+        out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def mktsegment_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -663,6 +899,8 @@ def build_queries():
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_topk": q3_revenue_topk,
+        "q5_local_supplier": q5_local_supplier,
+        "q10_returned_items": q10_returned_items,
         "revenue_per_nation": revenue_per_nation,
         "top_orders": top_orders,
         "mktsegment_counts": mktsegment_counts,
@@ -691,6 +929,8 @@ def build_oracle_sql():
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_revenue_topk": Q3_SQL,
+        "q5_local_supplier": Q5_SQL,
+        "q10_returned_items": Q10_SQL,
         "revenue_per_nation": REVENUE_PER_NATION_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "mktsegment_counts": MKTSEGMENT_SQL,
