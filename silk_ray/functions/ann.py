@@ -103,6 +103,118 @@ def knn_bruteforce(
     return partial.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
 
 
+class _NearDupScorer:
+    """Per-batch exact embedding near-dup against a broadcast corpus.
+
+    The full (ids, normalized float64 matrix) pair is shipped once per
+    actor via object-store reference. Each unordered pair {a, b} is
+    emitted exactly once: by the batch that contains min(a, b)."""
+
+    def __init__(self, corpus_ref, threshold: float, id_col: str, vec_col: str):
+        import ray
+
+        ids, m = ray.get(corpus_ref)
+        self.all_ids = np.asarray(ids, dtype=np.int64)
+        self.all_m = _normalize(np.asarray(m, dtype=np.float64))
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_matrix(batch[self.vec_col], dtype=np.float64))
+        sims = m @ self.all_m.T  # (B, N)
+        # keep (row_id < other_id) so each pair surfaces exactly once
+        keep = (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
+        bi, oj = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi], pa.int64()),
+                "id_b": pa.array(self.all_ids[oj], pa.int64()),
+                "cosine": pa.array(sims[bi, oj], pa.float64()),
+            }
+        )
+
+
+def embedding_near_dup_pairs(
+    ds,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    n_bits: int = 8,
+    n_tables: int = 8,
+    concurrency=(1, 8),
+):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    ``method="brute"`` is exact — O(n²/P) parallel scoring against a
+    broadcast normalized matrix (oracle-checkable; fine to ~10⁶ rows).
+    ``method="lsh"`` is the 100 TB path: random-hyperplane bucketing
+    (groupby shuffle ships only (id, vector)), within-bucket exact
+    cosine, cross-table dedup — no broadcast of the corpus."""
+    import ray
+
+    if method == "brute":
+        t = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+        corpus = pa.concat_tables([ray.get(r) for r in t])
+        ref = ray.put((corpus[id_col].to_pylist(), _matrix(corpus[vec_col], dtype=np.float64)))
+        return ds.map_batches(
+            _NearDupScorer,
+            fn_constructor_kwargs=dict(corpus_ref=ref, threshold=threshold, id_col=id_col, vec_col=vec_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+
+    hasher_holder: dict = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lists = batch[vec_col].to_pylist()
+        m = np.asarray(lists, dtype=np.float32)
+        if "h" not in hasher_holder:
+            hasher_holder["h"] = HyperplaneHasher(m.shape[1], n_bits, n_tables)
+        ids = batch[id_col].to_pylist()
+        bks = hasher_holder["h"].buckets(m)
+        ob, oi, ov = [], [], []
+        for i in range(len(ids)):
+            for b in bks[i]:
+                ob.append(int(b))
+                oi.append(ids[i])
+                ov.append(lists[i])
+        return pa.table(
+            {
+                "bucket": pa.array(ob, pa.int64()),
+                id_col: pa.array(oi, pa.int64()),
+                vec_col: pa.array(ov, pa.list_(pa.float64())),
+            }
+        )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_matrix(group[vec_col], dtype=np.float64))
+        sims = m @ m.T
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        bi, oj = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi], pa.int64()),
+                "id_b": pa.array(ids[oj], pa.int64()),
+                "cosine": pa.array(sims[bi, oj], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
+    # a pair can surface from several tables → dedup
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
 class HyperplaneHasher:
     def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 4, seed: int = 77):
         rng = np.random.default_rng(seed)

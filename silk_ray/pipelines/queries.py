@@ -795,6 +795,28 @@ def dedup_ngram_jaccard(sf_dir: str):
     return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
 
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact brute method; the LSH
+    scale variant is recall-tested against this in test_ann.py)."""
+    from silk_ray.functions.ann import embedding_near_dup_pairs
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.4).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def knn_lsh_q(sf_dir: str):
     from silk_ray.functions.ann import knn_lsh
 
@@ -919,6 +941,7 @@ def build_queries():
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh_q,
         "link_documents": link_documents,
         "cdc_flagship": cdc_flagship,
@@ -944,4 +967,5 @@ def build_oracle_sql():
         "transform_normalize": TRANSFORM_NORMALIZE_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "label_stats": LABEL_STATS_SQL,
+        "dedup_embedding": DEDUP_EMBEDDING_SQL,
     }

@@ -74,6 +74,25 @@ def test_minhash_finds_near_dups_and_verifies(ray_session):
         assert (out["jaccard"] >= 0.5).all()
 
 
+def test_embedding_near_dup_lsh_vs_brute(ray_session):
+    """LSH-bucketed near-dup: exact subset of brute (same scoring), with
+    usable recall; pairs it reports carry identical float64 cosines."""
+    import ray.data as rd
+
+    from silk_ray.functions.ann import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = QUERIES["dedup_embedding"](SF_DIR)
+    approx = embedding_near_dup_pairs(ds, threshold=0.4, method="lsh", n_bits=4, n_tables=16).to_pandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    assert approx_pairs <= exact_pairs
+    assert len(exact_pairs) > 0
+    assert len(approx_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+    merged = approx.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert np.allclose(merged.cosine_l, merged.cosine_e, atol=1e-6)
+
+
 def test_knn_lsh_recall_vs_bruteforce(ray_session):
     exact = QUERIES["knn_cosine"](SF_DIR)
     approx = QUERIES["knn_lsh"](SF_DIR)
