@@ -14,6 +14,7 @@ tailing. Both sub-commits are idempotent, so replays converge.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from silk_ray.cdc import checkpoint as ckpt
@@ -60,6 +61,7 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
     catch_up_links(root, config)
     epochs = 0
     while config.max_epochs is None or epochs < config.max_epochs:
+        t_epoch = time.perf_counter()
         m = run_epoch(
             root,
             changelog,
@@ -80,6 +82,10 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 n_block_partitions=config.n_block_partitions,
             )
             m = {**m, "links": link_metrics}
+        # per-epoch wall time: epochs are identical in shape, so the
+        # best epoch is a throttling-robust throughput estimator on
+        # hosts where sustained-load wall time swings run-to-run
+        m["epoch_seconds"] = time.perf_counter() - t_epoch
         results.append(m)
         epochs += 1
     return results

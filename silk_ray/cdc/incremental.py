@@ -422,9 +422,20 @@ def update_links(
         key_set = ray.get(keys_ref)
         uri_set = ray.get(uris_ref)
         parts = []
+        # consecutive items of a hot bp share the same chain: reconcile
+        # + affected-key filter once per chain per batch, not once per
+        # key-split (msplit × chain-size re-reads grow quadratically
+        # with corpus size otherwise)
+        chain_memo: dict[tuple, pa.Table] = {}
         for row in batch.to_pylist():
-            t = read_bp_reconciled(root, row["files"], n_leaves)
-            t = t.filter(pc.is_in(t["key"], value_set=key_set))
+            memo_key = tuple(row["files"])
+            t = chain_memo.get(memo_key)
+            if t is None:
+                t = read_bp_reconciled(root, row["files"], n_leaves)
+                t = t.filter(pc.is_in(t["key"], value_set=key_set))
+                if len(chain_memo) >= 4:
+                    chain_memo.clear()
+                chain_memo[memo_key] = t
             if row["msplit"] > 1 and t.num_rows:
                 keys_np = t["key"].to_numpy(zero_copy_only=False)
                 mask = (keys_np // n_block_partitions) % row["msplit"] == row["rsplit"]
