@@ -46,6 +46,7 @@ TIMED_QUERIES = [
     "knn_cosine",
     "label_stats",
     "dedup_minhash",
+    "dedup_embedding",
     # dedup_ngram_jaccard excluded from the sf0.1 timing list: exact
     # prefix-filter blocking degenerates on the tiny-vocabulary
     # documents corpus (most docs share frequent shingles); it stays in
@@ -257,7 +258,11 @@ def scaling() -> None:
     # level SILKRAY_SCALE_SAMPLES times, interleaved with cool-down
     # gaps, and report the best-case (min) per level; a real fixed-size
     # cluster comparison would not need this
-    n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "2"))
+    # one process sample per level by default: each run already yields 4
+    # identical-shape per-epoch draws (epoch_seconds), and best-epoch
+    # throughput is the throttling-robust estimator; raise
+    # SILKRAY_SCALE_SAMPLES for more process-level draws
+    n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "1"))
     # build the changelog cache outside the timed samples
     os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "1600000")
     os.environ["SILKRAY_SCALE_CORPUS"] = os.environ.get("SILKRAY_SCALE_CORPUS", "4")

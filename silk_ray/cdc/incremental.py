@@ -407,10 +407,50 @@ def update_links(
                 total_bm_bytes += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
+    # cap at 4 waves of cluster CPUs: past that, extra tasks only add
+    # scheduling overhead + redundant chain reads (each task rebuilds
+    # the affected-key hash set and re-reads any chain split across
+    # task boundaries)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_loader_tasks = int(
-        max(1, min(len(loader_items), max(total_bm_bytes // (8 << 20), n_summary // 1_500) + 1))
+        max(
+            1,
+            min(
+                len(loader_items),
+                max(total_bm_bytes // (8 << 20), n_summary // 1_500) + 1,
+                4 * ncpu,
+            ),
+        )
     )
-    loader_batch = max(1, -(-len(loader_items) // n_loader_tasks))
+    # explicit greedy bin-packing into n_loader_tasks buckets: pair
+    # scoring is ~quadratic in a split's block sizes, so hot splits
+    # must SPREAD across tasks (contiguous bp-major batching clumps a
+    # hot bp's splits into one task — measured 2.7x-mean stragglers),
+    # while same-chain items stay adjacent inside a bucket so the
+    # loader memo still dedups chain reads
+    est = {
+        id(it): (rows_per_bp.get(it["bp"], 0) / it["msplit"]) ** 2 / 1_000
+        + rows_per_bp.get(it["bp"], 0) / it["msplit"]
+        for it in loader_items
+    }
+    buckets: list[list] = [[] for _ in range(n_loader_tasks)]
+    loads = [0.0] * n_loader_tasks
+    for it in sorted(loader_items, key=lambda x: -est[id(x)]):
+        i = loads.index(min(loads))
+        buckets[i].append(it)
+        loads[i] += est[id(it)]
+    # one row per bucket (parallel lists); consumed with batch_size=1 so
+    # each task is exactly one cost-balanced bucket
+    loader_buckets = [
+        {
+            "bps": [it["bp"] for it in b],
+            "files": [it["files"] for it in b],
+            "msplits": [it["msplit"] for it in b],
+            "rsplits": [it["rsplit"] for it in b],
+        }
+        for b in (sorted(b, key=lambda x: (x["bp"], x["rsplit"])) for b in buckets)
+        if b
+    ]
 
     def load_and_restrict(batch: pa.Table) -> pa.Table:
         """Per-(bp, key-split) loader: reconcile the delta chain, keep
@@ -427,20 +467,23 @@ def update_links(
         # key-split (msplit × chain-size re-reads grow quadratically
         # with corpus size otherwise)
         chain_memo: dict[tuple, pa.Table] = {}
-        for row in batch.to_pylist():
-            memo_key = tuple(row["files"])
-            t = chain_memo.get(memo_key)
-            if t is None:
-                t = read_bp_reconciled(root, row["files"], n_leaves)
-                t = t.filter(pc.is_in(t["key"], value_set=key_set))
-                if len(chain_memo) >= 4:
-                    chain_memo.clear()
-                chain_memo[memo_key] = t
-            if row["msplit"] > 1 and t.num_rows:
-                keys_np = t["key"].to_numpy(zero_copy_only=False)
-                mask = (keys_np // n_block_partitions) % row["msplit"] == row["rsplit"]
-                t = t.filter(pa.array(mask))
-            parts.append(t)
+        for bucket in batch.to_pylist():
+            for files, msplit, rsplit in zip(
+                bucket["files"], bucket["msplits"], bucket["rsplits"]
+            ):
+                memo_key = tuple(files)
+                t = chain_memo.get(memo_key)
+                if t is None:
+                    t = read_bp_reconciled(root, files, n_leaves)
+                    t = t.filter(pc.is_in(t["key"], value_set=key_set))
+                    if len(chain_memo) >= 4:
+                        chain_memo.clear()
+                    chain_memo[memo_key] = t
+                if msplit > 1 and t.num_rows:
+                    keys_np = t["key"].to_numpy(zero_copy_only=False)
+                    mask = (keys_np // n_block_partitions) % msplit == rsplit
+                    t = t.filter(pa.array(mask))
+                parts.append(t)
         t = pa.concat_tables(parts) if parts else exploded_schema.empty_table()
         dirty_flag = pc.is_in(t["uri"], value_set=uri_set)
         return t.append_column("dirty", dirty_flag)
@@ -476,9 +519,9 @@ def update_links(
         def load_restrict_score(batch: pa.Table) -> pa.Table:
             return tag_epoch(scorer(load_and_restrict(batch)))
 
-        new_links = rd.from_items(loader_items).map_batches(
-            load_restrict_score, batch_format="pyarrow", batch_size=loader_batch
-        )
+        new_links = rd.from_items(
+            loader_buckets, override_num_blocks=len(loader_buckets)
+        ).map_batches(load_restrict_score, batch_format="pyarrow", batch_size=1)
     else:
         new_links = rd.from_arrow(empty_links)
 
