@@ -208,6 +208,47 @@ def _verify_pairs(pairs, sketches, id_col: str, threshold: float, score_col: str
     return both.map_batches(score, batch_format="pyarrow")
 
 
+def _verify_adaptive(cand, sketched, id_col: str, threshold: float, score_col: str):
+    """Adaptive pair verification. Below the broadcast threshold the
+    whole {id: sketch} map ships once via ``ray.put`` and pairs verify
+    in one map stage (the sketched table is already materialized, so
+    ``size_bytes`` is free); at scale the sketch map won't fit a worker
+    heap and verification runs as two hash-shuffle joins over
+    pair-sized data instead."""
+    sketches = sketched.select_columns([id_col, "sketch"])
+    sk_bytes = sketched.size_bytes() or 0
+    if sk_bytes > (256 << 20):
+        return _verify_pairs(cand, sketches, id_col, threshold, score_col)
+    import ray
+
+    tbl = pa.concat_tables(ray.get(sketches.to_arrow_refs()))
+    ref = ray.put(dict(zip(tbl[id_col].to_pylist(), tbl["sketch"].to_pylist())))
+
+    def score_direct(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        id_type = batch["left_id"].type
+        ls, rs, js = [], [], []
+        for lid, rid in zip(batch["left_id"].to_pylist(), batch["right_id"].to_pylist()):
+            a = np.frombuffer(m.get(lid) or b"", dtype=np.uint32)
+            b = np.frombuffer(m.get(rid) or b"", dtype=np.uint32)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                ls.append(lid)
+                rs.append(rid)
+                js.append(j)
+        return pa.table(
+            {
+                "left_id": pa.array(ls, id_type),
+                "right_id": pa.array(rs, id_type),
+                score_col: pa.array(js, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(score_direct, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -282,8 +323,7 @@ def minhash_lsh_pairs(
 
     band_rows = sketched.map_batches(explode_bands, batch_format="pyarrow")
     cand = _candidate_pairs(band_rows, id_col)
-    sketches = sketched.select_columns([id_col, "sketch"])
-    return _verify_pairs(cand, sketches, id_col, jaccard_threshold, "jaccard")
+    return _verify_adaptive(cand, sketched, id_col, jaccard_threshold, "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -433,5 +473,4 @@ def ngram_jaccard_pairs(
 
     band_rows = sketched.map_batches(explode_prefix, batch_format="pyarrow")
     cand = _candidate_pairs(band_rows, id_col)
-    sketches = sketched.select_columns([id_col, "sketch"])
-    return _verify_pairs(cand, sketches, id_col, threshold, "jaccard")
+    return _verify_adaptive(cand, sketched, id_col, threshold, "jaccard")

@@ -108,6 +108,51 @@ def q3_revenue_topk(sf_dir: str):
     )
     orders = broadcast_semi_filter(orders, "o_custkey", cust_keys)
 
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    # adaptive join: below the broadcast threshold (parquet metadata row
+    # count, no extra execution) the filtered orders keys ship once via
+    # ray.put and lineitem is semi-filtered — no orders-side shuffle; a
+    # bigger orders table takes the hash-shuffle join (at sf100 the
+    # date-filtered key set is ~75M rows — too big for a driver set)
+    import pyarrow.parquet as pq
+
+    n_orders_total = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    if n_orders_total <= 2_000_000:
+        order_keys = set(orders.to_pandas()["o_orderkey"])
+        li = broadcast_semi_filter(li, "l_orderkey", order_keys)
+
+        def li_rev(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15"))))
+            rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            g = (
+                pa.table({"l_orderkey": b["l_orderkey"], "revenue": rev})
+                .group_by("l_orderkey")
+                .aggregate([("revenue", "sum")])
+            )
+            return pa.table(
+                {"l_orderkey": g["l_orderkey"], "revenue": pc.cast(g["revenue_sum"], pa.float64())}
+            )
+
+        agg = (
+            li.map_batches(li_rev, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+        )
+
+        def topk_small(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["l_orderkey", "revenue"]].copy()
+            df["revenue"] = df["revenue"].round(2)
+            return df.sort_values(
+                ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+            ).head(10)
+
+        df = agg.map_batches(topk_small, batch_format="pandas").to_pandas()
+        df = df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return df.reset_index(drop=True)
+
     # shuffle join via key-tagged union + one groupby aggregate:
     # orders rows carry (revenue=0, is_order=1); lineitem rows are
     # pre-aggregated per batch to (key, partial revenue, is_li=1)
@@ -121,8 +166,6 @@ def q3_revenue_topk(sf_dir: str):
                 "is_li": pa.array(np.zeros(n, dtype=np.int32)),
             }
         )
-
-    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def li_partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15"))))
