@@ -356,6 +356,53 @@ def q5_local_supplier(sf_dir: str):
             }
         )
 
+    # adaptive join (same planning rule as q3): below the broadcast
+    # threshold the filtered (okey -> cust_nation) map ships once and
+    # the whole join runs map-side over the streaming lineitem — no
+    # fact-table shuffle at all; above it, hash-partitioned shuffle join
+    import pyarrow.parquet as _pq
+
+    n_orders_total = _pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    if n_orders_total <= 2_000_000:
+        odf = (
+            orders.map_batches(order_side, batch_format="pyarrow")
+            .select_columns(["okey", "cust_nation"])
+            .to_pandas()
+        )
+        okey_ref = _broadcast_arrays(odf.okey.to_numpy(), odf.cust_nation.to_numpy())
+
+        def li_join(b: pa.Table) -> pa.Table:
+            okeys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            hit, cust_nation = _lookup(okey_ref, okeys)
+            b = b.filter(pa.array(hit))
+            cust_nation = cust_nation[hit]
+            hit_s, s_nation = _lookup(supp_ref, b["l_suppkey"].to_numpy(zero_copy_only=False))
+            keep = hit_s & (s_nation == cust_nation)
+            b = b.filter(pa.array(keep))
+            rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            g = (
+                pa.table({"n_nationkey": pa.array(cust_nation[keep], pa.int64()), "revenue": rev})
+                .group_by("n_nationkey")
+                .aggregate([("revenue", "sum")])
+            )
+            return pa.table(
+                {"n_nationkey": g["n_nationkey"], "revenue": pc.cast(g["revenue_sum"], pa.float64())}
+            )
+
+        agg = (
+            li.map_batches(li_join, batch_format="pyarrow")
+            .groupby("n_nationkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .to_pandas()
+        )
+        agg["n_name"] = agg.n_nationkey.map(nation_names)
+        agg["revenue"] = agg["revenue"].round(2)
+        return (
+            agg[["n_name", "revenue"]]
+            .sort_values("revenue", ascending=False)
+            .reset_index(drop=True)
+        )
+
     tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
         li.map_batches(li_side, batch_format="pyarrow")
     )
