@@ -498,22 +498,55 @@ def q10_returned_items(sf_dir: str):
             }
         )
 
-    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
-        li.map_batches(li_side, batch_format="pyarrow")
-    )
+    # adaptive join (same planning rule as q3/q5): below the broadcast
+    # threshold the filtered (okey -> custkey) map ships once and the
+    # join runs map-side over the streaming lineitem; above it,
+    # hash-partitioned shuffle join
+    import pyarrow.parquet as _pq
 
-    def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        o = df[df.revenue.isna()][["okey", "custkey"]]
-        l = df[df.revenue.notna()][["okey", "revenue"]]
-        m = l.merge(o, on="okey")
-        if m.empty:
-            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
-                                 "revenue": pd.Series([], dtype="float64")})
-        m["c_custkey"] = m.custkey.astype("int64")
-        return m.groupby("c_custkey", as_index=False)["revenue"].sum()
+    n_orders_total = _pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    if n_orders_total <= 2_000_000:
+        odf = (
+            orders.map_batches(order_side, batch_format="pyarrow")
+            .select_columns(["okey", "custkey"])
+            .to_pandas()
+        )
+        okey_ref = _broadcast_arrays(odf.okey.to_numpy(), odf.custkey.to_numpy())
 
-    agg = tagged.groupby("part").map_groups(join_part, batch_format="pandas")
-    agg = agg.groupby("c_custkey").aggregate(Sum("revenue", alias_name="revenue"))
+        def li_join(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["l_returnflag"], "R"))
+            hit, custkey = _lookup(okey_ref, b["l_orderkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(hit))
+            rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            g = (
+                pa.table({"c_custkey": pa.array(custkey[hit], pa.int64()), "revenue": rev})
+                .group_by("c_custkey")
+                .aggregate([("revenue", "sum")])
+            )
+            return pa.table(
+                {"c_custkey": g["c_custkey"], "revenue": pc.cast(g["revenue_sum"], pa.float64())}
+            )
+
+        agg = li.map_batches(li_join, batch_format="pyarrow").groupby("c_custkey").aggregate(
+            Sum("revenue", alias_name="revenue")
+        )
+    else:
+        tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
+            li.map_batches(li_side, batch_format="pyarrow")
+        )
+
+        def join_part(df: pd.DataFrame) -> pd.DataFrame:
+            o = df[df.revenue.isna()][["okey", "custkey"]]
+            l = df[df.revenue.notna()][["okey", "revenue"]]
+            m = l.merge(o, on="okey")
+            if m.empty:
+                return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                     "revenue": pd.Series([], dtype="float64")})
+            m["c_custkey"] = m.custkey.astype("int64")
+            return m.groupby("c_custkey", as_index=False)["revenue"].sum()
+
+        agg = tagged.groupby("part").map_groups(join_part, batch_format="pandas")
+        agg = agg.groupby("c_custkey").aggregate(Sum("revenue", alias_name="revenue"))
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
