@@ -12,6 +12,7 @@ Maps the reference's source/sink inventory (SURVEY.md §2.1;
 | TextFileDataset (whole file = one value) | ``"text_files"`` (read_binary_files + decode) |
 | Parquet lake tables (our standard form) | ``"parquet"`` |
 | BulkResourceBasedDataset (directory-of-files) | all readers accept dirs natively |
+| RdfFileDataset (N-Triples/N-Quads) | ``"ntriples"`` (silk_ray.sources.rdf) |
 | DataSource.retrieve(schema, limit) | ``read_dataset(..., columns=..., limit=...)`` |
 | DataSource.retrieveByUri | :func:`retrieve_by_uri` (broadcast key-set filter) |
 | DataSource.retrievePaths (most frequent paths) | :func:`retrieve_paths` |
@@ -111,6 +112,12 @@ def _read_xml(paths, columns=None, base_path: str = "", multi_valued: bool = Fal
     return out.select_columns(columns) if columns else out
 
 
+def _read_ntriples(paths, columns=None, **kw):
+    from silk_ray.sources.rdf import read_ntriples
+
+    return read_ntriples(paths, columns=columns, **kw)
+
+
 DATASET_FORMATS = {
     "parquet": _read_parquet,
     "csv": _read_csv,
@@ -118,6 +125,7 @@ DATASET_FORMATS = {
     "text_files": _read_text_files,
     "lines": _read_lines,
     "xml": _read_xml,
+    "ntriples": _read_ntriples,
 }
 
 
@@ -141,6 +149,10 @@ def write_dataset(ds, path: str, format: str = "parquet", **kw):
         return ds.write_json(path, **kw)
     if format == "xml":
         return _write_xml(ds, path, **kw)
+    if format == "ntriples":
+        from silk_ray.sources.rdf import write_ntriples
+
+        return write_ntriples(ds, path, **kw)
     raise ValueError(f"unknown sink format {format!r}")
 
 

@@ -116,3 +116,87 @@ def test_xml_source_and_sink(tmp_path):
     back = read_dataset(str(out_dir), "xml", base_path="/Entities/Entity")
     bdf = back.to_pandas().sort_values("@id").reset_index(drop=True)
     assert list(bdf["Name"]) == ["Ada", "Bob"]
+
+
+def test_ntriples_source_entities_and_sinks(ray_session, tmp_path):
+    # RdfFileDataset.scala:24-121 (N-Triples read/write, graph param);
+    # NTriplesLinkFormatter.scala:23-29 (link + literal statements);
+    # entity pivot = EntityRetriever-per-path over groupby(subject).
+    nt = "\n".join(
+        [
+            "# names graph",
+            '<http://ex/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/Person> .',
+            '<http://ex/a> <http://ex/name> "Ada \\"the first\\"" .',
+            '<http://ex/a> <http://ex/phone> "1" .',
+            '<http://ex/a> <http://ex/phone> "2" .',
+            '<http://ex/b> <http://ex/name> "Bob"@en .',
+            '_:blank1 <http://ex/name> "anon" .',
+            '<http://ex/a> <http://ex/knows> <http://ex/b> .',
+        ]
+    )
+    src = tmp_path / "data.nt"
+    src.write_text(nt + "\n")
+    from silk_ray.sources.rdf import entities_from_triples, read_ntriples, write_links_ntriples
+    from silk_ray.sources.registry import read_dataset, write_dataset
+
+    triples = read_ntriples(str(src))
+    rows = triples.take_all()
+    assert len(rows) == 7
+    by_obj = {r["object"]: r for r in rows}
+    assert by_obj['Ada "the first"']["kind"] == "literal"
+    assert by_obj["Bob"]["lang"] == "en"
+    assert by_obj["anon"]["subject"] == "_:blank1"
+    assert by_obj["http://ex/b"]["kind"] == "uri"
+
+    # entity pivot with explicit paths + type restriction
+    ents = entities_from_triples(
+        triples, paths=["http://ex/name", "http://ex/phone"], type_uri="http://ex/Person"
+    ).take_all()
+    assert len(ents) == 1
+    assert ents[0]["uri"] == "http://ex/a"
+    assert list(ents[0]["http://ex/phone"]) == ["1", "2"]
+
+    # discovered-path pivot, no restriction: 3 subjects
+    all_ents = entities_from_triples(triples).take_all()
+    assert {e["uri"] for e in all_ents} == {"http://ex/a", "http://ex/b", "_:blank1"}
+
+    # entity sink roundtrip (literal + uri columns, multi-valued list)
+    ds = read_dataset(str(src), "ntriples")
+    ents_ds = entities_from_triples(ds, paths=["http://ex/name", "http://ex/knows"])
+    out = tmp_path / "out_nt"
+    parts = write_dataset(ents_ds, str(out), "ntriples", uri_cols={"http://ex/knows"})
+    assert sum(p["rows"] for p in parts) == 4  # 3 names + 1 knows
+    back = read_ntriples(str(out)).take_all()
+    kinds = {(r["object"], r["kind"]) for r in back}
+    assert ("http://ex/b", "uri") in kinds
+    assert ('Ada "the first"', "literal") in kinds
+
+    # link sink (owl:sameAs)
+    import ray.data as rd
+
+    links = rd.from_items([{"source": "http://ex/a", "target": "http://ex/b"}])
+    out2 = tmp_path / "links_nt"
+    write_links_ntriples(links, str(out2))
+    lback = read_ntriples(str(out2)).take_all()
+    assert lback[0]["predicate"] == "http://www.w3.org/2002/07/owl#sameAs"
+    assert lback[0]["kind"] == "uri"
+
+
+def test_nquads_graph_filter(ray_session, tmp_path):
+    nq = "\n".join(
+        [
+            '<http://ex/a> <http://ex/p> "1" <http://ex/g1> .',
+            '<http://ex/b> <http://ex/p> "2" <http://ex/g2> .',
+            '<http://ex/c> <http://ex/p> "3" .',
+        ]
+    )
+    src = tmp_path / "data.nq"
+    src.write_text(nq + "\n")
+    from silk_ray.sources.rdf import read_ntriples
+
+    all_rows = read_ntriples(str(src)).take_all()
+    assert {r["graph"] for r in all_rows} == {"http://ex/g1", "http://ex/g2", None}
+    g1 = read_ntriples(str(src), graph="http://ex/g1").take_all()
+    assert [r["subject"] for r in g1] == ["http://ex/a"]
+    with pytest.raises(ValueError):
+        read_ntriples(str(src), format="Turtle")
