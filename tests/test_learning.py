@@ -1,0 +1,166 @@
+"""GenLink supervised learning (silk-learning core: GenLink.scala,
+Reproduction.scala, MCCFitnessFunction.scala, CompatiblePathsGenerator.scala,
+CleanPopulationTask.scala)."""
+
+import random
+
+import pytest
+
+from silk_ray.kernel.rule import rule_from_dict
+from silk_ray.learning import (
+    LearningConfig,
+    ReferenceEntities,
+    RuleGenerator,
+    evaluate_rule,
+    learn,
+)
+from silk_ray.learning.genlink import _crossover, _structure_key
+
+
+def _noisy(rng, s):
+    i = rng.randrange(len(s))
+    return s[:i] + s[i + 1 :]
+
+
+@pytest.fixture(scope="module")
+def name_ref():
+    rng = random.Random(7)
+    names = [
+        "John Smith", "Mary Jones", "Pat Doe", "Chris Ray", "Alex Poe",
+        "Sam Lee", "Jo King", "Dana West", "Kim Cole", "Lou Hart",
+    ]
+    pos = [
+        ({"label": [n], "junk": [str(rng.random())]}, {"name": [_noisy(rng, n)], "noise": [str(rng.random())]})
+        for n in names
+    ]
+    neg = [
+        ({"label": [a], "junk": ["x"]}, {"name": [b], "noise": ["y"]})
+        for a in names
+        for b in names
+        if a != b
+    ][:40]
+    return ReferenceEntities(positive=pos, negative=neg)
+
+
+def test_compatible_paths_exclude_random_columns(name_ref):
+    # CompatiblePathsGenerator: only path pairs whose (tokenized,
+    # lowercased) values overlap on >1% of positives yield generators —
+    # label<->name survives, junk/noise columns do not.
+    gen = RuleGenerator(name_ref)
+    path_pairs = {(sp, tp) for sp, tp, _, _ in gen.comparison_gens}
+    assert ("label", "name") in path_pairs
+    assert all(sp != "junk" and tp != "noise" for sp, tp in path_pairs)
+
+
+def test_evaluate_rule_counts(name_ref):
+    spec = {
+        "operator": {
+            "metric": "levenshteinDistance",
+            "source": {"path": "label"},
+            "target": {"path": "name"},
+            "threshold": 1.5,
+        }
+    }
+    res = evaluate_rule(spec, name_ref)
+    # one deleted character => distance 1 <= threshold => every positive links
+    assert res.true_positives == 10 and res.false_negatives == 0
+    assert res.true_negatives + res.false_positives == 40
+    assert res.f_measure > 0.85
+
+
+def test_learn_simple_rule(name_ref):
+    res = learn(name_ref, LearningConfig(population_size=60, max_iterations=20, seed=1))
+    assert res.status in ("success", "maximum_iterations")
+    assert res.evaluation.f_measure == 1.0
+    # the learned rule compiles and uses the compatible pair
+    rule = rule_from_dict({"operator": res.best_rule["operator"]})
+    assert "label" in rule.source_paths()
+
+
+def test_learn_conjunction_rule(ray_session):
+    # positives match on BOTH name and city; each negative matches on
+    # exactly one => a single comparison cannot separate, the learner
+    # must build a boolean (min) aggregation. population >= 32 with an
+    # active Ray session exercises the Ray-parallel fitness path.
+    rng = random.Random(3)
+    names = [f"Person {chr(65 + i)}{i}" for i in range(12)]
+    cities = [f"City {chr(77 + i)}{i * 7}" for i in range(12)]
+    pos = [
+        ({"name": [n], "city": [c]}, {"name2": [_noisy(rng, n)], "city2": [_noisy(rng, c)]})
+        for n, c in zip(names, cities)
+    ]
+    neg = [
+        ({"name": [n], "city": [cities[i]]}, {"name2": [_noisy(rng, n)], "city2": [cities[(i + 3) % 12]]})
+        for i, n in enumerate(names)
+    ] + [
+        ({"name": [names[i]], "city": [c]}, {"name2": [names[(i + 4) % 12]], "city2": [_noisy(rng, c)]})
+        for i, c in enumerate(cities)
+    ]
+    ref = ReferenceEntities(positive=pos, negative=neg)
+    res = learn(ref, LearningConfig(population_size=150, max_iterations=30, seed=11))
+    assert res.evaluation.f_measure == 1.0
+    # a single-comparison rule cannot reach f1 1.0 here
+    best_op = res.best_rule["operator"]
+    if "operators" in best_op:
+        assert len(best_op["operators"]) >= 2
+
+
+def test_iterations_improve_tiny_population():
+    # a 8-rule population rarely starts perfect; reproduction must
+    # raise fitness over iterations (Reproduction.scala semantics).
+    rng = random.Random(5)
+    names = [f"Alpha Beta {i}{chr(70 + i)}" for i in range(10)]
+    pos = [({"a": [n]}, {"b": [_noisy(rng, n)]}) for n in names]
+    neg = [({"a": [x]}, {"b": [y]}) for x in names for y in names if x != y][:30]
+    ref = ReferenceEntities(positive=pos, negative=neg)
+    cfg = LearningConfig(population_size=8, max_iterations=40, seed=4)
+    res = learn(ref, cfg)
+    assert res.best_fitness > 0.5
+    assert res.evaluation.f_measure > 0.9
+
+
+def test_crossover_produces_valid_specs(name_ref):
+    gen = RuleGenerator(name_ref)
+    rng = random.Random(2)
+    for _ in range(200):
+        a, b = gen.rule(rng), gen.rule(rng)
+        child = _crossover(a, b, rng)
+        rule_from_dict({"operator": child["operator"]})  # must compile
+        # parents unmodified by the crossover (deep copies only)
+        rule_from_dict({"operator": a["operator"]})
+
+
+def test_structure_key_ignores_learned_numbers():
+    base = {
+        "aggregator": "average",
+        "operators": [
+            {"metric": "jaccard", "source": {"path": "x"}, "target": {"path": "y"},
+             "threshold": 0.3, "weight": 5}
+        ],
+    }
+    import copy
+
+    other = copy.deepcopy(base)
+    other["operators"][0]["threshold"] = 0.9
+    other["operators"][0]["weight"] = 1
+    assert _structure_key(base) == _structure_key(other)
+    diff = copy.deepcopy(base)
+    diff["operators"][0]["metric"] = "levenshteinDistance"
+    assert _structure_key(base) != _structure_key(diff)
+
+
+def test_seeded_rules_and_determinism(name_ref):
+    seed_spec = {
+        "operator": {
+            "metric": "levenshteinDistance",
+            "source": {"path": "label"},
+            "target": {"path": "name"},
+            "threshold": 1.5,
+        }
+    }
+    cfg = LearningConfig(population_size=20, max_iterations=5, seed=9)
+    r1 = learn(name_ref, cfg, seed_rules=[seed_spec])
+    r2 = learn(name_ref, cfg, seed_rules=[seed_spec])
+    assert r1.best_fitness == r2.best_fitness
+    assert r1.best_rule == r2.best_rule
+    assert r1.evaluation.f_measure == 1.0
