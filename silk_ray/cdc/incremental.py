@@ -381,7 +381,7 @@ def update_links(
         rows_per_bp = dict(
             zip(bp_counts["bp"].to_pylist(), bp_counts["bp_count"].to_pylist())
         )
-    SPLIT_ROWS = 1_000
+    SPLIT_ROWS = int(os.environ.get("SILKRAY_SPLIT_ROWS", "1000"))
     loader_items = []
     for bp in affected_bps:
         if not bm_files.get(bp):
@@ -517,6 +517,19 @@ def update_links(
         # shuffles because its exploded rows aren't pre-partitioned
         # (linking/pipeline.py _score_partitioned).
         def load_restrict_score(batch: pa.Table) -> pa.Table:
+            if os.environ.get("SILKRAY_LINK_PROFILE"):
+                import time as _t
+
+                t0 = _t.perf_counter()
+                loaded = load_and_restrict(batch)
+                t1 = _t.perf_counter()
+                out = tag_epoch(scorer(loaded))
+                print(
+                    f"[lrs] load={t1 - t0:.2f} score={_t.perf_counter() - t1:.2f} "
+                    f"rows={loaded.num_rows}",
+                    flush=True,
+                )
+                return out
             return tag_epoch(scorer(load_and_restrict(batch)))
 
         new_links = rd.from_items(

@@ -46,6 +46,7 @@ State is never authoritative in RAM: everything reconstructs from
 from __future__ import annotations
 
 import os
+import time
 import zlib
 
 import numpy as np
@@ -461,6 +462,76 @@ def _next_existing_offset(changelog, lo: int) -> int | None:
     return best
 
 
+def _window_fragments(changelog, lo: int, hi: int) -> list:
+    """Changelog fragments (file paths, or the table itself) that can
+    contain window rows — fully-outside files pruned via row-group
+    offset statistics (one footer read per file per epoch)."""
+    if isinstance(changelog, pa.Table):
+        t = changelog.filter(
+            pc.and_(pc.greater_equal(changelog["offset"], lo), pc.less(changelog["offset"], hi))
+        )
+        return [t] if t.num_rows else []
+
+    import pyarrow.dataset as pads
+
+    out = []
+    for frag in pads.dataset(changelog, format="parquet").get_fragments():
+        keep = True
+        try:
+            frag.ensure_complete_metadata()
+            stats = [
+                rg.statistics.get("offset") if rg.statistics else None for rg in frag.row_groups
+            ]
+            if stats and all(s is not None for s in stats):
+                keep = any(s["min"] < hi and s["max"] >= lo for s in stats)
+        except Exception:
+            pass
+        if keep:
+            out.append(frag.path)
+    return out
+
+
+def _split_by_pid(t: pa.Table, num_partitions: int) -> dict[int, pa.Table]:
+    """Sort by pid once, slice contiguous runs (combine_chunks so each
+    shard serializes only its own rows into the object store)."""
+    t = add_pid_column(num_partitions)(t)
+    pid = t["pid"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pid, kind="stable")
+    t = t.take(pa.array(order))
+    spid = pid[order]
+    uniq, starts = np.unique(spid, return_index=True)
+    bounds = list(starts) + [len(spid)]
+    return {
+        int(u): t.slice(bounds[i], bounds[i + 1] - bounds[i]).combine_chunks()
+        for i, u in enumerate(uniq)
+    }
+
+
+def _read_split_task(src, lo: int, hi: int, num_partitions: int) -> dict:
+    """Exchange stage A: read one window fragment, split by pid, put
+    each shard into the object store; only (pid -> ref) maps travel to
+    the driver."""
+    import ray
+
+    if isinstance(src, pa.Table):
+        t = src
+    else:
+        t = pq.read_table(src, filters=[("offset", ">=", lo), ("offset", "<", hi)])
+    if t.num_rows == 0:
+        return {}
+    return {pid: ray.put(tbl) for pid, tbl in _split_by_pid(t, num_partitions).items()}
+
+
+def _merge_pid_task(merger, refs: list) -> dict:
+    """Exchange stage B: fetch this partition's shards and run the
+    merge body (``MergePartition.__call__``)."""
+    import ray
+
+    tables = ray.get(list(refs))
+    group = tables[0] if len(tables) == 1 else pa.concat_tables(tables, promote_options="default")
+    return merger(group).to_pylist()[0]
+
+
 def run_epoch(
     root: str,
     changelog,
@@ -477,8 +548,19 @@ def run_epoch(
     in-memory ``pa.Table`` (tests). Returns the epoch metrics dict, or
     None when no events remain. Offset gaps larger than one window are
     skipped over (the window anchors at the next existing offset).
+
+    The events→partitions exchange is a direct two-stage raw-Ray
+    shuffle (read-and-split tasks → per-pid object-store shards →
+    one merge task per dirty partition) instead of
+    ``groupby(pid).map_groups``: a sort-based groupby on a bounded
+    epoch window pays boundary sampling + two all-to-all barriers for
+    data that is already hash-partitionable in one pass — measured
+    5-12 s fixed overhead per epoch at sf0.1 (most of the epoch).
+    This is the documented raw-Ray exception: a keyed exchange whose
+    partitioning (crc32 key hash mod P, stable across epochs) the
+    Dataset API cannot express without a sort.
     """
-    import ray.data as rd
+    import ray
 
     manifest = ckpt.read_manifest(root)
     lo = manifest.next_offset
@@ -488,24 +570,9 @@ def run_epoch(
     lo = max(lo, nxt)
     hi = lo + epoch_size
 
-    flt = (pc.field("offset") >= lo) & (pc.field("offset") < hi)
-    if isinstance(changelog, pa.Table):
-        table = changelog.filter(
-            pc.and_(pc.greater_equal(changelog["offset"], lo), pc.less(changelog["offset"], hi))
-        )
-        if table.num_rows == 0:
-            return None
-        events = rd.from_arrow(table)
-    else:
-        # block count sized to the merge partitioning: Ray's default
-        # ~200-block read parallelism turns a 100k-row epoch window into
-        # hundreds of tiny blocks, and the block count cascades into the
-        # add-pid task count, the sort fan-in and the map_groups task
-        # count — pure overhead at small windows; at scale one merge
-        # partition per block is exactly the parallelism we want.
-        events = rd.read_parquet(changelog, filter=flt, override_num_blocks=num_partitions)
-
-    events = events.map_batches(add_pid_column(num_partitions), batch_format="pyarrow")
+    fragments = _window_fragments(changelog, lo, hi)
+    if not fragments:
+        return None
 
     epoch = manifest.epoch + 1
     hwm = {pid: info["hwm"] for pid, info in manifest.partitions.items()}
@@ -518,15 +585,24 @@ def run_epoch(
         compact_at=compact_at,
     )
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        return merger(group)
-
-    merged_ds = events.groupby("pid").map_groups(merge_group, batch_format="pyarrow")
-    metrics_rows = merged_ds.take_all()
-    if os.environ.get("SILKRAY_MERGE_STATS"):
-        print(f"[silk_ray] run_epoch {epoch} stats:\n{merged_ds.stats()}")
-    if not metrics_rows:
+    t0 = time.perf_counter()
+    read_task = ray.remote(_read_split_task)
+    merge_task = ray.remote(_merge_pid_task)
+    shard_maps = ray.get(
+        [read_task.remote(f, lo, hi, num_partitions) for f in fragments]
+    )
+    by_pid: dict[int, list] = {}
+    for m in shard_maps:
+        for pid, ref in m.items():
+            by_pid.setdefault(pid, []).append(ref)
+    if not by_pid:
         return None
+    t_exchange = time.perf_counter() - t0
+    merger_ref = ray.put(merger)
+    metrics_rows = ray.get(
+        [merge_task.remote(merger_ref, refs) for _, refs in sorted(by_pid.items())]
+    )
+    t_merge = time.perf_counter() - t0 - t_exchange
 
     # ---- commit ----
     max_off = max(r["hwm"] for r in metrics_rows)
@@ -562,6 +638,8 @@ def run_epoch(
         "dirty_total": int(sum(r["dirty"] for r in metrics_rows)),
         "partitions_touched": len(metrics_rows),
         "skew_ratio": (max(events_per_part) / mean_ev) if mean_ev else 0.0,
+        "exchange_seconds": round(t_exchange, 3),
+        "merge_seconds": round(t_merge, 3),
         "per_partition": per_part,
     }
     ckpt.write_metrics(root, epoch, metrics)

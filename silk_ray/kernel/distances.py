@@ -284,6 +284,54 @@ def levenshtein(s1: str, s2: str) -> int:
     return r0[len(s1)]
 
 
+def levenshtein_bounded(s1: str, s2: str, k: int) -> int:
+    """Ukkonen band DP: exact distance when ≤ ``k``, else any value
+    > ``k`` (``k + 1``). Contract-compatible with the reference's
+    ``DistanceMeasure.evaluate(…, limit)`` ("may return
+    PositiveInfinity instead of the actual distance" past the limit,
+    ``DistanceMeasure.scala:40-46``) — the scoring hot path calls this
+    with the comparison's threshold-derived limit, cutting the DP from
+    O(n·m) cells to O(n·(2k+1)) with early row-minimum exit."""
+    if s1 == s2:
+        return 0
+    n1, n2 = len(s1), len(s2)
+    if n1 > n2:
+        s1, s2, n1, n2 = s2, s1, n2, n1
+    if n2 - n1 > k:
+        return k + 1
+    if n1 == 0:
+        return n2
+    big = k + 1
+    prev = list(range(n1 + 1))
+    for j in range(1, n2 + 1):
+        c2 = s2[j - 1]
+        lo = j - k if j - k > 1 else 1
+        hi = j + k if j + k < n1 else n1
+        cur = [big] * (n1 + 1)
+        if j <= k:
+            cur[0] = j
+        row_min = cur[0] if lo == 1 else big
+        p_im1 = prev[lo - 1]
+        for i in range(lo, hi + 1):
+            p_i = prev[i]
+            m = p_i + 1  # deletion
+            b = cur[i - 1] + 1  # insertion
+            if b < m:
+                m = b
+            c = p_im1 if s1[i - 1] == c2 else p_im1 + 1  # substitution
+            if c < m:
+                m = c
+            cur[i] = m
+            if m < row_min:
+                row_min = m
+            p_im1 = p_i
+        if row_min > k:
+            return big
+        prev = cur
+    d = prev[n1]
+    return d if d <= k else big
+
+
 @register_distance
 class LevenshteinDistance(SimpleDistanceMeasure):
     """Absolute edit distance with q-gram blocking index
@@ -303,6 +351,10 @@ class LevenshteinDistance(SimpleDistanceMeasure):
     def evaluate(self, v1, v2, limit=inf):
         if abs(len(v1) - len(v2)) > limit:
             return inf
+        if limit != inf and limit < max(len(v1), len(v2)):
+            k = int(limit)
+            d = levenshtein_bounded(v1, v2, k)
+            return float(d) if d <= k else inf
         return float(levenshtein(v1, v2))
 
     def _index_qgram(self, gram: str) -> int:
@@ -333,6 +385,10 @@ class LevenshteinMetric(LevenshteinDistance):
         m = max(len(v1), len(v2))
         if m == 0:
             return 0.0
+        if limit != inf and limit * m < m:
+            k = int(limit * m)
+            d = levenshtein_bounded(v1, v2, k)
+            return d / m if d <= k else inf
         return levenshtein(v1, v2) / m
 
     def index_value(self, value, limit, source_or_target):
