@@ -164,3 +164,98 @@ def test_seeded_rules_and_determinism(name_ref):
     assert r1.best_fitness == r2.best_fitness
     assert r1.best_rule == r2.best_rule
     assert r1.evaluation.f_measure == 1.0
+
+
+# -- active learning (silk-learning/active/: pool generator + selectors) ----
+
+
+def _active_fixture():
+    rng = random.Random(2)
+    names = [f"Item {chr(65 + i)} number {i * 13}" for i in range(20)]
+    source = [(f"s{i}", {"label": [n], "sku": [f"sku-{i}", f"grp-{i % 5}"]}) for i, n in enumerate(names)]
+    target = [
+        (f"t{i}", {"name": [_noisy(rng, n)], "sku": [f"sku-{i}", f"grp-{(i + 2) % 5}"]})
+        for i, n in enumerate(names)
+    ]
+    truth = {(f"s{i}", f"t{i}") for i in range(20)}
+    return source, target, truth
+
+
+def test_pool_from_entities_and_selectors():
+    from silk_ray.learning.active import (
+        pool_from_entities,
+        select_entropy,
+        select_jensen_shannon,
+        select_uniform,
+    )
+
+    source, target, truth = _active_fixture()
+    pool = pool_from_entities(source, target, [("label", "name"), ("sku", "sku")], max_links=500, seed=0)
+    assert 0 < len(pool) <= 500
+    # every truth pair shares an exact sku value => all reach the pool
+    in_pool = {(c.source_uri, c.target_uri) for c in pool}
+    assert truth <= in_pool
+    # capped pool
+    small = pool_from_entities(source, target, [("sku", "sku")], max_links=10, seed=0)
+    assert len(small) == 10
+
+    # selectors return from the pool, right counts, no crash on a committee
+    spec = {"operator": {"metric": "levenshteinDistance", "source": {"path": "label"},
+                         "target": {"path": "name"}, "threshold": 1.5}}
+    rules = [rule_from_dict(spec)]
+    ref = ReferenceEntities(
+        positive=[(dict(source[0][1]), dict(target[0][1]))],
+        negative=[(dict(source[1][1]), dict(target[2][1]))],
+    )
+    assert len(select_uniform(rules, pool, ref, count=3)) == 3
+    ent = select_entropy(rules, pool, ref, count=1)
+    assert len(ent) == 1
+    js = select_jensen_shannon(rules, pool, ref, count=3)
+    assert len(js) == 3 and js[0].confidence is not None
+
+
+def test_active_learning_loop_converges():
+    from silk_ray.learning.active import ActiveLearner
+
+    source, target, truth = _active_fixture()
+    from silk_ray.learning.active import pool_from_entities
+
+    pool = pool_from_entities(source, target, [("label", "name"), ("sku", "sku")], max_links=500, seed=0)
+    learner = ActiveLearner(config=LearningConfig(population_size=60, max_iterations=8, seed=3))
+    for _ in range(8):
+        picks = learner.step(pool, count=3)
+        if not picks:
+            break
+        for c in picks:
+            learner.label(c, (c.source_uri, c.target_uri) in truth)
+    assert learner.best_rule is not None
+    rule = rule_from_dict({"operator": learner.best_rule["operator"]})
+    tp = fp = fn = 0
+    for su, se in source:
+        for tu, te in target:
+            conf = rule.apply(se, te, limit=0.0)
+            link = conf is not None and conf >= 0
+            if (su, tu) in truth:
+                tp += link
+                fn += not link
+            else:
+                fp += link
+    # ~24 labels out of a 400-pair grid: near-perfect rule
+    assert tp >= 18 and fp <= 2
+
+
+def test_pool_from_datasets(ray_session):
+    import ray.data as rd
+
+    from silk_ray.learning.active import pool_from_datasets
+
+    source, target, truth = _active_fixture()
+    sds = rd.from_items([{"uri": u, "label": e["label"], "sku": e["sku"]} for u, e in source])
+    tds = rd.from_items([{"uri": u, "name": e["name"], "sku": e["sku"]} for u, e in target])
+    pool = pool_from_datasets(sds, tds, [("label", "name"), ("sku", "sku")], max_links=200, seed=0)
+    assert 0 < len(pool) <= 200
+    pairs = {(c.source_uri, c.target_uri) for c in pool}
+    assert len(pairs & truth) >= 10
+    # payload entities survive the distributed round-trip
+    c = next(iter(pool))
+    assert isinstance(c.source, dict) and isinstance(c.target, dict)
