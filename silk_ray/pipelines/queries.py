@@ -982,6 +982,63 @@ def link_documents(sf_dir: str):
     return links.sort_values(["source", "target"]).reset_index(drop=True)
 
 
+def learn_linkage_rule(sf_dir: str):
+    """GenLink supervised learning over the documents table: labeled
+    pairs are (document, deterministic noisy copy) positives plus
+    cross-document negatives; returns the learned rule's training
+    evaluation (deterministic under the fixed seed). Non-SQL
+    (iterative genetic algorithm) — rows-only driver check; the
+    learner itself is covered by tests/test_learning.py."""
+    import random as _random
+
+    from silk_ray.learning import LearningConfig, ReferenceEntities, learn
+
+    docs = (
+        _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .sort("doc_id")
+        .limit(40)
+        .take_all()
+    )
+    rng = _random.Random(42)
+
+    def noisy(s: str) -> str:
+        out = s
+        for _ in range(2):
+            i = rng.randrange(len(out))
+            out = out[:i] + out[i + 1 :]
+        return out
+
+    positive = [
+        (
+            {"text": [d["text"]], "lang": [d["lang"]]},
+            {"content": [noisy(d["text"])], "language": [d["lang"]]},
+        )
+        for d in docs
+    ]
+    negative = [
+        (
+            {"text": [docs[i]["text"]], "lang": [docs[i]["lang"]]},
+            {"content": [docs[(i + 7) % len(docs)]["text"]], "language": [docs[(i + 7) % len(docs)]["lang"]]},
+        )
+        for i in range(len(docs))
+    ]
+    ref = ReferenceEntities(positive=positive, negative=negative)
+    res = learn(ref, LearningConfig(population_size=80, max_iterations=10, seed=5))
+    ev = res.evaluation
+    return pd.DataFrame(
+        {
+            "status": [res.status],
+            "iterations": [res.iterations],
+            "f_measure": [round(ev.f_measure, 6)],
+            "mcc": [round(ev.mcc, 6)],
+            "tp": [ev.true_positives],
+            "fp": [ev.false_positives],
+            "fn": [ev.false_negatives],
+            "tn": [ev.true_negatives],
+        }
+    )
+
+
 def cdc_flagship(sf_dir: str):
     """The flagship CDC pipeline: lake built from a deterministic
     changelog seeded by this sf tier's documents; returns final state."""
@@ -1067,6 +1124,7 @@ def build_queries():
         "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh_q,
         "link_documents": link_documents,
+        "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
     }
 
