@@ -25,7 +25,13 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CACHE_DIR = os.environ.get("SILKRAY_BENCH_CACHE", "/tmp/silkray_bench_cache")
+# changelog cache on tmpfs when available: this host throttles
+# sustained disk reads (measured 0.4 s -> 5-8 s per identical 30 MB
+# segment within one run), which poisons both the headline and the
+# scaling ratio; a real deployment reads the binlog from distributed
+# storage that scales with the cluster
+_CACHE_BASE = "/dev/shm/silkray_bench_cache" if os.path.isdir("/dev/shm") else "/tmp/silkray_bench_cache"
+CACHE_DIR = os.environ.get("SILKRAY_BENCH_CACHE", _CACHE_BASE)
 
 # queries timed in the non-scaling run (headline + inventory)
 TIMED_QUERIES = [
