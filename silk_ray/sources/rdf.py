@@ -272,3 +272,61 @@ def write_links_ntriples(
         return pa.table({"file": pa.array([fname]), "rows": pa.array([len(lines)], pa.int64())})
 
     return links.map_batches(write_part, batch_format="pyarrow", batch_size=None).take_all()
+
+
+def write_links_alignment(
+    links,
+    path: str,
+    predicate: str = "http://www.w3.org/2002/07/owl#sameAs",
+    source_col: str = "source",
+    target_col: str = "target",
+    confidence_col: str = "confidence",
+):
+    """AlignmentDataset sink: Alignment-API XML, one ``<map><Cell>`` per
+    link with entity1/entity2/relation/measure
+    (``formatters/AlignmentLinkFormatter.scala:5-33``); owl:sameAs
+    prints as relation ``=``. One XML part per block (header+footer per
+    part file, like the reference's per-resource formatter)."""
+    import xml.sax.saxutils as sx
+
+    os.makedirs(path, exist_ok=True)
+    relation = "=" if predicate == "http://www.w3.org/2002/07/owl#sameAs" else predicate
+    header = (
+        "<?xml version='1.0' encoding='utf-8' standalone='no'?>\n"
+        "<rdf:RDF xmlns='http://knowledgeweb.semanticweb.org/heterogeneity/alignment#'\n"
+        "    xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'\n"
+        "    xmlns:xsd='http://www.w3.org/2001/XMLSchema#'\n"
+        "    xmlns:align='http://knowledgeweb.semanticweb.org/heterogeneity/alignment#'>\n"
+        "<Alignment>\n"
+    )
+    footer = "</Alignment>\n</rdf:RDF>\n"
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        cells = []
+        confs = (
+            batch[confidence_col].to_pylist()
+            if confidence_col in batch.column_names
+            else [0.0] * batch.num_rows
+        )
+        for s, t, c in zip(
+            batch[source_col].to_pylist(), batch[target_col].to_pylist(), confs
+        ):
+            cells.append(
+                "<map>\n  <Cell>\n"
+                f"    <entity1 rdf:resource={sx.quoteattr(s)}/>\n"
+                f"    <entity2 rdf:resource={sx.quoteattr(t)}/>\n"
+                f"    <relation>{sx.escape(relation)}</relation>\n"
+                "    <measure rdf:datatype=\"http://www.w3.org/2001/XMLSchema#float\">"
+                f"{0.0 if c is None else c}</measure>\n"
+                "  </Cell>\n</map>\n"
+            )
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.xml")
+        tmp = fname + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(header)
+            f.writelines(cells)
+            f.write(footer)
+        os.replace(tmp, fname)
+        return pa.table({"file": pa.array([fname]), "rows": pa.array([len(cells)], pa.int64())})
+
+    return links.map_batches(write_part, batch_format="pyarrow", batch_size=None).take_all()

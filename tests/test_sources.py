@@ -200,3 +200,35 @@ def test_nquads_graph_filter(ray_session, tmp_path):
     assert [r["subject"] for r in g1] == ["http://ex/a"]
     with pytest.raises(ValueError):
         read_ntriples(str(src), format="Turtle")
+
+
+def test_alignment_sink(ray_session, tmp_path):
+    # AlignmentLinkFormatter.scala:5-33: Alignment-API XML cells,
+    # owl:sameAs printed as relation '='.
+    import ray.data as rd
+
+    from silk_ray.sources.rdf import write_links_alignment
+
+    links = rd.from_items(
+        [
+            {"source": "http://ex/a", "target": "http://ex/b", "confidence": 0.9},
+            {"source": "http://ex/c", "target": "http://ex/d", "confidence": 1.0},
+        ]
+    )
+    out = tmp_path / "alignment"
+    parts = write_links_alignment(links, str(out))
+    assert sum(p["rows"] for p in parts) == 2
+    import xml.etree.ElementTree as ET
+    import os as _os
+
+    cells = []
+    for f in _os.listdir(out):
+        root = ET.parse(out / f).getroot()
+        ns = {"a": "http://knowledgeweb.semanticweb.org/heterogeneity/alignment#",
+              "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
+        for cell in root.findall(".//a:Cell", ns):
+            e1 = cell.find("a:entity1", ns).get("{http://www.w3.org/1999/02/22-rdf-syntax-ns#}resource")
+            rel = cell.find("a:relation", ns).text
+            measure = float(cell.find("a:measure", ns).text)
+            cells.append((e1, rel, measure))
+    assert sorted(cells) == [("http://ex/a", "=", 0.9), ("http://ex/c", "=", 1.0)]
