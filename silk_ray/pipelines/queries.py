@@ -918,6 +918,41 @@ def dedup_ngram_jaccard(sf_dir: str):
     return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
 
+# prefix filtering is a complete (not approximate) algorithm and the
+# per-pair Jaccard is computed over crc32-hashed shingle sets (equal to
+# shingle-set Jaccard up to crc collisions), so the exact all-pairs SQL
+# is a true oracle: word 3-shingles via an inverted-index self-join
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                           i -> array_to_string(w[i:i+2], ' ')))
+    END AS s
+  FROM toks
+),
+ns AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id,
+       round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN ns na ON na.doc_id = left_id
+JOIN ns nb ON nb.doc_id = right_id
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+ORDER BY left_id, right_id
+"""
+
+
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact brute method; the LSH
     scale variant is recall-tested against this in test_ann.py)."""
@@ -1149,4 +1184,5 @@ def build_oracle_sql():
         "knn_cosine": KNN_COSINE_SQL,
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
+        "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     }
