@@ -584,6 +584,34 @@ class MapWithDefaultTransformer(MapTransformer):
 
 
 @register_transformer
+class MapWithDefaultInputTransformer(Transformer):
+    """Two-input map: values of input 1 are looked up in the map; misses
+    take the positionally-matching value of input 2, whose last value is
+    replicated when it is shorter (MapTransformerWithDefaultInput.scala:
+    27-52, including the exactly-two-inputs and non-empty-default
+    errors)."""
+
+    id = "mapWithDefaultInput"
+
+    def __init__(self, mapping: str = ""):
+        self.mapping = dict(
+            item.split(":", 1) for item in mapping.split(",") if ":" in item
+        )
+
+    def apply(self, values):
+        if len(values) != 2:
+            raise ValueError(
+                f"mapWithDefaultInput takes exactly two inputs, found {len(values)}"
+            )
+        to_map, defaults = values[0], values[1]
+        if not defaults:
+            raise ValueError("mapWithDefaultInput default input contains no value")
+        if len(defaults) < len(to_map):
+            defaults = list(defaults) + [defaults[-1]] * (len(to_map) - len(defaults))
+        return [self.mapping.get(v, d) for v, d in zip(to_map, defaults)]
+
+
+@register_transformer
 class RegexExtractionTransformer(Transformer):
     """Emit all regex matches (group 1 if present) (RegexExtractionTransformer.scala)."""
 
@@ -1792,3 +1820,20 @@ class PhysicalQuantityExtractor(Transformer):
             if r is not None:
                 out.append(r)
         return out
+
+
+# ---------------------------------------------------------------------------
+# reference plugin-id aliases: specs written against the reference use
+# the annotation ids verbatim, which differ in spelling from the
+# camelCase ids above for a handful of plugins
+# ---------------------------------------------------------------------------
+
+for _ref_id, _cls in {
+    "NYSIIS": NysiisTransformer,                # NysiisTransformer.scala
+    "camelcasetokenizer": CamelCaseTokenizer,   # CamelCaseTokenizer.scala
+    "datetoTimestamp": DateToTimestampTransformer,   # DateToTimestampTransformer.scala
+    "negateTransformer": NegateTransformer,     # conditional/Negate.scala
+    "timeToDate": TimestampToDateTransformer,   # TimestampToDateTransformer.scala
+    "toSequenceIndex": ValuesToIndexes,         # ValuesToIndexesTransformer.scala
+}.items():
+    TRANSFORMERS[_ref_id] = _cls

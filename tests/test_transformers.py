@@ -116,6 +116,16 @@ VECTORS = [
     ("soundex", {}, [["Tymczak"]], ["T522"]),
     ("stem", {}, [["running"]], ["run"]),
     ("stem", {}, [["relational"]], ["relat"]),
+    # MapTransformerWithDefaultInput.scala: misses take the positional
+    # default from input 2; a short default list replicates its last value
+    ("mapWithDefaultInput", {"mapping": "A:1,B:2"}, [["A", "X", "B"], ["d1", "d2", "d3"]], ["1", "d2", "2"]),
+    ("mapWithDefaultInput", {"mapping": "A:1"}, [["X", "Y", "A"], ["d"]], ["d", "d", "1"]),
+    # reference plugin-id aliases (annotation ids differ in spelling)
+    ("NYSIIS", {}, [["Robert"]], ["RABAD"]),
+    ("camelcasetokenizer", {}, [["camelCaseWord"]], ["camel", "Case", "Word"]),
+    ("datetoTimestamp", {}, [["1970-01-02"]], ["86400"]),
+    ("timeToDate", {}, [["86400"]], ["1970-01-02"]),
+    ("negateTransformer", {}, [["true"]], ["false"]),
 ]
 
 
@@ -123,6 +133,14 @@ VECTORS = [
 def test_transformer_vectors(tid, params, inputs, expected):
     t = get_transformer(tid, **params)
     assert t.apply([list(vs) for vs in inputs]) == expected
+
+
+def test_map_with_default_input_raises():
+    t = get_transformer("mapWithDefaultInput", mapping="A:1")
+    with pytest.raises(ValueError):
+        t.apply([["A"]])
+    with pytest.raises(ValueError):
+        t.apply([["A"], []])
 
 
 def test_validation_raises():
