@@ -1146,3 +1146,8 @@ class GeographicDistanceMetric(SimpleDistanceMeasure):
         lat_idx = Index.continuous(lat, -90.0, 90.0, limit=deg)
         lon_idx = Index.continuous(lon, -180.0, 180.0, limit=deg)
         return lat_idx.conjunction(lon_idx)
+
+
+# reference plugin-id alias: SubStringDistance.scala's annotation id is
+# "substringDistance"; specs written against the reference use it verbatim
+DISTANCE_MEASURES["substringDistance"] = DISTANCE_MEASURES["substring"]
