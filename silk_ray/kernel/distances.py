@@ -604,7 +604,15 @@ class TokenwiseStringDistance(SimpleDistanceMeasure):
         scores = []
         for i, a in enumerate(t1):
             for j, b in enumerate(t2):
-                s = 1.0 - self.metric.evaluate(a, b, limit)
+                # exact per-token score: the whole-string limit must not
+                # reach the inner metric — our measures exploit the
+                # return-inf-past-limit contract (banded Levenshtein),
+                # which would misclassify token pairs with distance in
+                # (limit, 1] as non-matching and flip the aggregate,
+                # while the reference's inner metrics compute exactly
+                # despite receiving the limit
+                # (TokenwiseStringDistance.scala:148)
+                s = 1.0 - self.metric.evaluate(a, b, inf)
                 if s >= self.match_threshold:
                     scores.append((s, i, j))
         scores.sort(key=lambda t: -t[0])  # stable: ties keep (i, j) order

@@ -154,10 +154,20 @@ def pool_from_datasets(
     def sample_bucket(group: pa.Table) -> pa.Table:
         import json
 
+        import zlib
+
         rows = group.to_pylist()
-        rng = _random.Random(hash(rows[0]["value"]) ^ seed)
-        srcs = [r for r in rows if r["side"] == 1][:max_bucket]
-        tgts = [r for r in rows if r["side"] == 0][:max_bucket]
+        # content-derived seed (crc32, not the per-process-salted
+        # built-in hash) + sort before sampling: the same (seed, data)
+        # always yields the same pool regardless of shuffle delivery
+        # order
+        rng = _random.Random(zlib.crc32(rows[0]["value"].encode()) ^ seed)
+        srcs = sorted((r for r in rows if r["side"] == 1), key=lambda r: r["uri"])
+        tgts = sorted((r for r in rows if r["side"] == 0), key=lambda r: r["uri"])
+        if len(srcs) > max_bucket:
+            srcs = rng.sample(srcs, max_bucket)
+        if len(tgts) > max_bucket:
+            tgts = rng.sample(tgts, max_bucket)
         s_out, t_out, sp_out, tp_out = [], [], [], []
         for s in srcs:
             for t in tgts:

@@ -289,10 +289,10 @@ def _broadcast_arrays(keys, values):
 def _lookup(ref, vals):
     import ray
 
+    from silk_ray.pipelines.relational import lookup_sorted
+
     sorted_keys, sorted_vals = ray.get(ref)
-    idx = np.clip(np.searchsorted(sorted_keys, vals), 0, max(len(sorted_keys) - 1, 0))
-    hit = (len(sorted_keys) > 0) & (sorted_keys[idx] == vals)
-    return hit, sorted_vals[idx]
+    return lookup_sorted(sorted_keys, sorted_vals, vals)
 
 
 def q5_local_supplier(sf_dir: str):

@@ -47,6 +47,17 @@ def broadcast_lookup(ds, key_col: str, mapping: dict, out_col: str, drop_missing
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def lookup_sorted(sorted_keys, sorted_vals, vals):
+    """Vectorized membership + value lookup of ``vals`` against aligned
+    ``(sorted_keys, sorted_vals)`` arrays. Returns ``(hit mask, values
+    at the matched positions)`` — positions for misses are arbitrary, so
+    gate every use on the mask."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(vals), dtype=bool), np.empty(len(vals), dtype=object)
+    idx = np.clip(np.searchsorted(sorted_keys, vals), 0, len(sorted_keys) - 1)
+    return sorted_keys[idx] == vals, sorted_vals[idx]
+
+
 def broadcast_lookup_sorted(ds, key_col: str, keys, values, out_col: str, drop_missing: bool = True):
     """Dimension join via broadcast sorted arrays + vectorized
     ``np.searchsorted`` — same shape as :func:`broadcast_lookup` but
@@ -60,12 +71,9 @@ def broadcast_lookup_sorted(ds, key_col: str, keys, values, out_col: str, drop_m
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         sorted_keys, sorted_vals = ray.get(ref)
-        vals = df[key_col].to_numpy()
-        idx = np.searchsorted(sorted_keys, vals)
-        idx_c = np.clip(idx, 0, max(len(sorted_keys) - 1, 0))
-        hit = (len(sorted_keys) > 0) & (sorted_keys[idx_c] == vals)
+        hit, looked = lookup_sorted(sorted_keys, sorted_vals, df[key_col].to_numpy())
         out = np.full(len(df), None, dtype=object)
-        out[hit] = sorted_vals[idx_c[hit]]
+        out[hit] = looked[hit]
         df[out_col] = out
         if drop_missing:
             df = df[hit]

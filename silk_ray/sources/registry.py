@@ -104,7 +104,10 @@ def _read_xml(paths, columns=None, base_path: str = "", multi_valued: bool = Fal
         cols = {}
         for name in names:
             vals = [r.get(name) for r in rows]
-            typ = pa.list_(pa.string()) if multi_valued and name not in ("_file",) and not name.startswith("@") else pa.string()
+            # '#text' stays single-valued: pa.array would otherwise
+            # silently explode the plain string into a char list under
+            # the list<string> type
+            typ = pa.list_(pa.string()) if multi_valued and name not in ("_file", "#text") and not name.startswith("@") else pa.string()
             cols[name] = pa.array(vals, typ)
         return pa.table(cols)
 

@@ -297,6 +297,18 @@ def test_tokenwise_distance_params():
     assert jacc_like.evaluate(
         "several seditious scribes", "several seditious scribes from caesarea", 1.0
     ) == pytest.approx(jd.apply(["several", "seditious", "scribes"], ["several", "seditious", "scribes", "from", "caesarea"], 1.0))
+    # the comparison limit must not reach the inner metric: a token pair
+    # with normalized distance in (limit, 1] still contributes a partial
+    # match (reference computes inner scores exactly,
+    # TokenwiseStringDistance.scala:148); with a banded inner
+    # Levenshtein inheriting limit=0.5 this returned 0.667
+    tw = get_distance(
+        "tokenwiseDistance", metricName="levenshtein",
+        nonStopwordWeight=1.0, stopwordWeight=1.0,
+    )
+    assert tw.evaluate("alpha brick", "alpha brxxx", 0.5) == pytest.approx(
+        tw.evaluate("alpha brick", "alpha brxxx")
+    )
     # blocking: >=1 shared token required
     idx1 = m_idx = get_distance("tokenwiseDistance", **base)
     assert idx1.index(["Hotel Hilton Manhattan"], 0.1, True).matches(

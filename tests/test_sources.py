@@ -109,6 +109,13 @@ def test_xml_source_and_sink(tmp_path):
     mrows = sorted(multi.take_all(), key=lambda r: r["@id"])
     assert list(mrows[0]["Phone"]) == ["1", "2"]
 
+    # leaf-text entities keep '#text' as a whole string in multi_valued
+    # mode (regression: list<string> typing exploded it into chars)
+    leaf = tmp_path / "tags.xml"
+    leaf.write_text('<Tags><Tag lang="en">sometext</Tag></Tags>')
+    trows = read_dataset(str(leaf), "xml", base_path="/Tags/Tag", multi_valued=True).take_all()
+    assert trows[0]["#text"] == "sometext"
+
     # sink roundtrip
     out_dir = tmp_path / "out"
     parts = write_dataset(ds.drop_columns(["_file"]), str(out_dir), "xml")
