@@ -28,6 +28,21 @@ def _rp(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+# broadcast-vs-shuffle planning rule shared by q3/q5/q10: the orders
+# side broadcasts (filtered keys via ray.put, join runs map-side over
+# the streaming lineitem) only while the *unfiltered* table is small
+# enough that the filtered key map is safely driver/worker-heap sized;
+# the probe reads parquet metadata only — no execution
+_BROADCAST_ORDERS_MAX_ROWS = 2_000_000
+
+
+def _orders_fit_broadcast(sf_dir: str) -> bool:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    return n <= _BROADCAST_ORDERS_MAX_ROWS
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish
 # ---------------------------------------------------------------------------
@@ -115,10 +130,7 @@ def q3_revenue_topk(sf_dir: str):
     # ray.put and lineitem is semi-filtered — no orders-side shuffle; a
     # bigger orders table takes the hash-shuffle join (at sf100 the
     # date-filtered key set is ~75M rows — too big for a driver set)
-    import pyarrow.parquet as pq
-
-    n_orders_total = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
-    if n_orders_total <= 2_000_000:
+    if _orders_fit_broadcast(sf_dir):
         order_keys = set(orders.to_pandas()["o_orderkey"])
         li = broadcast_semi_filter(li, "l_orderkey", order_keys)
 
@@ -360,10 +372,7 @@ def q5_local_supplier(sf_dir: str):
     # threshold the filtered (okey -> cust_nation) map ships once and
     # the whole join runs map-side over the streaming lineitem — no
     # fact-table shuffle at all; above it, hash-partitioned shuffle join
-    import pyarrow.parquet as _pq
-
-    n_orders_total = _pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
-    if n_orders_total <= 2_000_000:
+    if _orders_fit_broadcast(sf_dir):
         odf = (
             orders.map_batches(order_side, batch_format="pyarrow")
             .select_columns(["okey", "cust_nation"])
@@ -502,10 +511,7 @@ def q10_returned_items(sf_dir: str):
     # threshold the filtered (okey -> custkey) map ships once and the
     # join runs map-side over the streaming lineitem; above it,
     # hash-partitioned shuffle join
-    import pyarrow.parquet as _pq
-
-    n_orders_total = _pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
-    if n_orders_total <= 2_000_000:
+    if _orders_fit_broadcast(sf_dir):
         odf = (
             orders.map_batches(order_side, batch_format="pyarrow")
             .select_columns(["okey", "custkey"])

@@ -100,3 +100,23 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5  # approximate method, small corpus
+
+
+@pytest.mark.parametrize("name", ["q3_revenue_topk", "q5_local_supplier", "q10_returned_items"])
+def test_shuffle_join_branch_matches_oracle(ray_session, name, monkeypatch):
+    """Force the hash-shuffle join branch (normally taken only above the
+    broadcast threshold) and check it against the same oracle."""
+    import silk_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "_BROADCAST_ORDERS_MAX_ROWS", 0)
+    ray_df = QUERIES[name](SF_DIR)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    oracle_df = duckdb_result(ORACLES[name])
+    a, b = normalize(ray_df), normalize(oracle_df)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            assert np.allclose(a[c], b[c], atol=1e-6, equal_nan=True), f"{name}.{c}"
+        else:
+            assert a[c].tolist() == b[c].tolist(), f"{name}.{c}"
