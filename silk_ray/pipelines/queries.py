@@ -881,7 +881,8 @@ def label_stats(sf_dir: str):
 
 
 LABEL_STATS_SQL = """
-SELECT label, count(*) AS n, round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
 FROM embeddings GROUP BY label ORDER BY label
 """
 
