@@ -6,12 +6,14 @@ Decode / resize / feature-extract / frame-sample are **actor-pool**
 ``map_batches`` stages (model/codec state loaded once per actor in
 ``__init__``).
 
-The imaging/audio libraries are not available in this container, so the
-actual codec calls are STUBBED behind ``import``-guards: when the lib is
-missing each stage applies a clearly-marked deterministic fake so the
-Ray-side plumbing (schemas, batch sizing for large payloads, actor
-signatures, output layout) is real and tested. Swap ``_decode_impl``
-for a real decoder in production.
+Codec reality in this container: WAV audio decode is REAL (stdlib
+``wave`` → PCM → per-frame RMS, exercised in tests on synthesized
+tones). Imaging/video libraries are not available, so those codec
+calls are STUBBED behind ``import``-guards: when the lib is missing
+each stage applies a clearly-marked deterministic fake so the Ray-side
+plumbing (schemas, batch sizing for large payloads, actor signatures,
+output layout) is real and tested. Swap ``_decode_impl`` for a real
+decoder in production.
 """
 
 from __future__ import annotations
@@ -33,14 +35,35 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def synth_wav(duration_ms: int, freq_hz: float = 440.0, rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV (stdlib ``wave``): a sine tone —
+    valid input for the real :func:`decode_wav` path."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * duration_ms / 1000.0)) / rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * 0.5 * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synth_media_table(n: int, seed: int = 9) -> pa.Table:
-    """Deterministic fake media rows (binary payloads) for tests."""
+    """Deterministic fake media rows for tests: audio rows carry real
+    (decodable) WAV payloads, image/video rows opaque random bytes."""
     rng = np.random.default_rng(seed)
     types = ["image/png", "audio/wav", "video/mp4"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         t = types[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
+        if t == "audio/wav":
+            payload = synth_wav(int(rng.integers(20, 200)), freq_hz=float(rng.integers(100, 2000)))
+        else:
+            payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["media_type"].append(t)
         rows["payload"].append(payload)
@@ -95,10 +118,38 @@ class ImageDecodeResize:
         )
 
 
+def decode_wav(payload: bytes) -> np.ndarray | None:
+    """Decode a RIFF/WAV payload to float32 mono samples in [-1, 1]
+    using only the stdlib ``wave`` module (PCM8/PCM16; channels
+    averaged). Returns None when the payload is not parseable WAV —
+    callers fall back to the deterministic byte fake."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 2:
+        arr = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None
+    if ch > 1:
+        arr = arr[: len(arr) // ch * ch].reshape(-1, ch).mean(axis=1)
+    return arr
+
+
 class AudioFeatures:
-    """Actor-pool stage: frame-level audio features. Stubbed: without an
-    audio lib, derives deterministic per-frame energies from payload
-    bytes (real path would decode PCM + compute e.g. log-mel frames)."""
+    """Actor-pool stage: frame-level audio features. WAV payloads are
+    genuinely decoded (stdlib ``wave``) to PCM and reduced to per-frame
+    RMS energy; non-WAV payloads (no codec lib in this container) fall
+    back to a clearly-marked deterministic byte fake, flagged in the
+    ``decoded`` column."""
 
     def __init__(self, n_frames: int = 16):
         self.n_frames = n_frames
@@ -106,15 +157,24 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = [t.startswith("audio/") for t in batch["media_type"].to_pylist()]
         sub = batch.filter(pa.array(mask))
-        feats = []
+        feats, decoded = [], []
         for p in sub["payload"].to_pylist():
-            arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
-            frames = np.array_split(arr, self.n_frames)
-            feats.append([float(f.mean()) for f in frames])
+            samples = decode_wav(p)
+            decoded.append(samples is not None)
+            if samples is None:
+                samples = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+                frames = np.array_split(samples, self.n_frames)
+                feats.append([float(f.mean()) if f.size else 0.0 for f in frames])
+            else:
+                frames = np.array_split(samples, self.n_frames)
+                feats.append(
+                    [float(np.sqrt(np.mean(f * f))) if f.size else 0.0 for f in frames]
+                )
         return pa.table(
             {
                 "media_id": sub["media_id"],
                 "frame_energy": pa.array(feats, pa.list_(pa.float32())),
+                "decoded": pa.array(decoded, pa.bool_()),
             }
         )
 

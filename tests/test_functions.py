@@ -137,6 +137,16 @@ def test_multimodal_plumbing(ray_session):
 
     audio = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1).to_pandas()
     assert len(audio) == 10 and all(len(f) == 16 for f in audio.frame_energy)
+    # synth audio rows are real WAV: the genuine stdlib decode path ran
+    assert audio.decoded.all()
+    # RMS of a 0.5-amplitude sine ≈ 0.354 in every full frame
+    mid = [f[len(f) // 2] for f in audio.frame_energy]
+    assert all(abs(v - 0.3536) < 0.05 for v in mid)
+
+    # non-WAV audio payloads fall back to the deterministic byte fake
+    from silk_ray.functions.multimodal import decode_wav
+
+    assert decode_wav(b"not a wav at all") is None
 
     frames = ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=1).to_pandas()
     assert len(frames) == 10 * 4
