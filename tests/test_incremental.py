@@ -104,3 +104,33 @@ def test_state_and_links_survive_link_crash(engine_run, tmp_path):
     incremental = _as_set(links_table(root))
     batch = _as_set(_batch_links(root))
     assert incremental == batch
+
+
+def test_links_replay_after_lost_linkstate_commit(engine_run, tmp_path):
+    """The exactly-once crash window: links/epoch-N fully written but the
+    linkstate pointer swap (the sole commit point) lost. Replaying the
+    epoch must not duplicate links — the epoch dir is cleared and
+    rewritten before the pointer moves."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from silk_ray.cdc.engine import catch_up_links
+
+    base = make_base_table(60, seed=71, near_dup_frac=0.2)
+    log = make_changelog(base, 300, seed=72)
+    root = str(tmp_path / "lake")
+    cfg = EngineConfig(
+        epoch_size=150, num_partitions=4, n_block_partitions=16, rule_spec=UNFILTERED_RULE
+    )
+    run(root, log.filter(pc.less(log["offset"], 150)), cfg)
+    linkstate = os.path.join(root, "_linkstate.json")
+    saved = open(linkstate).read()
+    run(root, log, cfg)
+    with_commit = _as_set(links_table(root))
+    # crash simulation: epoch-2 links dir fully on disk, commit lost
+    open(linkstate, "w").write(saved)
+    catch_up_links(root, cfg)
+    replayed = _as_set(links_table(root))
+    assert replayed == with_commit
+    assert replayed == _as_set(_batch_links(root))
