@@ -307,3 +307,115 @@ def knn_lsh(
 
     deduped = partial.groupby(["query_id", "neighbor_id"]).aggregate(Max("cosine", alias_name="cosine"))
     return deduped.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    ds,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_mod: int = 4,
+    max_sample: int = 4096,
+    n_iter: int = 10,
+    seed: int = 33,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic hash-sample of
+    the corpus (every ``sample_mod``-th row by position hash, capped at
+    ``max_sample`` — O(n_cells·dim) driver state, not O(corpus)).
+    Lloyd iterations in numpy over normalized vectors."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keep = np.arange(n) % sample_mod == 0
+        return batch.filter(pa.array(keep)).select([vec_col])
+
+    rows = ds.map_batches(sample, batch_format="pyarrow").limit(max_sample).to_pandas()
+    m = _normalize(np.asarray(list(rows[vec_col]), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(m))
+    centroids = m[rng.choice(len(m), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    ds,
+    query_ids: list[int],
+    query_vectors,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    exclude_self: bool = True,
+):
+    """Approximate cosine top-k via an inverted file: each corpus vector
+    is assigned to its ONE nearest centroid cell (no replication — the
+    shuffle moves each vector once, vs ``n_tables``× for LSH); each
+    query probes its ``n_probe`` nearest cells. Cells no query probes
+    are dropped BEFORE the shuffle, so the exchanged volume is bounded
+    by the probed fraction of the corpus."""
+    import ray
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    qn = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    q_cells: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for q_id, qv in zip(query_ids, qn):
+        for c in np.argsort(-(centroids @ qv))[:n_probe]:
+            q_cells.setdefault(int(c), []).append((q_id, qv))
+    probed = frozenset(q_cells)
+    cref = ray.put((centroids, q_cells))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents, _ = ray.get(cref)
+        lists = batch[vec_col].to_pylist()
+        m = _normalize(np.asarray(lists, dtype=np.float64))
+        cells = np.argmax(m @ cents.T, axis=1)
+        keep = np.array([int(c) in probed for c in cells])
+        ids = np.asarray(batch[id_col].to_pylist())[keep]
+        return pa.table(
+            {
+                "cell": pa.array(cells[keep].astype(np.int64)),
+                id_col: pa.array(ids, pa.int64()),
+                vec_col: pa.array([lists[i] for i in np.flatnonzero(keep)], pa.list_(pa.float64())),
+            }
+        )
+
+    def score_cell(group: pa.Table) -> pa.Table:
+        _, qmap = ray.get(cref)
+        queries = qmap.get(int(group["cell"][0].as_py()), [])
+        if not queries:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = np.asarray(group[id_col].to_pylist())
+        m = _normalize(_matrix(group[vec_col], dtype=np.float64))
+        out_q, out_n, out_s = [], [], []
+        for q_id, qv in queries:
+            sims = m @ qv
+            for j in np.argsort(-sims)[: k + 1]:
+                out_q.append(q_id)
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()), "neighbor_id": pa.array(out_n, pa.int64()),
+             "cosine": pa.array(out_s, pa.float64())}
+        )
+
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+    partial = cells.groupby("cell").map_groups(score_cell, batch_format="pyarrow")
+    # cells are disjoint (one per vector) — no cross-cell dedup needed
+    return partial.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")

@@ -995,6 +995,18 @@ def knn_lsh_q(sf_dir: str):
     return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def knn_ivf_q(sf_dir: str):
+    from silk_ray.functions.ann import knn_ivf
+
+    qids, qm = _load_queries(sf_dir, 10)
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # weakly-clustered synthetic embeddings: probe half the cells for
+    # usable recall (a real clustered corpus probes a small fraction)
+    out = knn_ivf(ds, qids, qm, k=5, n_cells=16, n_probe=8).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
 def link_documents(sf_dir: str):
     """Self-linkage of documents: Silk rule over (lang equality,
     KMV-token Jaccard of text)."""
@@ -1165,6 +1177,7 @@ def build_queries():
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh_q,
+        "knn_ivf": knn_ivf_q,
         "link_documents": link_documents,
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,

@@ -120,3 +120,12 @@ def test_shuffle_join_branch_matches_oracle(ray_session, name, monkeypatch):
             assert np.allclose(a[c], b[c], atol=1e-6, equal_nan=True), f"{name}.{c}"
         else:
             assert a[c].tolist() == b[c].tolist(), f"{name}.{c}"
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    exact = QUERIES["knn_cosine"](SF_DIR)
+    approx = QUERIES["knn_ivf"](SF_DIR)
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # approximate method, weakly-clustered corpus
