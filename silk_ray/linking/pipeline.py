@@ -388,6 +388,64 @@ def apply_unambiguous_filter(links, filter_partitions: int = 64):
     )
 
 
+def include_reference_links(links, positive=None, negative=None):
+    """GenerateLinks.scala:115-118 (``includeReferenceLinks``): remove
+    negative reference links from the output and add the positive ones.
+    Reference-link sets are human-curated (small), so the negative set
+    broadcasts via ``ray.put`` for an anti-join filter inside
+    ``map_batches``; positives append as one extra block with
+    confidence 1.0 (reference links carry no score)."""
+    import ray
+    import ray.data as rd
+
+    negative = {(s, t) for s, t in (negative or [])}
+    if negative:
+        nref = ray.put(negative)
+
+        def drop_negatives(batch: pa.Table) -> pa.Table:
+            neg = ray.get(nref)
+            keep = [
+                (s, t) not in neg
+                for s, t in zip(batch["source"].to_pylist(), batch["target"].to_pylist())
+            ]
+            return batch.filter(pa.array(keep))
+
+        links = links.map_batches(drop_negatives, batch_format="pyarrow")
+    positive = [(s, t) for s, t in (positive or []) if (s, t) not in negative]
+    if positive:
+        # Scala ``toSet ++ positive`` keeps the EXISTING element on
+        # collision — so a positive that the engine already found keeps
+        # its computed confidence; only genuinely-missing positives are
+        # added (confidence 1.0, reference links carry no score). The
+        # dedup shuffle runs over post-filter links (already reduced).
+        import pandas as pd
+
+        pos = pa.table(
+            {
+                "source": pa.array([s for s, _ in positive], pa.string()),
+                "target": pa.array([t for _, t in positive], pa.string()),
+                "confidence": pa.array([1.0] * len(positive), pa.float64()),
+                "_is_ref": pa.array([1] * len(positive), pa.int8()),
+            }
+        )
+
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column("_is_ref", pa.array([0] * batch.num_rows, pa.int8()))
+
+        def keep_engine_row(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["source", "target", "_is_ref"], kind="mergesort")
+            out = g.drop_duplicates(["source", "target"], keep="first")
+            return out.drop(columns=["_is_ref"])
+
+        links = (
+            links.map_batches(tag, batch_format="pyarrow")
+            .union(rd.from_arrow(pos))
+            .groupby(["source", "target"])
+            .map_groups(keep_engine_row, batch_format="pandas")
+        )
+    return links
+
+
 def find_hot_keys(ds, rule_spec, limit, threshold, both_sides=False, side=1):
     """Pre-pass: count rows per blocking key, return keys above threshold.
 

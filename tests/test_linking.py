@@ -186,3 +186,28 @@ def test_stringmap_candidate_pairs():
     assert truly_similar, "fixture must contain similar pairs"
     assert truly_similar <= pairs  # completeness
     assert len(pairs) < len(src) * len(tgt)  # pruning
+
+
+def test_include_reference_links(ray_session):
+    """GenerateLinks.scala:115-118: negatives removed, missing positives
+    added at confidence 1.0, existing positives keep engine confidence."""
+    import ray.data as rd
+
+    from silk_ray.linking.pipeline import include_reference_links
+
+    links = rd.from_items(
+        [
+            {"source": "a", "target": "x", "confidence": 0.7},
+            {"source": "b", "target": "y", "confidence": 0.6},
+            {"source": "c", "target": "z", "confidence": 0.9},
+        ]
+    )
+    out = include_reference_links(
+        links,
+        positive=[("a", "x"), ("d", "w")],
+        negative=[("b", "y")],
+    ).to_pandas().sort_values(["source", "target"]).reset_index(drop=True)
+    assert list(out.source) == ["a", "c", "d"]
+    # existing positive keeps the engine's confidence, not 1.0
+    assert out[out.source == "a"].confidence.iloc[0] == pytest.approx(0.7)
+    assert out[out.source == "d"].confidence.iloc[0] == pytest.approx(1.0)
