@@ -239,3 +239,42 @@ def test_alignment_sink(ray_session, tmp_path):
             measure = float(cell.find("a:measure", ns).text)
             cells.append((e1, rel, measure))
     assert sorted(cells) == [("http://ex/a", "=", 0.9), ("http://ex/c", "=", 1.0)]
+
+
+def test_parse_json_column(ray_session):
+    """JsonParserOperator semantics: a JSON document column explodes
+    into child entities under basePath, parent id carried through."""
+    import ray.data as rd
+
+    from silk_ray.sources.parsers import parse_json_column
+
+    ds = rd.from_items(
+        [
+            {"id": "d1", "body": '{"Persons": {"Person": [{"Name": "Ada", "Age": 36}, {"Name": "Bob", "Tags": ["x", "y"]}]}}'},
+            {"id": "d2", "body": '{"Persons": {"Person": {"Name": "Cid"}}}'},
+            {"id": "d3", "body": "not json"},
+        ]
+    )
+    out = parse_json_column(ds, "body", "/Persons/Person", parent_col="id").to_pandas()
+    out = out.sort_values("Name").reset_index(drop=True)
+    assert list(out.Name) == ["Ada", "Bob", "Cid"]
+    assert list(out._parent) == ["d1", "d1", "d2"]
+    assert out.Age.iloc[0] == "36"
+    assert out.Tags.iloc[1] == '["x", "y"]'  # nested re-serialized
+
+
+def test_parse_xml_column(ray_session):
+    import ray.data as rd
+
+    from silk_ray.sources.parsers import parse_xml_column
+
+    ds = rd.from_items(
+        [
+            {"id": "d1", "body": '<Persons><Person id="p1"><Name>Ada</Name></Person><Person id="p2"><Name>Bob</Name></Person></Persons>'},
+            {"id": "d2", "body": "<broken"},
+        ]
+    )
+    out = parse_xml_column(ds, "body", "/Persons/Person", parent_col="id").to_pandas()
+    out = out.sort_values("@id").reset_index(drop=True)
+    assert list(out["Name"]) == ["Ada", "Bob"]
+    assert list(out["_parent"]) == ["d1", "d1"]
