@@ -1,0 +1,179 @@
+"""``python -m silk_ray`` — the single-machine CLI entry point.
+
+The reference's shape (``Silk.scala:221-233``: config file → parse →
+GenerateLinks → filter → output) re-expressed over the JSON rule DSL:
+
+    python -m silk_ray link --config linkspec.json
+    python -m silk_ray transform --config transformspec.json
+    python -m silk_ray cdc --root /lake --changelog /binlog [--rule rule.json]
+
+Config shapes (JSON):
+
+link spec::
+
+    {"source": {"path": "...", "format": "parquet", "columns": [...],
+                "uri_cols": ["repo", "path"]},
+     "target": {...},                  # omit → self-linkage
+     "rule":   {...},                  # kernel rule DSL (rule_from_dict)
+     "link_limit": 1000000,
+     "output": {"path": "...", "format": "parquet|csv|json|ntriples|alignment"}}
+
+transform spec::
+
+    {"input":  {"path": "...", "format": "parquet"},
+     "rules":  [{"target": "...", "input": {...}}, ...],   # transform_rule_from_dict
+     "output": {"path": "...", "format": "parquet"}}
+
+The CLI owns the Ray session (guarded init; the library never calls
+``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def _read_side(spec: dict):
+    from silk_ray.sources.registry import read_dataset
+
+    ds = read_dataset(
+        spec["path"],
+        spec.get("format", "parquet"),
+        columns=spec.get("columns"),
+        limit=spec.get("limit"),
+    )
+    uri_cols = spec.get("uri_cols")
+    if uri_cols:
+        from silk_ray.linking.pipeline import add_uri_column
+
+        ds = add_uri_column(ds, cols=tuple(uri_cols))
+    return ds
+
+
+def _write_links(links, out: dict) -> None:
+    fmt = out.get("format", "parquet")
+    if fmt == "ntriples":
+        from silk_ray.sources.rdf import write_links_ntriples
+
+        write_links_ntriples(links, out["path"])
+    elif fmt == "alignment":
+        from silk_ray.sources.rdf import write_links_alignment
+
+        write_links_alignment(links, out["path"])
+    else:
+        from silk_ray.sources.registry import write_dataset
+
+        write_dataset(links, out["path"], fmt)
+
+
+def cmd_link(args) -> int:
+    cfg = json.load(open(args.config))
+    _init_ray(args.num_cpus)
+    from silk_ray.linking.pipeline import generate_links
+
+    source = _read_side(cfg["source"])
+    target = _read_side(cfg["target"]) if "target" in cfg else None
+    t0 = time.perf_counter()
+    links = generate_links(
+        source,
+        target,
+        cfg["rule"],
+        source_equals_target="target" not in cfg,
+        link_limit=cfg.get("link_limit", 1_000_000),
+    )
+    _write_links(links, cfg["output"])
+    print(
+        json.dumps(
+            {"command": "link", "seconds": round(time.perf_counter() - t0, 3),
+             "output": cfg["output"]["path"]}
+        )
+    )
+    return 0
+
+
+def cmd_transform(args) -> int:
+    cfg = json.load(open(args.config))
+    _init_ray(args.num_cpus)
+    from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+    from silk_ray.sources.registry import write_dataset
+
+    rules = [transform_rule_from_dict(r) for r in cfg["rules"]]
+    ds = _read_side(cfg["input"])
+    t0 = time.perf_counter()
+    out = ds.map_batches(CompiledTransform(rules), batch_format="pyarrow")
+    write_dataset(out, cfg["output"]["path"], cfg["output"].get("format", "parquet"))
+    print(
+        json.dumps(
+            {"command": "transform", "seconds": round(time.perf_counter() - t0, 3),
+             "output": cfg["output"]["path"]}
+        )
+    )
+    return 0
+
+
+def cmd_cdc(args) -> int:
+    _init_ray(args.num_cpus)
+    from silk_ray.cdc.engine import EngineConfig, run
+
+    rule_spec = json.load(open(args.rule)) if args.rule else None
+    cfg = EngineConfig(
+        epoch_size=args.epoch_size,
+        num_partitions=args.num_partitions,
+        n_block_partitions=args.block_partitions,
+        rule_spec=rule_spec,
+        max_epochs=args.max_epochs,
+    )
+    t0 = time.perf_counter()
+    metrics = run(args.root, args.changelog, cfg)
+    print(
+        json.dumps(
+            {"command": "cdc", "seconds": round(time.perf_counter() - t0, 3),
+             "epochs": len(metrics),
+             "events_applied": sum(m["events_applied"] for m in metrics)}
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="silk_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pl = sub.add_parser("link", help="config-driven link generation")
+    pl.add_argument("--config", required=True)
+    pl.set_defaults(fn=cmd_link)
+
+    pt = sub.add_parser("transform", help="config-driven transform execution")
+    pt.add_argument("--config", required=True)
+    pt.set_defaults(fn=cmd_transform)
+
+    pc = sub.add_parser("cdc", help="tail a changelog into a lake (+ incremental links)")
+    pc.add_argument("--root", required=True)
+    pc.add_argument("--changelog", required=True)
+    pc.add_argument("--rule", default=None)
+    pc.add_argument("--epoch-size", type=int, default=100_000)
+    pc.add_argument("--num-partitions", type=int, default=64)
+    pc.add_argument("--block-partitions", type=int, default=64)
+    pc.add_argument("--max-epochs", type=int, default=None)
+    pc.set_defaults(fn=cmd_cdc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
