@@ -148,6 +148,23 @@ def cmd_cdc(args) -> int:
     return 0
 
 
+def cmd_workflow(args) -> int:
+    cfg = json.load(open(args.config))
+    _init_ray(args.num_cpus)
+    from silk_ray.pipelines.workflow import execute_workflow
+
+    t0 = time.perf_counter()
+    built = execute_workflow(cfg)
+    sinks = {k: v["path"] for k, v in built.items() if isinstance(v, dict) and "path" in v}
+    print(
+        json.dumps(
+            {"command": "workflow", "seconds": round(time.perf_counter() - t0, 3),
+             "nodes": len(built), "sinks": sinks}
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="silk_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -160,6 +177,10 @@ def main(argv=None) -> int:
     pt = sub.add_parser("transform", help="config-driven transform execution")
     pt.add_argument("--config", required=True)
     pt.set_defaults(fn=cmd_transform)
+
+    pw = sub.add_parser("workflow", help="execute a node-DAG workflow spec")
+    pw.add_argument("--config", required=True)
+    pw.set_defaults(fn=cmd_workflow)
 
     pc = sub.add_parser("cdc", help="tail a changelog into a lake (+ incremental links)")
     pc.add_argument("--root", required=True)

@@ -1,0 +1,161 @@
+"""Workflow DAG executor — the LocalWorkflowExecutor equivalent.
+
+Reference: ``LocalWorkflowExecutor.scala:34-120`` walks
+``workflowDependencyGraph`` from the end nodes; dataset nodes execute
+once, operator nodes per occurrence, operators dispatch through
+``ExecutorRegistry``. Here the DAG **is** the Ray Data logical plan:
+each node builds a (lazy) ``Dataset``; Ray's streaming executor replaces
+the Activity scheduler.
+
+Spec (JSON)::
+
+    {"nodes": [
+      {"id": "docs",  "type": "dataset", "path": "...", "format": "parquet",
+       "columns": [...], "uri_cols": [...]},
+      {"id": "norm",  "type": "transform", "input": "docs",
+       "rules": [...],                    # transform_rule_from_dict each
+       "error_output": "..."},            # optional error-row sink
+      {"id": "links", "type": "link", "source": "norm", "target": "docs",
+       "rule": {...}, "link_limit": 1000000},
+      {"id": "parsed", "type": "parse_json" | "parse_xml", "input": "docs",
+       "input_col": "body", "base_path": "/a/b"},
+      {"id": "out",   "type": "sink", "input": "links", "path": "...",
+       "format": "parquet" | "csv" | "json" | "ntriples" | "alignment"}
+    ]}
+
+Node semantics mirroring the reference:
+- a node consumed by >1 downstream node is ``materialize()``d once
+  (dataset nodes "execute once"; Ray lineage would otherwise re-execute
+  the subtree per consumer);
+- transform nodes capture per-row errors into an ``error`` column
+  (TransformedEntities.scala:87-128); with ``error_output`` set, failed
+  rows are also written to an error sink (ExecuteTransform.scala:76-79)
+  and dropped from the main output.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def _consumers(nodes: list[dict]) -> dict[str, int]:
+    count: dict[str, int] = {}
+    for n in nodes:
+        for key in ("input", "source", "target"):
+            ref = n.get(key)
+            if isinstance(ref, str):
+                count[ref] = count.get(ref, 0) + 1
+    return count
+
+
+def execute_workflow(spec: dict[str, Any]) -> dict[str, Any]:
+    """Execute the node DAG; returns {node id: Dataset | sink result}."""
+    import pyarrow.compute as pc
+
+    nodes = {n["id"]: n for n in spec["nodes"]}
+    n_consumers = _consumers(spec["nodes"])
+    built: dict[str, Any] = {}
+
+    def build(node_id: str):
+        if node_id in built:
+            return built[node_id]
+        n = nodes[node_id]
+        t = n["type"]
+        if t == "dataset":
+            from silk_ray.sources.registry import read_dataset
+
+            ds = read_dataset(
+                n["path"], n.get("format", "parquet"),
+                columns=n.get("columns"), limit=n.get("limit"),
+            )
+            if n.get("uri_cols"):
+                from silk_ray.linking.pipeline import add_uri_column
+
+                ds = add_uri_column(ds, cols=tuple(n["uri_cols"]))
+        elif t == "transform":
+            from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+            rules = [transform_rule_from_dict(r) for r in n["rules"]]
+            ds = build(n["input"]).map_batches(CompiledTransform(rules), batch_format="pyarrow")
+            if n.get("error_output"):
+                from silk_ray.sources.registry import write_dataset
+
+                def _err_mask(b):
+                    # CompiledTransform adds 'error' only when a batch
+                    # had failures
+                    if "error" not in b.column_names:
+                        return None
+                    return pc.and_kleene(
+                        pc.is_valid(b["error"]), pc.not_equal(b["error"], "")
+                    )
+
+                def _errors_only(b):
+                    m = _err_mask(b)
+                    return b.slice(0, 0) if m is None else b.filter(m)
+
+                def _ok_only(b):
+                    m = _err_mask(b)
+                    if m is None:
+                        return b
+                    return b.filter(pc.invert(m)).drop_columns(["error"])
+
+                ds = ds.materialize()  # two consumers: error sink + main
+                write_dataset(
+                    ds.map_batches(_errors_only, batch_format="pyarrow"),
+                    n["error_output"],
+                    "parquet",
+                )
+                ds = ds.map_batches(_ok_only, batch_format="pyarrow")
+        elif t == "link":
+            from silk_ray.linking.pipeline import generate_links
+
+            source = build(n["source"])
+            target = build(n["target"]) if n.get("target") else None
+            ds = generate_links(
+                source,
+                target,
+                n["rule"],
+                source_equals_target=not n.get("target"),
+                link_limit=n.get("link_limit", 1_000_000),
+            )
+        elif t in ("parse_json", "parse_xml"):
+            from silk_ray.sources import parsers
+
+            fn = parsers.parse_json_column if t == "parse_json" else parsers.parse_xml_column
+            ds = fn(
+                build(n["input"]), n["input_col"],
+                n.get("base_path", ""), parent_col=n.get("parent_col"),
+            )
+        elif t == "sink":
+            from silk_ray.sources.registry import write_dataset
+
+            upstream = build(n["input"])
+            fmt = n.get("format", "parquet")
+            if fmt == "ntriples":
+                from silk_ray.sources.rdf import write_links_ntriples
+
+                result = write_links_ntriples(upstream, n["path"])
+            elif fmt == "alignment":
+                from silk_ray.sources.rdf import write_links_alignment
+
+                result = write_links_alignment(upstream, n["path"])
+            else:
+                result = write_dataset(upstream, n["path"], fmt)
+            built[node_id] = {"path": n["path"], "result": result}
+            return built[node_id]
+        else:
+            raise ValueError(f"unknown workflow node type {t!r}")
+        if n_consumers.get(node_id, 0) > 1:
+            ds = ds.materialize()
+        built[node_id] = ds
+        return ds
+
+    # execute from the end nodes (reference recurses from ends too)
+    consumed = set(n_consumers)
+    for n in spec["nodes"]:
+        if n["id"] not in consumed or n["type"] == "sink":
+            build(n["id"])
+    # any remaining unreferenced nodes
+    for n in spec["nodes"]:
+        build(n["id"])
+    return built

@@ -1,0 +1,67 @@
+"""Workflow DAG executor (LocalWorkflowExecutor.scala equivalent)."""
+
+import json
+
+import pyarrow.parquet as pq
+
+
+def _count(d):
+    return sum(pq.read_table(str(f)).num_rows for f in d.glob("*.parquet"))
+
+
+def test_workflow_dag(ray_session, tmp_path):
+    """dataset → transform (error sink) → link → sinks; the transform
+    node feeds two consumers (link source + direct sink) so it
+    materializes once."""
+    from silk_ray.pipelines.workflow import execute_workflow
+
+    spec = {
+        "nodes": [
+            {"id": "docs", "type": "dataset",
+             "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "text", "lang"], "uri_cols": ["doc_id"]},
+            {"id": "norm", "type": "transform", "input": "docs",
+             "rules": [
+                 {"target": "uri", "input": {"path": "uri"}},
+                 {"target": "lang", "input": {"transform": "lowerCase", "inputs": [{"path": "lang"}]}},
+                 # validation failures land in the error sink
+                 {"target": "lang_ok", "input": {"transform": "validateRegex",
+                  "params": {"regex": "^(en|de|fr|es|pt)$"},
+                  "inputs": [{"path": "lang"}]}},
+             ],
+             "error_output": str(tmp_path / "errors")},
+            {"id": "links", "type": "link", "source": "norm",
+             "rule": {"operator": {"metric": "equality", "threshold": 0.0,
+                                   "source": {"path": "lang"}, "target": {"path": "lang"}}},
+             "link_limit": 40},
+            {"id": "norm_out", "type": "sink", "input": "norm", "path": str(tmp_path / "norm")},
+            {"id": "links_out", "type": "sink", "input": "links", "path": str(tmp_path / "links")},
+        ]
+    }
+    built = execute_workflow(spec)
+    n_norm = _count(tmp_path / "norm")
+    n_err = _count(tmp_path / "errors")
+    assert n_norm + n_err == 500  # every row lands exactly once
+    assert _count(tmp_path / "links") == 40
+    assert set(built) == {"docs", "norm", "links", "norm_out", "links_out"}
+
+
+def test_workflow_cli(ray_session, tmp_path, capsys):
+    from silk_ray.__main__ import main
+
+    spec = {
+        "nodes": [
+            {"id": "d", "type": "dataset",
+             "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "text"]},
+            {"id": "p", "type": "transform", "input": "d",
+             "rules": [{"target": "n_tokens", "input": {"transform": "count",
+                        "inputs": [{"transform": "tokenize", "inputs": [{"path": "text"}]}]}}]},
+            {"id": "o", "type": "sink", "input": "p", "path": str(tmp_path / "out")},
+        ]
+    }
+    (tmp_path / "wf.json").write_text(json.dumps(spec))
+    assert main(["workflow", "--config", str(tmp_path / "wf.json")]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sinks"] == {"o": str(tmp_path / "out")}
+    assert _count(tmp_path / "out") == 500
