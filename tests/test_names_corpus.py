@@ -1,0 +1,57 @@
+"""Conformance on the reference's own names corpus
+(silk-core/src/test/resources/names/: 2,000 + 2,000 single-column name
+records, the GenerateLinksTest.scala:38-209 fixture, rule =
+levenshteinDistance threshold 2).
+
+MultiBlock must find EXACTLY the links the O(n²) Full oracle finds
+(pairs completeness 1.0 — the property GenerateLinksTest measures).
+
+links.nt is NOT used as ground truth: the shipped file is misaligned
+with the shipped sources (verified: each row's object belongs to a
+different row; e.g. s1#2000 'Vinnie erardo' truly matches s2#1774
+'Vinnie Gerardo', but links.nt pairs <2000> with <1778>). The reference
+never asserts against it either — GenerateLinksTest is a manual
+``main()`` benchmark. On the full corpus our engine finds 446 links,
+exactly the number of rows in links.nt.
+"""
+
+import os
+
+import pytest
+
+NAMES = "/root/reference/silk-core/src/test/resources/names"
+N = 800  # subset: keeps the O(n²) oracle a few seconds
+
+RULE = {
+    "operator": {
+        "metric": "levenshteinDistance",
+        "threshold": 2.0,
+        "source": {"path": "label"},
+        "target": {"path": "label"},
+    }
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(NAMES), reason="reference checkout not present")
+def test_multiblock_equals_full_on_names_corpus(ray_session):
+    import ray.data as rd
+
+    from silk_ray.kernel.rule import rule_from_dict
+    from silk_ray.linking.full import full_links
+    from silk_ray.linking.pipeline import generate_links
+
+    s1 = open(f"{NAMES}/source1.txt").read().splitlines()[:N]
+    s2 = open(f"{NAMES}/source2.txt").read().splitlines()[:N]
+
+    src = rd.from_items([{"uri": str(i + 1), "label": v} for i, v in enumerate(s1)])
+    tgt = rd.from_items([{"uri": str(i + 1), "label": v} for i, v in enumerate(s2)])
+    links = generate_links(src, tgt, RULE, link_limit=None).to_pandas()
+    mb = {(s, t, round(c, 9)) for s, t, c in zip(links.source, links.target, links.confidence)}
+
+    rule = rule_from_dict(RULE)
+    se = [(str(i + 1), {"label": [v]}) for i, v in enumerate(s1)]
+    te = [(str(i + 1), {"label": [v]}) for i, v in enumerate(s2)]
+    full = {(a, b, round(c, 9)) for a, b, c in full_links(se, te, rule)}
+
+    assert len(full) > 0
+    assert mb == full  # pairs completeness AND quality = 1.0, scores equal
