@@ -55,3 +55,54 @@ def test_multiblock_equals_full_on_names_corpus(ray_session):
 
     assert len(full) > 0
     assert mb == full  # pairs completeness AND quality = 1.0, scores equal
+
+
+@pytest.mark.skipif(not os.path.isdir(NAMES), reason="reference checkout not present")
+def test_execution_method_completeness_on_names_corpus(ray_session):
+    """The GenerateLinksTest method matrix on real data: per-method
+    pairs completeness vs the Full oracle (dup-dense tail slice).
+    Bounds are the measured values minus slack — phonetic blocking is
+    inherently lossy on 2-edit typos; q-gram blocking is complete here."""
+    import ray.data as rd
+
+    from silk_ray.kernel.rule import rule_from_dict
+    from silk_ray.kernel.transformers import get_transformer
+    from silk_ray.linking.full import full_links
+    from silk_ray.linking.methods import (
+        BlockingMethod,
+        MultiPassBlocking,
+        QGramsMethod,
+        SortedBlocksMethod,
+    )
+    from silk_ray.linking.pipeline import generate_links
+
+    s1 = open(f"{NAMES}/source1.txt").read().splitlines()[-N:]
+    s2 = open(f"{NAMES}/source2.txt").read().splitlines()[-N:]
+    se = [(str(i + 1), {"label": [v]}) for i, v in enumerate(s1)]
+    te = [(str(i + 1), {"label": [v]}) for i, v in enumerate(s2)]
+    full = {(a, b) for a, b, _ in full_links(se, te, rule_from_dict(RULE))}
+    assert len(full) > 100
+
+    src = rd.from_items([{"uri": str(i + 1), "label": v} for i, v in enumerate(s1)])
+    tgt = rd.from_items([{"uri": str(i + 1), "label": v} for i, v in enumerate(s2)])
+
+    def completeness(method):
+        links = generate_links(src, tgt, RULE, link_limit=None, execution_method=method).to_pandas()
+        found = set(zip(links.source, links.target))
+        assert found <= full  # quality 1.0: blocking never invents links
+        return 1 - len(full - found) / len(full)
+
+    soundex = completeness(BlockingMethod(blocking_path="label"))
+    assert soundex >= 0.5
+    assert completeness(QGramsMethod(blocking_path="label", threshold=0.7)) >= 0.99
+    assert completeness(SortedBlocksMethod(blocking_path="label", overlap=0.5)) >= 0.8
+    # union of passes can only add candidates
+    multipass = completeness(
+        MultiPassBlocking(
+            passes=[
+                BlockingMethod(blocking_path="label"),
+                BlockingMethod(blocking_path="label", transformers=[get_transformer("nysiis")]),
+            ]
+        )
+    )
+    assert multipass >= soundex
