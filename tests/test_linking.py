@@ -211,3 +211,61 @@ def test_include_reference_links(ray_session):
     # existing positive keeps the engine's confidence, not 1.0
     assert out[out.source == "a"].confidence.iloc[0] == pytest.approx(0.7)
     assert out[out.source == "d"].confidence.iloc[0] == pytest.approx(1.0)
+
+
+def test_cities_shape_rule_multiblock_equals_full(ray_session):
+    """The reference's cities fixture rule (cities/config.xml: MIN
+    aggregate of levenshteinDistance θ=1 on label + wgs84 θ=30km on
+    coordinates) end-to-end: conjunction index combination + continuous
+    2-D geo blocking must lose nothing vs the Full oracle."""
+    import random
+
+    import ray.data as rd
+
+    from silk_ray.linking.full import full_links
+    from silk_ray.linking.pipeline import generate_links
+
+    rule_spec = {
+        "operator": {
+            "aggregator": "min",
+            "operators": [
+                {"metric": "levenshteinDistance", "threshold": 1.0, "weight": 1,
+                 "source": {"path": "label"}, "target": {"path": "label"}},
+                {"metric": "wgs84", "params": {"unit": "km"}, "threshold": 30.0, "weight": 1,
+                 "source": {"path": "coordinates"}, "target": {"path": "coordinates"}},
+            ],
+        }
+    }
+    rng = random.Random(7)
+    cities = [
+        (f"City{chr(65 + i % 26)}{i}", round(rng.uniform(-60, 60), 4), round(rng.uniform(-170, 170), 4))
+        for i in range(150)
+    ]
+    src_rows, tgt_rows = [], []
+    for i, (name, lat, lon) in enumerate(cities):
+        src_rows.append({"uri": f"s{i}", "label": name, "coordinates": f"{lat} {lon}"})
+        if i % 3 == 0:
+            # near-dup: 1 char edit + ~10 km offset (should link)
+            tgt_rows.append({"uri": f"t{i}", "label": name[:-1] + "x",
+                             "coordinates": f"{round(lat + 0.09, 4)} {lon}"})
+        elif i % 3 == 1:
+            # same name, far away (>30 km → min kills it)
+            tgt_rows.append({"uri": f"t{i}", "label": name,
+                             "coordinates": f"{round(lat + 5.0, 4)} {lon}"})
+        else:
+            tgt_rows.append({"uri": f"t{i}", "label": name + "zzz",
+                             "coordinates": f"{lat} {lon}"})
+
+    links = generate_links(
+        rd.from_items(src_rows), rd.from_items(tgt_rows), rule_spec, link_limit=None
+    ).to_pandas()
+    mb = {(s, t, round(c, 9)) for s, t, c in zip(links.source, links.target, links.confidence)}
+
+    se = [(r["uri"], {"label": [r["label"]], "coordinates": [r["coordinates"]]}) for r in src_rows]
+    te = [(r["uri"], {"label": [r["label"]], "coordinates": [r["coordinates"]]}) for r in tgt_rows]
+    full = {(a, b, round(c, 9)) for a, b, c in full_links(se, te, rule_from_dict(rule_spec))}
+
+    assert len(full) >= 40  # the planted i%3==0 near-dups link
+    assert mb == full
+    # far-away same-name pairs were killed by the min aggregate
+    assert not any(s[1:] == t[1:] and int(s[1:]) % 3 == 1 for s, t, _ in full)
