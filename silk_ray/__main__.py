@@ -80,6 +80,21 @@ def _write_links(links, out: dict) -> None:
 
 
 def cmd_link(args) -> int:
+    if args.config.endswith(".xml"):
+        # Silk-LSL config (the reference's own format)
+        _init_ray(args.num_cpus)
+        from silk_ray.sources.lsl import run_lsl_config
+
+        t0 = time.perf_counter()
+        links = run_lsl_config(args.config, interlink=args.interlink, output_path=args.output)
+        print(
+            json.dumps(
+                {"command": "link", "config": "lsl",
+                 "links": links.count(),
+                 "seconds": round(time.perf_counter() - t0, 3)}
+            )
+        )
+        return 0
     cfg = json.load(open(args.config))
     _init_ray(args.num_cpus)
     from silk_ray.linking.pipeline import generate_links
@@ -170,8 +185,10 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     sub = p.add_subparsers(dest="command", required=True)
 
-    pl = sub.add_parser("link", help="config-driven link generation")
+    pl = sub.add_parser("link", help="config-driven link generation (JSON spec or Silk-LSL XML)")
     pl.add_argument("--config", required=True)
+    pl.add_argument("--interlink", default=None, help="LSL: which <Interlink id> to run")
+    pl.add_argument("--output", default=None, help="LSL: override the <Outputs> path")
     pl.set_defaults(fn=cmd_link)
 
     pt = sub.add_parser("transform", help="config-driven transform execution")

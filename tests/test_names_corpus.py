@@ -106,3 +106,44 @@ def test_execution_method_completeness_on_names_corpus(ray_session):
         )
     )
     assert multipass >= soundex
+
+
+@pytest.mark.skipif(not os.path.isdir(NAMES), reason="reference checkout not present")
+def test_lsl_config_runs_names_corpus(ray_session, tmp_path):
+    """The reference's own Silk-LSL config file executes directly:
+    ``names/config.xml`` (csv sources, levenshteinDistance θ=2) →
+    exactly 446 links, the row count of the reference's links.nt."""
+    from silk_ray.sources.lsl import parse_lsl_config, run_lsl_config
+
+    cfg = parse_lsl_config(f"{NAMES}/config.xml")
+    assert set(cfg["datasources"]) == {"source1", "source2"}
+    il = cfg["interlinks"][0]
+    assert il["rule"]["operator"]["metric"] == "levenshteinDistance"
+    assert il["rule"]["operator"]["threshold"] == 2.0
+    assert il["rule"]["operator"]["source"] == {"path": "label"}
+
+    links = run_lsl_config(
+        f"{NAMES}/config.xml", output_path=str(tmp_path / "links.nt")
+    ).to_pandas()
+    assert len(links) == 446
+    nt = "".join(p.read_text() for p in (tmp_path / "links.nt").glob("*.nt"))
+    assert "<http://www.w3.org/2002/07/owl#sameAs>" in nt
+
+
+CITIES = "/root/reference/silk-core/src/test/resources/cities"
+
+
+@pytest.mark.skipif(not os.path.isdir(CITIES), reason="reference checkout not present")
+def test_lsl_parses_cities_config():
+    """Nested rule shape: min( levenshtein, wgs84(unit=km) ) with Params
+    — parse-only (the cities csv data is not shipped in the reference)."""
+    from silk_ray.kernel.rule import rule_from_dict
+    from silk_ray.sources.lsl import parse_lsl_config
+
+    cfg = parse_lsl_config(f"{CITIES}/config.xml")
+    op = cfg["interlinks"][0]["rule"]["operator"]
+    assert op["aggregator"] == "min"
+    metrics = [o["metric"] for o in op["operators"]]
+    assert metrics == ["levenshteinDistance", "wgs84"]
+    assert op["operators"][1]["params"] == {"unit": "km"}
+    rule_from_dict(cfg["interlinks"][0]["rule"])  # compiles against the kernel
