@@ -538,7 +538,15 @@ def update_links(
     else:
         new_links = rd.from_arrow(empty_links)
 
-    # -- stage 4: merge into the stored link set (same execution) -------
+    # -- stage 4: merge into the stored link set (manifest-based) -------
+    # The stored link set is a MANIFEST of size-bounded parquet files,
+    # each carrying a small uri-bitset sketch. Per epoch only files
+    # whose sketch intersects the dirty-uri bits are rewritten
+    # (drop-dirty + union with the recomputed links); every other file
+    # is carried over BY REFERENCE. Per-epoch link-merge cost is
+    # O(delta + affected files), not O(total links) — the same
+    # delta-not-state principle as the blockmap LSM and the lake
+    # merge-apply.
     def drop_dirty(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -553,15 +561,24 @@ def update_links(
         )
         return batch.filter(keep)
 
+    manifest = _links_manifest(state)
+    dirty_bits = _uri_bits(sorted(dirty_uris))
+    affected, carried = [], []
+    for entry in manifest:
+        if len(manifest) > MAX_LINK_FILES or _sketch_hits(entry.get("sketch"), dirty_bits):
+            affected.append(entry)
+        else:
+            carried.append(entry)
+    # above MAX_LINK_FILES every file became "affected" → this epoch's
+    # write doubles as full compaction
+
     links_dir_new = os.path.join(root, "links", f"epoch-{epoch:06d}")
-    # block count sized to the stored link count: ~500k links per file
-    # keeps epoch N+1's read from inheriting epoch N's task fan-out
-    # (unsized, the per-epoch union wrote one file per upstream block
-    # and the file count compounded every epoch)
-    n_link_blocks = max(1, min(64, _count_links(root, state) // 500_000 + 1))
-    if state.get("links_dir"):
+    affected_rows = sum(e["rows"] for e in affected)
+    n_link_blocks = max(1, min(64, affected_rows // 500_000 + 1))
+    if affected:
         old_links = rd.read_parquet(
-            os.path.join(root, state["links_dir"]), override_num_blocks=n_link_blocks
+            [os.path.join(root, e["file"]) for e in affected],
+            override_num_blocks=n_link_blocks,
         )
         kept = old_links.map_batches(drop_dirty, batch_format="pyarrow")
         merged = kept.union(new_links).repartition(n_link_blocks)
@@ -579,24 +596,45 @@ def update_links(
     if os.environ.get("SILKRAY_LINK_STATS"):
         print(f"[silk_ray] update_links epoch {epoch} stats:\n{merged.stats()}")
 
-    # count this epoch's recomputed links from the written column
+    # manifest entries + sketches for the written delta files (delta-
+    # sized reads, driver-side), counting this epoch's recomputed links
     n_new = 0
-    for f in os.listdir(links_dir_new):
-        if f.endswith(".parquet"):
-            col = pq.read_table(os.path.join(links_dir_new, f), columns=["epoch_added"])
-            n_new += int(
-                pa.compute.sum(
-                    pa.compute.cast(pa.compute.equal(col["epoch_added"], epoch), pa.int64())
-                ).as_py()
-                or 0
-            )
+    written = []
+    for f in sorted(os.listdir(links_dir_new)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(links_dir_new, f)
+        t = pq.read_table(p, columns=["source", "target", "epoch_added"])
+        n_new += int(
+            pa.compute.sum(
+                pa.compute.cast(pa.compute.equal(t["epoch_added"], epoch), pa.int64())
+            ).as_py()
+            or 0
+        )
+        written.append(
+            {
+                "file": os.path.relpath(p, root),
+                "rows": t.num_rows,
+                "sketch": _sketch_of_links(t),
+            }
+        )
 
+    prev_files = [
+        {"file": e["file"]} for e in _links_manifest(
+            {k: v for k, v in state.items() if k in ("links_files", "links_dir")}
+        )
+    ]
     state = {
         "epoch": epoch,
         "blockmap": {str(k): v for k, v in bm_files.items()},
-        "links_dir": os.path.relpath(links_dir_new, root),
+        "links_files": carried + written,
+        # previous manifest's file list: GC keeps these too, so a crash
+        # between a future epoch's links write and its linkstate commit
+        # can still replay against this epoch's intact file set
+        "links_files_prev": prev_files,
     }
     commit_linkstate(root, state)
+    _gc_links(root, state)
 
     metrics = {
         "epoch": epoch,
@@ -610,7 +648,83 @@ def update_links(
     return metrics
 
 
+# links-manifest machinery: per-file 8192-bit uri sketches gate which
+# stored files an epoch must rewrite (false positive → harmless extra
+# rewrite; false negatives impossible)
+LINK_SKETCH_BITS = 8192
+MAX_LINK_FILES = 64
+
+
+def _uri_bits(uris) -> set[int]:
+    import zlib
+
+    return {zlib.crc32(u.encode()) % LINK_SKETCH_BITS for u in uris}
+
+
+def _sketch_of_links(t: pa.Table) -> str:
+    import base64
+
+    import numpy as np
+
+    bits = np.zeros(LINK_SKETCH_BITS // 8, dtype=np.uint8)
+    for col in ("source", "target"):
+        for b in _uri_bits(t[col].to_pylist()):
+            bits[b >> 3] |= 1 << (b & 7)
+    return base64.b64encode(bits.tobytes()).decode()
+
+
+def _sketch_hits(sketch_b64: str | None, dirty_bits: set[int]) -> bool:
+    import base64
+
+    if sketch_b64 is None:  # legacy entry without a sketch
+        return True
+    raw = base64.b64decode(sketch_b64)
+    return any(raw[b >> 3] & (1 << (b & 7)) for b in dirty_bits)
+
+
+def _links_manifest(state: dict) -> list[dict]:
+    """Manifest entries from the state; legacy ``links_dir`` states map
+    to sketch-less entries (always treated as affected)."""
+    if state.get("links_files") is not None:
+        return state["links_files"]
+    if not state.get("links_dir"):
+        return []
+    return [{"file": state["links_dir"], "rows": 0, "sketch": None}]
+
+
+def _gc_links(root: str, state: dict) -> None:
+    """Delete link files no manifest references (files replaced by a
+    rewrite). Runs after the commit point, so a crash mid-GC leaves
+    only unreferenced garbage."""
+    live = {
+        os.path.normpath(e["file"])
+        for e in state.get("links_files", []) + state.get("links_files_prev", [])
+    }
+    base = os.path.join(root, "links")
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if not os.path.isdir(full):
+            continue
+        for f in os.listdir(full):
+            rel = os.path.normpath(os.path.join("links", d, f))
+            if f.endswith(".parquet") and rel not in live:
+                try:
+                    os.remove(rel if os.path.isabs(rel) else os.path.join(root, rel))
+                except OSError:
+                    pass
+        if not os.listdir(full):
+            try:
+                os.rmdir(full)
+            except OSError:
+                pass
+
+
 def _count_links(root: str, state: dict) -> int:
+    files = state.get("links_files")
+    if files is not None:
+        return sum(e["rows"] for e in files)
     if not state.get("links_dir"):
         return 0
     d = os.path.join(root, state["links_dir"])
@@ -636,17 +750,24 @@ def _append_link_metrics(root: str, epoch: int, metrics: dict) -> None:
 
 
 def links_table(root: str) -> pa.Table:
-    """The maintained unfiltered link set, sorted (driver-side)."""
+    """The maintained unfiltered link set, sorted (driver-side;
+    test/small-lake helper — distributed consumers read the manifest
+    files as a Dataset)."""
+    empty = pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
+                      "confidence": pa.array([], pa.float64())})
     state = read_linkstate(root)
-    if not state.get("links_dir"):
-        return pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
-                         "confidence": pa.array([], pa.float64())})
-    d = os.path.join(root, state["links_dir"])
-    tables = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    entries = _links_manifest(state)
+    tables = []
+    for e in entries:
+        p = os.path.join(root, e["file"])
+        if os.path.isdir(p):  # legacy dir entry
+            tables += [pq.read_table(os.path.join(p, f)) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        elif os.path.exists(p):
+            tables.append(pq.read_table(p))
+    tables = [t for t in tables if t.num_rows]
     if not tables:
-        return pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
-                         "confidence": pa.array([], pa.float64())})
-    return pa.concat_tables(tables).sort_by(
+        return empty
+    return pa.concat_tables(tables, promote_options="default").sort_by(
         [("source", "ascending"), ("target", "ascending")]
     )
 
