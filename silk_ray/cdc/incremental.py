@@ -9,8 +9,14 @@ Persisted link state under ``lake_root/`` (LSM-style)::
     blockmap/bp={B}/delta-{E}-*.parquet    # per-epoch delta shards:
                                            # (action, key, side, uri, keys, vals_0..m)
     blockmap/bp={B}/compact-{E}.parquet    # compacted chain (all 'add')
-    links/epoch-{E}/part-*.parquet         # UNFILTERED link set
-    _linkstate.json                        # atomic pointer {epoch, per-bp file chains}
+    links/epoch-{E}/part-*.parquet         # UNFILTERED link set as a file
+                                           # MANIFEST: the linkstate lists
+                                           # (file, rows, uri-bitset sketch)
+                                           # entries across epoch dirs; an
+                                           # epoch rewrites only files whose
+                                           # sketch hits a dirty uri
+    _linkstate.json                        # atomic pointer {epoch, per-bp
+                                           # file chains, links manifest}
 
 Per merge epoch E (consuming ``dirty/p=*/epoch-{E}.parquet`` deltas):
 
@@ -29,8 +35,10 @@ Per merge epoch E (consuming ``dirty/p=*/epoch-{E}.parquet`` deltas):
    (vectorized ``is_in``), then coarse-partition ``groupby`` + pair
    scoring with min-common-key dedup; pairs need ≥1 dirty side
    (clean∩clean pairs keep their stored links).
-4. **links merge** (``map_batches`` filter + union): drop stored links
-   touching a dirty uri, add the recomputed ones.
+4. **links merge** (``map_batches`` filter + union over the AFFECTED
+   manifest files only): drop stored links touching a dirty uri, add
+   the recomputed ones; unaffected files carry over by reference —
+   O(delta + affected files) per epoch, not O(total links).
 
 The maintained set is UNFILTERED (every pair with confidence ≥ limit);
 the per-source top-k LinkFilter (Filter.scala:31-57) is applied as a
