@@ -64,19 +64,9 @@ def _read_side(spec: dict):
 
 
 def _write_links(links, out: dict) -> None:
-    fmt = out.get("format", "parquet")
-    if fmt == "ntriples":
-        from silk_ray.sources.rdf import write_links_ntriples
+    from silk_ray.sources.registry import write_links
 
-        write_links_ntriples(links, out["path"])
-    elif fmt == "alignment":
-        from silk_ray.sources.rdf import write_links_alignment
-
-        write_links_alignment(links, out["path"])
-    else:
-        from silk_ray.sources.registry import write_dataset
-
-        write_dataset(links, out["path"], fmt)
+    write_links(links, out["path"], out.get("format", "parquet"))
 
 
 def cmd_link(args) -> int:
@@ -86,11 +76,17 @@ def cmd_link(args) -> int:
         from silk_ray.sources.lsl import run_lsl_config
 
         t0 = time.perf_counter()
-        links = run_lsl_config(args.config, interlink=args.interlink, output_path=args.output)
+        results = run_lsl_config(args.config, interlink=args.interlink, output_path=args.output)
+        # rows come from the sinks' part summaries; counting an
+        # unwritten interlink is the one remaining consumer
         print(
             json.dumps(
                 {"command": "link", "config": "lsl",
-                 "links": links.count(),
+                 "interlinks": {
+                     k: {"links": (v["rows"] if v["rows"] is not None else v["links"].count()),
+                         "output": v["output"]}
+                     for k, v in results.items()
+                 },
                  "seconds": round(time.perf_counter() - t0, 3)}
             )
         )

@@ -569,7 +569,7 @@ def update_links(
         )
         return batch.filter(keep)
 
-    manifest = _links_manifest(state)
+    manifest = _links_manifest(state, root)
     dirty_bits = _uri_bits(sorted(dirty_uris))
     affected, carried = [], []
     for entry in manifest:
@@ -629,7 +629,7 @@ def update_links(
 
     prev_files = [
         {"file": e["file"]} for e in _links_manifest(
-            {k: v for k, v in state.items() if k in ("links_files", "links_dir")}
+            {k: v for k, v in state.items() if k in ("links_files", "links_dir")}, root
         )
     ]
     state = {
@@ -690,14 +690,27 @@ def _sketch_hits(sketch_b64: str | None, dirty_bits: set[int]) -> bool:
     return any(raw[b >> 3] & (1 << (b & 7)) for b in dirty_bits)
 
 
-def _links_manifest(state: dict) -> list[dict]:
-    """Manifest entries from the state; legacy ``links_dir`` states map
-    to sketch-less entries (always treated as affected)."""
+def _links_manifest(state: dict, root: str | None = None) -> list[dict]:
+    """Manifest entries from the state. Legacy ``links_dir`` states
+    expand to one sketch-less entry PER FILE with real row counts
+    (``sketch: None`` → always treated as affected), so GC retention
+    and block sizing behave identically for upgraded lakes."""
     if state.get("links_files") is not None:
         return state["links_files"]
     if not state.get("links_dir"):
         return []
-    return [{"file": state["links_dir"], "rows": 0, "sketch": None}]
+    d = os.path.join(root, state["links_dir"]) if root else state["links_dir"]
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            p = os.path.join(d, f)
+            rel = os.path.relpath(p, root) if root else p
+            out.append(
+                {"file": rel, "rows": pq.read_metadata(p).num_rows, "sketch": None}
+            )
+    return out
 
 
 def _gc_links(root: str, state: dict) -> None:
@@ -764,7 +777,7 @@ def links_table(root: str) -> pa.Table:
     empty = pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
                       "confidence": pa.array([], pa.float64())})
     state = read_linkstate(root)
-    entries = _links_manifest(state)
+    entries = _links_manifest(state, root)
     tables = []
     for e in entries:
         p = os.path.join(root, e["file"])

@@ -90,8 +90,16 @@ def execute_workflow(spec: dict[str, Any]) -> dict[str, Any]:
                     )
 
                 def _errors_only(b):
+                    import pyarrow as pa
+
                     m = _err_mask(b)
-                    return b.slice(0, 0) if m is None else b.filter(m)
+                    if m is None:
+                        # keep the sink's schema uniform: clean batches
+                        # contribute an empty table WITH the error column
+                        return b.slice(0, 0).append_column(
+                            "error", pa.array([], pa.string())
+                        )
+                    return b.filter(m)
 
                 def _ok_only(b):
                     m = _err_mask(b)
@@ -127,20 +135,9 @@ def execute_workflow(spec: dict[str, Any]) -> dict[str, Any]:
                 n.get("base_path", ""), parent_col=n.get("parent_col"),
             )
         elif t == "sink":
-            from silk_ray.sources.registry import write_dataset
+            from silk_ray.sources.registry import write_links
 
-            upstream = build(n["input"])
-            fmt = n.get("format", "parquet")
-            if fmt == "ntriples":
-                from silk_ray.sources.rdf import write_links_ntriples
-
-                result = write_links_ntriples(upstream, n["path"])
-            elif fmt == "alignment":
-                from silk_ray.sources.rdf import write_links_alignment
-
-                result = write_links_alignment(upstream, n["path"])
-            else:
-                result = write_dataset(upstream, n["path"], fmt)
+            result = write_links(build(n["input"]), n["path"], n.get("format", "parquet"))
             built[node_id] = {"path": n["path"], "result": result}
             return built[node_id]
         else:

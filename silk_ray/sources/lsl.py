@@ -33,18 +33,20 @@ from typing import Any
 
 
 def _local_path(path: str) -> str:
-    """``?a/rdfs:label[@lang='en']`` → ``label``."""
+    """``?a/rdfs:label[@lang='en']`` or ``?a/<http://…#label>`` →
+    ``label`` (full-URI paths resolve to the local name; the ':' strip
+    must not fire on a URI's scheme colon)."""
     p = path.strip()
     if p.startswith("?"):
         slash = p.find("/")
         p = p[slash + 1 :] if slash >= 0 else ""
     if "[" in p:
         p = p[: p.index("[")]
-    if ":" in p:
-        p = p.rsplit(":", 1)[1]
     if p.startswith("<") and p.endswith(">"):
         inner = p[1:-1]
-        p = inner.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+        return inner.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+    if ":" in p:
+        p = p.rsplit(":", 1)[1]
     return p
 
 
@@ -142,6 +144,14 @@ def parse_lsl_config(path: str) -> dict[str, Any]:
         rule_elems = [c for c in il.find("LinkageRule") if c.tag in ("Aggregate", "Compare")]
         if len(rule_elems) != 1:
             raise ValueError("LinkageRule must have exactly one root operator")
+        rule: dict[str, Any] = {"operator": rule_operator_from_xml(rule_elems[0])}
+        # <Filter limit=... unambiguous=...> (LinkFilter.scala:26)
+        filt = il.find("Filter")
+        if filt is not None:
+            if filt.get("limit"):
+                rule["filter_limit"] = int(filt.get("limit"))
+            if filt.get("unambiguous"):
+                rule["filter_unambiguous"] = filt.get("unambiguous").lower() == "true"
         outputs = []
         outs = il.find("Outputs")
         if outs is not None:
@@ -152,7 +162,7 @@ def parse_lsl_config(path: str) -> dict[str, Any]:
                 "id": il.get("id"),
                 "source": il.find("SourceDataset").get("dataSource"),
                 "target": il.find("TargetDataset").get("dataSource"),
-                "rule": {"operator": rule_operator_from_xml(rule_elems[0])},
+                "rule": rule,
                 "outputs": outputs,
             }
         )
@@ -160,11 +170,14 @@ def parse_lsl_config(path: str) -> dict[str, Any]:
 
 
 def run_lsl_config(path: str, interlink: str | None = None, output_path: str | None = None,
-                   link_limit: int | None = 1_000_000):
-    """Execute one interlink of an LSL config; returns the links Dataset
-    (and writes outputs when ``output_path`` or LSL ``<Outputs>`` are
-    present)."""
+                   link_limit: int | None = 1_000_000) -> dict[str, dict]:
+    """Execute every interlink of an LSL config (or just ``interlink``
+    when named — ``Silk.main`` runs all when none is given). Returns
+    ``{interlink id: {"links": Dataset, "rows": int | None, "output":
+    path | None}}``; ``rows`` is taken from the sink's part summaries
+    when an output was written (no second execution of the plan)."""
     from silk_ray.linking.pipeline import generate_links
+    from silk_ray.sources.registry import write_links
 
     cfg = parse_lsl_config(path)
     config_dir = os.path.dirname(os.path.abspath(path))
@@ -173,27 +186,25 @@ def run_lsl_config(path: str, interlink: str | None = None, output_path: str | N
         links_specs = [i for i in links_specs if i["id"] == interlink]
         if not links_specs:
             raise ValueError(f"no interlink {interlink!r} in {path}")
-    spec = links_specs[0]
-    src = load_lsl_source(cfg["datasources"][spec["source"]], config_dir)
-    tgt = load_lsl_source(cfg["datasources"][spec["target"]], config_dir)
-    links = generate_links(src, tgt, spec["rule"], link_limit=link_limit)
-    out = output_path
-    fmt = None
-    if spec["outputs"]:
-        o = spec["outputs"][0]
-        fmt = o["params"].get("format")
-        if out is None:
-            out = _resolve_url(o["params"].get("file", "links.nt"), config_dir)
-            fmt = fmt or "ntriples"
-    if out is not None and fmt is None:
-        fmt = "ntriples" if out.endswith((".nt", ".ntriples")) else "parquet"
-    if out is not None:
-        if fmt == "ntriples":
-            from silk_ray.sources.rdf import write_links_ntriples
-
-            write_links_ntriples(links, out)
-        else:
-            from silk_ray.sources.registry import write_dataset
-
-            write_dataset(links, out, fmt)
-    return links
+    results: dict[str, dict] = {}
+    for spec in links_specs:
+        src = load_lsl_source(cfg["datasources"][spec["source"]], config_dir)
+        tgt = load_lsl_source(cfg["datasources"][spec["target"]], config_dir)
+        links = generate_links(src, tgt, spec["rule"], link_limit=link_limit)
+        out = output_path if len(links_specs) == 1 else None
+        fmt = None
+        if spec["outputs"]:
+            o = spec["outputs"][0]
+            fmt = o["params"].get("format")
+            if out is None:
+                out = _resolve_url(o["params"].get("file", "links.nt"), config_dir)
+                fmt = fmt or "ntriples"
+        if out is not None and fmt is None:
+            fmt = "ntriples" if out.endswith((".nt", ".ntriples")) else "parquet"
+        rows = None
+        if out is not None:
+            parts = write_links(links, out, fmt)
+            if isinstance(parts, list) and parts and isinstance(parts[0], dict):
+                rows = int(sum(p.get("rows", 0) for p in parts))
+        results[spec["id"]] = {"links": links, "rows": rows, "output": out}
+    return results

@@ -62,13 +62,16 @@ def _rows_from_nodes(nodes, parent) -> list[dict]:
                     row[k] = str(v)
         else:
             row = {"#text": None if node is None else str(node)}
-        row["_parent"] = parent
+        if parent is not None:
+            row["_parent"] = parent
         rows.append(row)
     return rows
 
 
-def _table_from_rows(rows: list[dict]) -> pa.Table:
-    names = sorted({k for r in rows for k in r}) or ["_parent"]
+def _table_from_rows(rows: list[dict], with_parent: bool = True) -> pa.Table:
+    names = sorted({k for r in rows for k in r})
+    if not names:
+        names = ["_parent"] if with_parent else ["#text"]
     return pa.table(
         {n: pa.array([r.get(n) for r in rows], pa.string()) for n in names}
     )
@@ -77,16 +80,16 @@ def _table_from_rows(rows: list[dict]) -> pa.Table:
 def parse_json_column(ds, input_col: str, base_path: str = "", parent_col: str | None = None):
     """JsonParserOperator: ``input_col`` holds one JSON document per row;
     ``base_path`` ('/Persons/Person') selects the entity nodes; one
-    output row per node, ``_parent`` carrying ``parent_col`` (or the
-    input row's ordinal within its batch) for URI suffixing."""
+    output row per node. With ``parent_col`` set, ``_parent`` carries
+    that column for URI suffixing; without it the column is omitted —
+    batch-local ordinals would collide across blocks and be
+    block-size-dependent."""
     parts = [p for p in base_path.strip("/").split("/") if p]
 
     def parse(batch: pa.Table) -> pa.Table:
         docs = batch[input_col].to_pylist()
         parents = (
-            [str(v) for v in batch[parent_col].to_pylist()]
-            if parent_col
-            else [str(i) for i in range(len(docs))]
+            [str(v) for v in batch[parent_col].to_pylist()] if parent_col else [None] * len(docs)
         )
         rows: list[dict] = []
         for doc_str, parent in zip(docs, parents):
@@ -97,7 +100,7 @@ def parse_json_column(ds, input_col: str, base_path: str = "", parent_col: str |
             except json.JSONDecodeError:
                 continue
             rows.extend(_rows_from_nodes(_navigate(doc, parts), parent))
-        return _table_from_rows(rows)
+        return _table_from_rows(rows, with_parent=parent_col is not None)
 
     return ds.map_batches(parse, batch_format="pyarrow")
 
@@ -113,9 +116,7 @@ def parse_xml_column(ds, input_col: str, base_path: str = "", parent_col: str | 
 
         docs = batch[input_col].to_pylist()
         parents = (
-            [str(v) for v in batch[parent_col].to_pylist()]
-            if parent_col
-            else [str(i) for i in range(len(docs))]
+            [str(v) for v in batch[parent_col].to_pylist()] if parent_col else [None] * len(docs)
         )
         rows: list[dict] = []
         for doc_str, parent in zip(docs, parents):
@@ -129,7 +130,7 @@ def parse_xml_column(ds, input_col: str, base_path: str = "", parent_col: str | 
             for tag in parts[1:] if parts and root.tag == parts[0] else parts:
                 nodes = [c for n in nodes for c in n if c.tag == tag]
             for node in nodes:
-                row: dict = {"_parent": parent}
+                row: dict = {} if parent is None else {"_parent": parent}
                 for k, v in node.attrib.items():
                     row[f"@{k}"] = v
                 for child in node:
@@ -138,6 +139,6 @@ def parse_xml_column(ds, input_col: str, base_path: str = "", parent_col: str | 
                 if not list(node) and (node.text or "").strip():
                     row["#text"] = node.text.strip()
                 rows.append(row)
-        return _table_from_rows(rows)
+        return _table_from_rows(rows, with_parent=parent_col is not None)
 
     return ds.map_batches(parse, batch_format="pyarrow")

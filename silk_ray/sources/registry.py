@@ -141,6 +141,22 @@ def read_dataset(paths, format: str = "parquet", columns=None, limit: int | None
     return ds
 
 
+def write_links(links, path: str, format: str = "parquet"):
+    """LinkSink dispatch shared by the CLI, the workflow executor and
+    the LSL runner: parquet/csv/json entity formats, N-Triples
+    (owl:sameAs statements) or Alignment-API XML. Returns the writer's
+    part summaries when the sink produces them (rows per part)."""
+    if format == "ntriples":
+        from silk_ray.sources.rdf import write_links_ntriples
+
+        return write_links_ntriples(links, path)
+    if format == "alignment":
+        from silk_ray.sources.rdf import write_links_alignment
+
+        return write_links_alignment(links, path)
+    return write_dataset(links, path, format)
+
+
 def write_dataset(ds, path: str, format: str = "parquet", **kw):
     """EntitySink analogue (EntitySink.scala:12-50): directory of part
     files — resumable layout, never one giant file."""

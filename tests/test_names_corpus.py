@@ -122,12 +122,11 @@ def test_lsl_config_runs_names_corpus(ray_session, tmp_path):
     assert il["rule"]["operator"]["threshold"] == 2.0
     assert il["rule"]["operator"]["source"] == {"path": "label"}
 
-    links = run_lsl_config(
-        f"{NAMES}/config.xml", output_path=str(tmp_path / "links.nt")
-    ).to_pandas()
-    assert len(links) == 446
+    results = run_lsl_config(f"{NAMES}/config.xml", output_path=str(tmp_path / "links.nt"))
+    assert results["names"]["rows"] == 446  # from the sink, no re-execution
     nt = "".join(p.read_text() for p in (tmp_path / "links.nt").glob("*.nt"))
     assert "<http://www.w3.org/2002/07/owl#sameAs>" in nt
+    assert nt.count(" .") == 446
 
 
 CITIES = "/root/reference/silk-core/src/test/resources/cities"
@@ -147,3 +146,39 @@ def test_lsl_parses_cities_config():
     assert metrics == ["levenshteinDistance", "wgs84"]
     assert op["operators"][1]["params"] == {"unit": "km"}
     rule_from_dict(cfg["interlinks"][0]["rule"])  # compiles against the kernel
+
+
+def test_lsl_path_and_filter_parsing(tmp_path):
+    """Full-URI paths resolve to local names; <Filter limit> maps to the
+    rule's per-source top-k; multiple interlinks all execute."""
+    from silk_ray.sources.lsl import _local_path, parse_lsl_config
+
+    assert _local_path("?a/<http://www.w3.org/2000/01/rdf-schema#label>") == "label"
+    assert _local_path("?a/rdfs:label[@lang='en']") == "label"
+    assert _local_path("?b/p:name") == "name"
+
+    cfg = tmp_path / "two.xml"
+    cfg.write_text("""<?xml version="1.0"?>
+<Silk>
+  <DataSources>
+    <DataSource id="s" type="csv"><Param name="url" value="a.txt"/><Param name="properties" value="label"/></DataSource>
+  </DataSources>
+  <Interlinks>
+    <Interlink id="one">
+      <SourceDataset dataSource="s" var="a"/><TargetDataset dataSource="s" var="b"/>
+      <LinkageRule><Compare metric="equality" threshold="0">
+        <Input path="?a/label"/><Input path="?b/label"/></Compare></LinkageRule>
+      <Filter limit="1" />
+    </Interlink>
+    <Interlink id="two">
+      <SourceDataset dataSource="s" var="a"/><TargetDataset dataSource="s" var="b"/>
+      <LinkageRule><Compare metric="equality" threshold="0">
+        <Input path="?a/label"/><Input path="?b/label"/></Compare></LinkageRule>
+      <Filter unambiguous="true" />
+    </Interlink>
+  </Interlinks>
+</Silk>""")
+    parsed = parse_lsl_config(str(cfg))
+    assert [i["id"] for i in parsed["interlinks"]] == ["one", "two"]
+    assert parsed["interlinks"][0]["rule"]["filter_limit"] == 1
+    assert parsed["interlinks"][1]["rule"]["filter_unambiguous"] is True
