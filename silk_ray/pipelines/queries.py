@@ -1007,6 +1007,43 @@ def knn_ivf_q(sf_dir: str):
     return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def link_names(sf_dir: str):
+    """Cross-source linkage with an exact SQL oracle: customer names vs
+    supplier names — stripPrefix transform inputs, levenshteinDistance
+    θ=2 (confidence = 1 − d/θ, kept iff ≥ 0, Matcher.scala:273-281).
+    The q-gram blocking index is complete for d ≤ θ
+    (tests/test_properties.py), so the MultiBlock link set equals the
+    oracle's full cross product exactly."""
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    rule = {
+        "operator": {
+            "metric": "levenshteinDistance",
+            "threshold": 2,
+            "source": {"transform": "stripPrefix", "params": {"prefix": "Customer#"},
+                       "inputs": [{"path": "c_name"}]},
+            "target": {"transform": "stripPrefix", "params": {"prefix": "Supplier#"},
+                       "inputs": [{"path": "s_name"}]},
+        },
+    }
+    cust = add_uri_column(_rp(sf_dir, "customer", ["c_name"]), cols=("c_name",))
+    supp = add_uri_column(_rp(sf_dir, "supplier", ["s_name"]), cols=("s_name",))
+    links = generate_links(cust, supp, rule).to_pandas()
+    links["confidence"] = links["confidence"].round(6)
+    return links.sort_values(["source", "target"]).reset_index(drop=True)
+
+
+LINK_NAMES_SQL = """
+SELECT c_name AS source, s_name AS target,
+       round(1.0 - levenshtein(replace(c_name, 'Customer#', ''),
+                               replace(s_name, 'Supplier#', '')) / 2.0, 6) AS confidence
+FROM customer, supplier
+WHERE levenshtein(replace(c_name, 'Customer#', ''),
+                  replace(s_name, 'Supplier#', '')) <= 2
+ORDER BY source, target
+"""
+
+
 def link_documents(sf_dir: str):
     """Self-linkage of documents: Silk rule over (lang equality,
     KMV-token Jaccard of text)."""
@@ -1170,6 +1207,7 @@ def build_queries():
         "transform_normalize": transform_normalize,
         "knn_cosine": knn_cosine,
         "label_stats": label_stats,
+        "link_names": link_names,
         # rows-only (no SQL oracle)
         "lang_id": lang_id,
         "dedup_minhash": dedup_minhash,
@@ -1205,4 +1243,5 @@ def build_oracle_sql():
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "link_names": LINK_NAMES_SQL,
     }
