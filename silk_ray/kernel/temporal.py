@@ -162,3 +162,13 @@ DuringMetric = _make_relation("during")
 StartsMetric = _make_relation("starts")
 IsStartedByMetric = _make_relation("isStartedBy")
 EqualsMetric = _make_relation("equals")
+
+# reference plugin-id aliases: the temporal pack prefixes the three
+# relations that clash with the spatial pack (ContainsMetric.scala:27,
+# EqualsMetric.scala:27, OverlapsMetric.scala:27 annotate
+# TContainsMetric / TEqualsMetric / TOverlapsMetric)
+from silk_ray.kernel.distances import DISTANCE_MEASURES as _DM  # noqa: E402
+
+_DM["TContainsMetric"] = ContainsMetric
+_DM["TEqualsMetric"] = EqualsMetric
+_DM["TOverlapsMetric"] = OverlapsMetric

@@ -126,10 +126,16 @@ def execute_workflow(spec: dict[str, Any]) -> dict[str, Any]:
                 source_equals_target=not n.get("target"),
                 link_limit=n.get("link_limit", 1_000_000),
             )
-        elif t in ("parse_json", "parse_xml"):
+        elif t in ("parse_json", "parse_xml", "JsonParserOperator", "XmlParserOperator"):
+            # reference plugin-id aliases: JsonParserTask.scala /
+            # XmlParserTask.scala annotate the Operator ids
             from silk_ray.sources import parsers
 
-            fn = parsers.parse_json_column if t == "parse_json" else parsers.parse_xml_column
+            fn = (
+                parsers.parse_json_column
+                if t in ("parse_json", "JsonParserOperator")
+                else parsers.parse_xml_column
+            )
             ds = fn(
                 build(n["input"]), n["input_col"],
                 n.get("base_path", ""), parent_col=n.get("parent_col"),

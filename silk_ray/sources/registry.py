@@ -129,6 +129,10 @@ DATASET_FORMATS = {
     "lines": _read_lines,
     "xml": _read_xml,
     "ntriples": _read_ntriples,
+    # reference plugin-id aliases (TextFileDataset.scala id="text",
+    # RdfFileDataset.scala id="file")
+    "text": _read_text_files,
+    "file": _read_ntriples,
 }
 
 

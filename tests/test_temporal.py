@@ -63,3 +63,15 @@ def test_temporal_blocking():
     i1 = d.index(["2020-01-01"], 30.0, True)
     i2 = d.index(["2020-01-15"], 30.0, False)
     assert i1.matches(i2)
+
+
+def test_reference_id_aliases():
+    # the reference prefixes the three spatial-clashing relations
+    # (temporal/relation/{Contains,Equals,Overlaps}Metric.scala)
+    for ref_id, rel in [
+        ("TContainsMetric", "contains"),
+        ("TEqualsMetric", "equals"),
+        ("TOverlapsMetric", "overlaps"),
+    ]:
+        m = get_distance(ref_id)
+        assert m.relation == rel
