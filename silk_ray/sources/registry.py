@@ -169,6 +169,8 @@ def write_dataset(ds, path: str, format: str = "parquet", **kw):
     if format == "csv":
         return ds.write_csv(path, **kw)
     if format == "json":
+        if "template" in kw:
+            return _write_json_template(ds, path, kw.pop("template"), **kw)
         return ds.write_json(path, **kw)
     if format == "xml":
         return _write_xml(ds, path, **kw)
@@ -177,6 +179,39 @@ def write_dataset(ds, path: str, format: str = "parquet", **kw):
 
         return write_ntriples(ds, path, **kw)
     raise ValueError(f"unknown sink format {format!r}")
+
+
+def _write_json_template(ds, path: str, template: str):
+    """JsonSink with a JsonTemplate envelope (JsonTemplate.scala:13-50):
+    ``template`` must contain the ``{{output}}`` placeholder exactly once
+    and be valid JSON when the placeholder is replaced by ``[]``; each
+    part file is ``prefix + [entity objects] + suffix`` (directory of
+    parts like every other sink)."""
+    import json as _json
+    import os
+    import uuid
+
+    placeholder = "{{output}}"
+    if template.count(placeholder) != 1:
+        raise ValueError(f"template must contain {placeholder} exactly once")
+    try:
+        _json.loads(template.replace(placeholder, "[]"))
+    except ValueError as e:
+        raise ValueError("template is no valid JSON") from e
+    prefix, suffix = template.split(placeholder)
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        body = prefix + _json.dumps(rows, default=str) + suffix
+        part = os.path.join(path, f"part-{uuid.uuid4().hex}.json")
+        tmp = part + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(body)
+        os.replace(tmp, part)
+        return pa.table({"part": pa.array([part]), "rows": pa.array([batch.num_rows], pa.int64())})
+
+    return ds.map_batches(write_part, batch_format="pyarrow").to_pandas()
 
 
 def _write_xml(ds, path: str, root_tag: str = "Entities", entity_tag: str = "Entity"):
@@ -236,6 +271,39 @@ def retrieve_by_uri(ds, uri_col: str, uris):
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def retrieve_types(ds, limit: int | None = None, type_col: str | None = None):
+    """DataSource.retrieveTypes (DataSource.scala:46-47): best-effort
+    ``(type, weight)`` pairs, most frequent first; weight = relative row
+    frequency. Triple tables count ``rdf:type`` objects; flat tables
+    count distinct values of ``type_col`` (no type column → empty, the
+    trait's documented default)."""
+    import pyarrow.compute as pc
+
+    cols = ds.columns()
+    if type_col is None and {"subject", "predicate", "object"} <= set(cols):
+        from silk_ray.sources.rdf import RDF_TYPE
+
+        def type_rows(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["predicate"], RDF_TYPE))
+            return pa.table({"type": t["object"]})
+
+        counted = ds.map_batches(type_rows, batch_format="pyarrow")
+    elif type_col is not None:
+        counted = ds.select_columns([type_col]).rename_columns({type_col: "type"})
+    else:
+        return []
+    from ray.data.aggregate import Count
+
+    out = counted.groupby("type").aggregate(Count(alias_name="n")).to_pandas()
+    if out.empty:
+        return []
+    total = out["n"].sum()
+    out = out.sort_values(["n", "type"], ascending=[False, True])
+    if limit is not None:
+        out = out.head(limit)
+    return [(t, n / total) for t, n in zip(out["type"], out["n"])]
 
 
 def retrieve_paths(ds, limit: int = 50):

@@ -278,3 +278,57 @@ def test_parse_xml_column(ray_session):
     out = out.sort_values("@id").reset_index(drop=True)
     assert list(out["Name"]) == ["Ada", "Bob"]
     assert list(out["_parent"]) == ["d1", "d1"]
+
+
+def test_retrieve_types_triples(ray_session, tmp_path):
+    import ray.data as rd
+
+    from silk_ray.sources.registry import retrieve_types
+
+    triples = rd.from_items(
+        [
+            {"subject": "a", "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "object": "T1"},
+            {"subject": "b", "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "object": "T1"},
+            {"subject": "c", "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "object": "T2"},
+            {"subject": "a", "predicate": "other", "object": "x"},
+        ]
+    )
+    out = retrieve_types(triples)
+    assert out[0] == ("T1", 2 / 3)
+    assert out[1] == ("T2", 1 / 3)
+    assert retrieve_types(triples, limit=1) == [("T1", 2 / 3)]
+
+
+def test_retrieve_types_flat(ray_session):
+    import ray.data as rd
+
+    from silk_ray.sources.registry import retrieve_types
+
+    ds = rd.from_items([{"k": 1, "cls": "x"}, {"k": 2, "cls": "x"}, {"k": 3, "cls": "y"}])
+    out = retrieve_types(ds, type_col="cls")
+    assert out == [("x", 2 / 3), ("y", 1 / 3)]
+    assert retrieve_types(ds) == []  # no type column: best-effort empty
+
+
+def test_write_json_template(ray_session, tmp_path):
+    import glob
+    import json
+
+    import ray.data as rd
+
+    from silk_ray.sources.registry import write_dataset
+
+    ds = rd.from_items([{"name": "Ada"}, {"name": "Bob"}]).repartition(1)
+    out_dir = str(tmp_path / "out")
+    parts = write_dataset(ds, out_dir, format="json", template='{"persons":{{output}}}')
+    assert parts["rows"].sum() == 2
+    docs = [json.load(open(f)) for f in glob.glob(out_dir + "/part-*.json")]
+    names = sorted(p["name"] for d in docs for p in d["persons"])
+    assert names == ["Ada", "Bob"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_dataset(ds, out_dir, format="json", template='{"persons":[]}')
+    with pytest.raises(ValueError):
+        write_dataset(ds, out_dir, format="json", template='nope {{output}}')
