@@ -489,6 +489,7 @@ def generate_links(
     batch_size: int = 4096,
     execution_method=None,
     score_partitions: int = 256,
+    push_filters: bool = False,
 ):
     """Run the blocked linking pipeline; returns a Dataset
     ``(source, target, confidence)`` with each pair exactly once.
@@ -502,6 +503,17 @@ def generate_links(
     rule = _compile_rule(rule_spec)
     spec = rule_spec if isinstance(rule_spec, dict) else None
     payload = spec if spec is not None else rule  # prefer JSON for worker cache
+
+    if push_filters and spec is not None:
+        # prune at the read: push the rule's constant-equality clauses
+        # into per-side prefilters (ComparisonToRestrictionConverter
+        # analogue; see linking/pushdown.py). Off by default like the
+        # reference (reference.conf:85).
+        from silk_ray.linking.pushdown import push_rule_filters
+
+        source_ds = push_rule_filters(source_ds, spec, source_or_target=True)
+        if target_ds is not None and not source_equals_target:
+            target_ds = push_rule_filters(target_ds, spec, source_or_target=False)
 
     hot_keys = {}
     if salt_threshold:

@@ -1,0 +1,144 @@
+"""Rule → source-restriction pushdown, mirroring
+ComparisonToRestrictionConverterTest.scala (simple and / and-or mix /
+unsatisfiable mixed clause / exponential-explosion cap) in tabular form.
+"""
+
+import pyarrow as pa
+
+from silk_ray.linking.pushdown import (
+    Literal,
+    push_rule_filters,
+    restriction_filter,
+    rule_to_restriction,
+)
+
+
+def _src_eq(path, value, metric="equality"):
+    return {
+        "metric": metric,
+        "source": {"path": path},
+        "target": {"transform": "constant", "params": {"value": value}},
+    }
+
+
+def _tgt_eq(path, value, metric="equality"):
+    return {
+        "metric": metric,
+        "source": {"transform": "constant", "params": {"value": value}},
+        "target": {"path": path},
+    }
+
+
+def _and(*ops):
+    return {"aggregator": "min", "operators": list(ops)}
+
+
+def _or(*ops):
+    return {"aggregator": "max", "operators": list(ops)}
+
+
+def _not(op):
+    return {"aggregator": "negate", "operators": [op]}
+
+
+def test_simple_and():
+    # ComparisonToRestrictionConverterTest.scala:19-32
+    rule = {"operator": _and(_src_eq("p1", "P1"), _tgt_eq("t1", "T1"))}
+    src = rule_to_restriction(rule, source_or_target=True)
+    assert src == [[Literal(True, "p1", "P1", False)]]
+    tgt = rule_to_restriction(rule, source_or_target=False)
+    assert tgt == [[Literal(False, "t1", "T1", False)]]
+
+
+def test_and_or_mix_removes_inequalities():
+    # ComparisonToRestrictionConverterTest.scala:34-67
+    # NOTE: the reference test's targetInEqual helper actually builds an
+    # EqualityMetric (ComparisonToRestrictionConverterTest.scala:129-131),
+    # so its golden output's `!= "T2"` literal is not(equality) — an
+    # inverted equality — which is exactly our flip-through-NOT.
+    rule = {
+        "operator": _and(
+            _or(_not(_src_eq("P1", "P1")), _src_eq("P3", "P3", metric="inequality")),
+            _or(_src_eq("P2", "P2")),
+            _or(_tgt_eq("T1", "T1"), _not(_tgt_eq("T2", "T2"))),
+        )
+    }
+    # default: clauses with inequalities dropped → only the P2 clause
+    src = rule_to_restriction(rule, source_or_target=True)
+    assert src == [[Literal(True, "P2", "P2", False)]]
+    # target side: its only clause contains an inequality leaf → None
+    assert rule_to_restriction(rule, source_or_target=False) is None
+    # keep inequalities: both clauses on the source side
+    src_all = rule_to_restriction(rule, source_or_target=True, remove_inequalities=False)
+    assert len(src_all) == 2
+    assert [[l.negated for l in c] for c in src_all] == [[True, True], [False]]
+    tgt_all = rule_to_restriction(rule, source_or_target=False, remove_inequalities=False)
+    # (= "T1" || != "T2") — the reference's golden FILTER
+    assert tgt_all == [[Literal(False, "T1", "T1", False), Literal(False, "T2", "T2", True)]]
+
+
+def test_mixed_side_clause_is_unsatisfiable():
+    # ComparisonToRestrictionConverterTest.scala:69-80
+    rule = {"operator": _and(_or(_src_eq("p1", "P1"), _tgt_eq("t1", "T1")))}
+    assert rule_to_restriction(rule, source_or_target=True) is None
+    assert rule_to_restriction(rule, source_or_target=False) is None
+
+
+def test_comparison_count_cap():
+    # BooleanLinkageRule.scala:157 (MAX = 24)
+    ok = {"operator": _and(*[_src_eq(f"p{i}", "v") for i in range(24)])}
+    assert rule_to_restriction(ok, source_or_target=True) is not None
+    too_many = {"operator": _and(*[_src_eq(f"p{i}", "v") for i in range(25)])}
+    assert rule_to_restriction(too_many, source_or_target=True) is None
+
+
+def test_non_boolean_fragment_returns_none():
+    rule = {"operator": {"metric": "levenshteinDistance", "threshold": 2,
+                         "source": {"path": "a"}, "target": {"path": "b"}}}
+    assert rule_to_restriction(rule, source_or_target=True) is None
+    rule2 = {"operator": {"aggregator": "average", "operators": [_src_eq("p", "v")]}}
+    assert rule_to_restriction(rule2, source_or_target=True) is None
+
+
+def test_restriction_filter_semantics():
+    restriction = [[Literal(True, "lang", "en", False)]]
+    fn = restriction_filter(restriction)
+    batch = pa.table({"lang": ["en", "de", None], "x": [1, 2, 3]})
+    out = fn(batch)
+    # null → unknown → kept; "de" pruned
+    assert out["x"].to_pylist() == [1, 3]
+    # missing column → clause unknown → nothing pruned
+    assert fn(pa.table({"y": [1, 2]})).num_rows == 2
+    # list-typed column → unknown → nothing pruned
+    assert fn(pa.table({"lang": [["en"], ["de"]]})).num_rows == 2
+
+
+def test_end_to_end_pushdown_matches_unfiltered(ray_session):
+    import ray.data as rd
+
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    rule = {
+        "operator": _and(
+            _src_eq("lang", "en"),
+            _tgt_eq("lang", "en"),
+            {
+                "metric": "levenshteinDistance",
+                "threshold": 2,
+                "source": {"path": "name"},
+                "target": {"path": "name"},
+            },
+        )
+    }
+    rows_s = [{"id": f"s{i}", "name": f"alpha{i}", "lang": "en" if i % 2 else "de"} for i in range(20)]
+    rows_t = [{"id": f"t{i}", "name": f"alpha{i}", "lang": "en"} for i in range(20)]
+    src = add_uri_column(rd.from_items(rows_s), cols=("id",))
+    tgt = add_uri_column(rd.from_items(rows_t), cols=("id",))
+    plain = generate_links(src, tgt, rule).to_pandas()
+    src2 = add_uri_column(rd.from_items(rows_s), cols=("id",))
+    tgt2 = add_uri_column(rd.from_items(rows_t), cols=("id",))
+    pushed = generate_links(src2, tgt2, rule, push_filters=True).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["source", "target"]].values.tolist()))
+    assert key(pushed) == key(plain)
+    assert len(plain) > 0
+    assert all(s.startswith("s") and int(s[1:]) % 2 for s, _ in key(pushed))
