@@ -1,30 +1,36 @@
 """Linkage-rule → source-restriction pushdown.
 
 Tabular re-expression of the reference's ComparisonToRestrictionConverter
-(silk-rules/.../rule/execution/ComparisonToRestrictionConverter.scala:52-140)
+(silk-rules/.../rule/execution/ComparisonToRestrictionConverter.scala:52-250)
 and BooleanLinkageRule (rule/BooleanLinkageRule.scala:13-157):
 
 1. the rule tree is mapped to a boolean tree — ``min`` → AND, ``max`` →
-   OR, ``negate`` → NOT, an ``equality``/``inequality`` comparison
-   between a plain path input and a ``constant`` transformer becomes a
-   literal; anything else aborts the conversion (returns ``None``);
+   OR, ``negate`` → NOT; EVERY comparison becomes a boolean leaf:
+   ``equality``/``inequality``/``numericEquality`` between a plain path
+   input and a ``constant`` transformer become restriction literals,
+   any other comparison becomes an *opaque* leaf (still CNF-convertible,
+   never pushable — mirroring convertComparison's ``None`` cases,
+   :135-147);
 2. the boolean tree is converted to CNF (NOT pushed to the leaves by De
    Morgan, OR distributed over AND), capped at
    ``MAX_COMPARISONS_FOR_CNF`` = 24 comparisons like the reference
    (BooleanLinkageRule.scala:157);
-3. every CNF clause whose literals ALL restrict the requested side
-   becomes one filter clause; other clauses are dropped — each CNF
-   clause is a necessity, so the pushed filter only removes rows that
-   can never link (ComparisonToRestrictionConverter.scala:79-96);
+3. every CNF clause whose leaves are ALL pushable literals of the
+   requested side becomes one filter clause; other clauses are dropped —
+   each CNF clause is a necessity, so the pushed filter only removes
+   rows that can never link (:79-96). A negated ``numericEquality`` is
+   not invertible (NumericEqualityRestriction.inverted = None, :244)
+   and drops its clause;
 4. clauses containing inequalities are dropped by default
    (``removeDisjunctionsWithInEqualities`` = true, reference.conf:87).
 
 Where the reference emits a SPARQL ``FILTER``, we emit a vectorized
 Arrow predicate applied with ``map_batches`` before indexing — the
-Ray-Data "prune at the read" analogue. Null / missing / list-typed
-columns make a literal *unknown* and unknown keeps the row (the filter
-must never drop a row the full rule could still link). Disabled by
-default like the reference (reference.conf:85, ``pushFilters.enabled``).
+Ray-Data "prune at the read" analogue. Null / missing / list-typed /
+unparseable columns make a literal *unknown* and unknown keeps the row
+(the filter must never drop a row the full rule could still link).
+Disabled by default like the reference (reference.conf:85,
+``pushFilters.enabled``).
 """
 
 from __future__ import annotations
@@ -50,6 +56,23 @@ class Literal:
 
 
 @dataclass(frozen=True)
+class NumericLiteral:
+    source_side: bool
+    path: str
+    value: float
+    precision: float
+    negated: bool = False  # negated is never pushable (inverted = None)
+
+
+@dataclass(frozen=True)
+class Opaque:
+    """A comparison with boolean semantics (score ≥ threshold) that no
+    source filter can express; drops any clause it appears in."""
+
+    negated: bool = False
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -70,25 +93,39 @@ def _const_value(spec: dict):
     return None
 
 
+def _comparison_leaf(spec: dict) -> object:
+    """One comparison → restriction literal or opaque leaf
+    (convertComparison, ComparisonToRestrictionConverter.scala:135-147)."""
+    metric = spec["metric"]
+    s_in, t_in = spec.get("source", {}), spec.get("target", {})
+    s_const, t_const = _const_value(s_in), _const_value(t_in)
+    if s_const is not None and "path" in t_in and len(t_in) == 1:
+        side, path, const = False, t_in["path"], s_const
+    elif t_const is not None and "path" in s_in and len(s_in) == 1:
+        side, path, const = True, s_in["path"], t_const
+    else:
+        return Opaque()
+    if metric in ("equality", "inequality"):
+        return Literal(side, path, const, metric == "inequality")
+    if metric == "numericEquality":
+        try:
+            value = float(const)
+        except ValueError:
+            return Opaque()
+        precision = float(spec.get("params", {}).get("precision", 0.0))
+        return NumericLiteral(side, path, value, precision)
+    return Opaque()
+
+
 def _to_boolean(spec: dict, counter: list) -> object:
     """Rule-spec subtree → boolean tree (BooleanLinkageRule.scala:13-60
-    semantics); raises NotConvertible outside the supported fragment."""
+    semantics); raises NotConvertible outside the boolean fragment or
+    over the comparison cap."""
     if "metric" in spec:
         counter[0] += 1
         if counter[0] > MAX_COMPARISONS_FOR_CNF:
             raise NotConvertible("too many comparisons for CNF conversion")
-        metric = spec["metric"]
-        if metric not in ("equality", "inequality"):
-            raise NotConvertible(f"metric {metric!r} is not a boolean restriction")
-        s_in, t_in = spec.get("source", {}), spec.get("target", {})
-        s_const, t_const = _const_value(s_in), _const_value(t_in)
-        if s_const is not None and "path" in t_in and len(t_in) == 1:
-            lit = Literal(False, t_in["path"], s_const, metric == "inequality")
-        elif t_const is not None and "path" in s_in and len(s_in) == 1:
-            lit = Literal(True, s_in["path"], t_const, metric == "inequality")
-        else:
-            raise NotConvertible("comparison is not plain-path vs constant")
-        return lit
+        return _comparison_leaf(spec)
     agg = spec.get("aggregator")
     ops = spec.get("operators", [])
     if agg == "min":
@@ -102,9 +139,17 @@ def _to_boolean(spec: dict, counter: list) -> object:
     raise NotConvertible(f"aggregator {agg!r} has no boolean semantics")
 
 
+def _flip(leaf: object) -> object:
+    if isinstance(leaf, Literal):
+        return Literal(leaf.source_side, leaf.path, leaf.value, not leaf.negated)
+    if isinstance(leaf, NumericLiteral):
+        return NumericLiteral(leaf.source_side, leaf.path, leaf.value, leaf.precision, not leaf.negated)
+    return Opaque(not leaf.negated)
+
+
 def _push_not(node: object, flip: bool = False) -> object:
-    if isinstance(node, Literal):
-        return Literal(node.source_side, node.path, node.value, node.negated ^ flip) if flip else node
+    if isinstance(node, (Literal, NumericLiteral, Opaque)):
+        return _flip(node) if flip else node
     if isinstance(node, Not):
         return _push_not(node.child, not flip)
     cls = And if isinstance(node, And) else Or
@@ -113,9 +158,9 @@ def _push_not(node: object, flip: bool = False) -> object:
     return cls(tuple(_push_not(c, flip) for c in node.children))
 
 
-def _to_cnf(node: object) -> list[list[Literal]]:
-    """NNF tree → list of OR-clauses (each a list of literals)."""
-    if isinstance(node, Literal):
+def _to_cnf(node: object) -> list[list]:
+    """NNF tree → list of OR-clauses (each a list of leaves)."""
+    if isinstance(node, (Literal, NumericLiteral, Opaque)):
         return [[node]]
     if isinstance(node, And):
         out = []
@@ -124,24 +169,36 @@ def _to_cnf(node: object) -> list[list[Literal]]:
         return out
     # Or: distribute over the children's clause sets
     clause_sets = [_to_cnf(c) for c in node.children]
-    acc: list[list[Literal]] = [[]]
+    acc: list[list] = [[]]
     for cs in clause_sets:
         nxt = []
         for base in acc:
             for clause in cs:
-                merged = base + clause
                 if len(nxt) > 4096:
                     raise NotConvertible("CNF distribution exploded")
-                nxt.append(merged)
+                nxt.append(base + clause)
         acc = nxt
     return acc
+
+
+def _clause_pushable(clause: list, source_or_target: bool, remove_inequalities: bool) -> bool:
+    for leaf in clause:
+        if isinstance(leaf, Opaque):
+            return False
+        if leaf.source_side != source_or_target:
+            return False  # mixes sides → satisfiable by neither filter alone
+        if isinstance(leaf, NumericLiteral) and leaf.negated:
+            return False  # NumericEqualityRestriction.inverted = None
+        if remove_inequalities and leaf.negated:
+            return False
+    return True
 
 
 def rule_to_restriction(
     rule_spec: dict,
     source_or_target: bool,
     remove_inequalities: bool = True,
-) -> list[list[Literal]] | None:
+) -> list[list] | None:
     """Restriction implied by the rule for one side as CNF clauses, or
     ``None`` when nothing can be pushed (the reference returns no
     restriction in exactly these cases)."""
@@ -150,20 +207,25 @@ def rule_to_restriction(
         cnf = _to_cnf(_push_not(_to_boolean(spec, [0])))
     except NotConvertible:
         return None
-    kept = []
-    for clause in cnf:
-        if any(lit.source_side != source_or_target for lit in clause):
-            continue  # mixes sides → satisfiable by neither filter alone
-        if remove_inequalities and any(lit.negated for lit in clause):
-            continue
-        kept.append(clause)
+    kept = [c for c in cnf if _clause_pushable(c, source_or_target, remove_inequalities)]
     return kept or None
 
 
-def restriction_filter(restriction: list[list[Literal]]):
+def _numeric_mask(col: pa.ChunkedArray, lit: NumericLiteral):
+    try:
+        vals = pc.cast(col, pa.float64())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None  # unparseable column → unknown
+    if lit.precision == 0.0:
+        return pc.equal(vals, lit.value)
+    return pc.less_equal(pc.abs(pc.subtract(vals, lit.value)), lit.precision)
+
+
+def restriction_filter(restriction: list[list]):
     """Vectorized batch predicate for a restriction: AND of clauses, OR
-    within a clause; unknown literals (missing / list-typed column,
-    null value) count as satisfied so no linkable row is dropped."""
+    within a clause; unknown literals (missing / list-typed /
+    unparseable column, null value) count as satisfied so no linkable
+    row is dropped."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -179,8 +241,14 @@ def restriction_filter(restriction: list[list[Literal]]):
                 if pa.types.is_nested(col.type):
                     unknown = True
                     continue
-                col = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
-                m = pc.equal(col, lit.value)
+                if isinstance(lit, NumericLiteral):
+                    m = _numeric_mask(col, lit)
+                    if m is None:
+                        unknown = True
+                        continue
+                else:
+                    scol = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+                    m = pc.equal(scol, lit.value)
                 if lit.negated:
                     m = pc.invert(m)
                 m = pc.fill_null(m, True)  # null value → unknown → keep

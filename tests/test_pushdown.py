@@ -100,6 +100,49 @@ def test_non_boolean_fragment_returns_none():
     assert rule_to_restriction(rule2, source_or_target=True) is None
 
 
+def test_opaque_comparison_drops_only_its_clause():
+    # the common real rule: equality AND a fuzzy measure — the equality
+    # clause still pushes (reference: convertComparison returns None per
+    # leaf, only that disjunction is skipped)
+    rule = {
+        "operator": _and(
+            _src_eq("lang", "en"),
+            {"metric": "levenshteinDistance", "threshold": 2,
+             "source": {"path": "a"}, "target": {"path": "b"}},
+        )
+    }
+    assert rule_to_restriction(rule, source_or_target=True) == [[Literal(True, "lang", "en", False)]]
+    # but an OR with an opaque leaf cannot push its clause
+    rule2 = {"operator": _or(_src_eq("lang", "en"),
+                             {"metric": "levenshteinDistance", "threshold": 2,
+                              "source": {"path": "a"}, "target": {"path": "b"}})}
+    assert rule_to_restriction(rule2, source_or_target=True) is None
+
+
+def test_numeric_equality_literal():
+    from silk_ray.linking.pushdown import NumericLiteral
+
+    rule = {"operator": {"metric": "numericEquality", "params": {"precision": 0.5},
+                         "source": {"path": "size"},
+                         "target": {"transform": "constant", "params": {"value": "10"}}}}
+    r = rule_to_restriction(rule, source_or_target=True)
+    assert r == [[NumericLiteral(True, "size", 10.0, 0.5)]]
+    fn = restriction_filter(r)
+    batch = pa.table({"size": ["10.2", "11.0", None, "junk"], "x": [1, 2, 3, 4]})
+    # junk makes the whole column unparseable → clause unknown → no pruning
+    assert fn(batch)["x"].to_pylist() == [1, 2, 3, 4]
+    clean = pa.table({"size": ["10.2", "11.0", None], "x": [1, 2, 3]})
+    assert fn(clean)["x"].to_pylist() == [1, 3]  # 11.0 outside ±0.5; null kept
+    # negated numericEquality is not invertible → clause dropped
+    neg = {"operator": _not(rule["operator"])}
+    assert rule_to_restriction(neg, source_or_target=True) is None
+    # unparseable constant → opaque
+    bad = {"operator": {"metric": "numericEquality",
+                        "source": {"path": "size"},
+                        "target": {"transform": "constant", "params": {"value": "ten"}}}}
+    assert rule_to_restriction(bad, source_or_target=True) is None
+
+
 def test_restriction_filter_semantics():
     restriction = [[Literal(True, "lang", "en", False)]]
     fn = restriction_filter(restriction)
