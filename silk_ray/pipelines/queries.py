@@ -1028,7 +1028,9 @@ def link_names(sf_dir: str):
     }
     cust = add_uri_column(_rp(sf_dir, "customer", ["c_name"]), cols=("c_name",))
     supp = add_uri_column(_rp(sf_dir, "supplier", ["s_name"]), cols=("s_name",))
-    links = generate_links(cust, supp, rule).to_pandas()
+    # sequential ids share most q-grams → mega-blocks; salting splits
+    # them (output unchanged — verified equal links with/without)
+    links = generate_links(cust, supp, rule, salt_threshold=500, n_salt=32).to_pandas()
     links["confidence"] = links["confidence"].round(6)
     return links.sort_values(["source", "target"]).reset_index(drop=True)
 

@@ -269,3 +269,30 @@ def test_cities_shape_rule_multiblock_equals_full(ray_session):
     assert mb == full
     # far-away same-name pairs were killed by the min aggregate
     assert not any(s[1:] == t[1:] and int(s[1:]) % 3 == 1 for s, t, _ in full)
+
+
+def test_salted_emit_dedups_colliding_keys():
+    """A salted key image _mix64(key*31+s+1) can collide with one of the
+    row's own raw index keys; the row must still emit each block value
+    once or the scorer sees it twice and duplicates every pair in that
+    block (regression: link_names +59 rows at sf0.01 with salting).
+    This entity's raw q-gram key set is {0, _mix64(0*31+salt(uri)+1)} —
+    a real observed collision with hot key 0."""
+    import pyarrow as pa
+
+    from silk_ray.linking.pipeline import IndexStage
+
+    rule = {
+        "operator": {
+            "metric": "levenshteinDistance",
+            "threshold": 2,
+            "source": {"transform": "stripPrefix", "params": {"prefix": "Customer#"},
+                       "inputs": [{"path": "c_name"}]},
+            "target": {"transform": "stripPrefix", "params": {"prefix": "Supplier#"},
+                       "inputs": [{"path": "s_name"}]},
+        },
+    }
+    stage = IndexStage(rule_spec=rule, side=1, limit=0.0, hot_keys={0: True}, n_salt=32)
+    out = stage(pa.table({"c_name": ["Customer#000001005"], "uri": ["Customer#000001005"]}))
+    keys = out["key"].to_pylist()
+    assert len(keys) == len(set(keys)), f"duplicate emitted block keys: {keys}"
