@@ -35,7 +35,21 @@ import numpy as np
 import pyarrow as pa
 
 from silk_ray.kernel.index import _mix64, stable_str_hash
-from silk_ray.kernel.rule import LinkageRule, rule_from_dict
+from silk_ray.kernel.rule import Comparison, LinkageRule, rule_from_dict
+
+_DUCK = None
+
+
+def _duck():
+    """Per-process DuckDB connection for vectorized scoring kernels
+    (threads=1: each Ray task owns one CPU)."""
+    global _DUCK
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect()
+        _DUCK.execute("SET threads TO 1")
+    return _DUCK
 
 _RULE_CACHE: dict[str, LinkageRule] = {}
 _STAGE_CACHE: dict[str, Any] = {}
@@ -238,9 +252,106 @@ class PairScorer:
         self.source_equals_target = source_equals_target
         self.dirty_col = dirty_col
 
+    _EMPTY = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("target", pa.string()),
+            pa.field("confidence", pa.float64()),
+        ]
+    )
+
+    def _score_levenshtein_vectorized(self, part: pa.Table, op) -> pa.Table:
+        """Fast path for a single-``levenshteinDistance``-comparison rule
+        (the reference's own benchmark shape, names corpus): the whole
+        partition's block cross-products run as ONE DuckDB join with a
+        native levenshtein kernel (~20x the per-pair Python loop;
+        identical output — min over the value cross-product, 1-d/θ
+        confidence, min-common-key dedup and triangular/dirty filters
+        applied over the surviving candidates)."""
+        import duckdb
+        import numpy as np
+        import pyarrow.compute as pc
+
+        theta = op.threshold
+        d_max = theta * (1.0 - self.limit) + 1e-9
+        sides = part["side"].to_numpy(zero_copy_only=False)
+        rid = pa.array(np.arange(part.num_rows, dtype=np.int64))
+        vals = part["vals_0"].combine_chunks() if part.num_rows else part["vals_0"]
+        parent = pc.list_parent_indices(vals)
+        flat = pa.table(
+            {
+                "rid": pc.take(rid, parent),
+                "key": pc.take(part["key"].combine_chunks(), parent),
+                "side": pa.array(np.asarray(sides)[parent.to_numpy(zero_copy_only=False)]),
+                "v": pc.list_flatten(vals),
+            }
+        )
+        src = flat.filter(pc.equal(flat["side"], 1)).drop_columns(["side"])
+        tgt = flat.filter(pc.equal(flat["side"], 0)).drop_columns(["side"])
+        if not src.num_rows or not tgt.num_rows:
+            return self._EMPTY.empty_table()
+        con = _duck()
+        con.register("_sr_src", src)
+        con.register("_sr_tgt", tgt)
+        cand = con.execute(
+            """
+            SELECT s.key AS k, s.rid AS i, t.rid AS j,
+                   min(levenshtein(s.v, t.v)) AS d
+            FROM _sr_src s JOIN _sr_tgt t ON s.key = t.key
+            WHERE s.v IS NOT NULL AND t.v IS NOT NULL
+            GROUP BY 1, 2, 3
+            HAVING min(levenshtein(s.v, t.v)) <= ?
+            """,
+            [d_max],
+        ).arrow()
+        con.unregister("_sr_src")
+        con.unregister("_sr_tgt")
+        uris = part["uri"].to_pylist()
+        keysets = part["keys"].to_pylist()
+        dirty = part[self.dirty_col].to_numpy(zero_copy_only=False) if self.dirty_col else None
+        set_cache: dict[int, frozenset] = {}
+
+        def kset(i: int) -> frozenset:
+            s = set_cache.get(i)
+            if s is None:
+                s = frozenset(keysets[i])
+                set_cache[i] = s
+            return s
+
+        out_s, out_t, out_c = [], [], []
+        for k, i, j, d in zip(
+            cand["k"].to_pylist(), cand["i"].to_pylist(), cand["j"].to_pylist(), cand["d"].to_pylist()
+        ):
+            s_uri, t_uri = uris[i], uris[j]
+            if self.source_equals_target and s_uri >= t_uri:
+                continue
+            if dirty is not None and not (dirty[i] or dirty[j]):
+                continue
+            common = kset(i) & kset(j)
+            if min(common) != k:
+                continue  # scored in a smaller shared block
+            out_s.append(s_uri)
+            out_t.append(t_uri)
+            out_c.append(1.0 - d / theta)
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "target": pa.array(out_t, pa.string()),
+                "confidence": pa.array(out_c, pa.float64()),
+            }
+        )
+
     def __call__(self, part: pa.Table) -> pa.Table:
         rule = _compile_rule(self.rule_spec)
         n_leaves = len(rule.leaf_comparisons())
+        op = rule.operator
+        if (
+            part.num_rows
+            and isinstance(op, Comparison)
+            and getattr(type(op.metric), "id", None) == "levenshteinDistance"
+            and op.threshold > 0
+        ):
+            return self._score_levenshtein_vectorized(part, op)
         if part.num_rows:
             order = pa.compute.sort_indices(part["key"])
             part = part.take(order)
