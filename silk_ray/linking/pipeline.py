@@ -267,9 +267,10 @@ class PairScorer:
         native levenshtein kernel (~20x the per-pair Python loop;
         identical output — min over the value cross-product, 1-d/θ
         confidence, min-common-key dedup and triangular/dirty filters
-        applied over the surviving candidates)."""
-        import duckdb
-        import numpy as np
+        applied over the surviving candidates). Returns ``None`` when
+        any value is non-ASCII (the native kernel is byte-level, the
+        kernel library character-level) — caller falls back to the
+        generic per-pair path."""
         import pyarrow.compute as pc
 
         theta = op.threshold
@@ -278,14 +279,34 @@ class PairScorer:
         rid = pa.array(np.arange(part.num_rows, dtype=np.int64))
         vals = part["vals_0"].combine_chunks() if part.num_rows else part["vals_0"]
         parent = pc.list_parent_indices(vals)
-        flat = pa.table(
-            {
-                "rid": pc.take(rid, parent),
-                "key": pc.take(part["key"].combine_chunks(), parent),
-                "side": pa.array(np.asarray(sides)[parent.to_numpy(zero_copy_only=False)]),
-                "v": pc.list_flatten(vals),
-            }
-        )
+        flat_v = pc.list_flatten(vals)
+        # the native kernel computes BYTE-level edit distance; the
+        # kernel library is character-level. Identical only for pure
+        # ASCII — any multi-byte value sends the whole part to the
+        # generic per-pair path.
+        non_null = pc.drop_null(flat_v)
+        if len(non_null) and not pc.all(
+            pc.equal(pc.binary_length(pc.cast(non_null, pa.binary())), pc.utf8_length(non_null))
+        ).as_py():
+            return None
+        cols = {
+            "rid": pc.take(rid, parent),
+            "key": pc.take(part["key"].combine_chunks(), parent),
+            "side": pa.array(np.asarray(sides)[parent.to_numpy(zero_copy_only=False)]),
+            "v": flat_v,
+        }
+        dirty_filter = ""
+        if self.dirty_col:
+            dcol = pa.array(
+                part[self.dirty_col].to_numpy(zero_copy_only=False)[
+                    parent.to_numpy(zero_copy_only=False)
+                ]
+            )
+            cols["dirty"] = dcol
+            # clean∩clean pairs keep their stored links — skip them
+            # BEFORE the native scoring, like the generic path does
+            dirty_filter = " AND (s.dirty OR t.dirty)"
+        flat = pa.table(cols)
         src = flat.filter(pc.equal(flat["side"], 1)).drop_columns(["side"])
         tgt = flat.filter(pc.equal(flat["side"], 0)).drop_columns(["side"])
         if not src.num_rows or not tgt.num_rows:
@@ -294,11 +315,11 @@ class PairScorer:
         con.register("_sr_src", src)
         con.register("_sr_tgt", tgt)
         cand = con.execute(
-            """
+            f"""
             SELECT s.key AS k, s.rid AS i, t.rid AS j,
                    min(levenshtein(s.v, t.v)) AS d
             FROM _sr_src s JOIN _sr_tgt t ON s.key = t.key
-            WHERE s.v IS NOT NULL AND t.v IS NOT NULL
+            WHERE s.v IS NOT NULL AND t.v IS NOT NULL{dirty_filter}
             GROUP BY 1, 2, 3
             HAVING min(levenshtein(s.v, t.v)) <= ?
             """,
@@ -351,7 +372,9 @@ class PairScorer:
             and getattr(type(op.metric), "id", None) == "levenshteinDistance"
             and op.threshold > 0
         ):
-            return self._score_levenshtein_vectorized(part, op)
+            fast = self._score_levenshtein_vectorized(part, op)
+            if fast is not None:  # None = non-ASCII values, byte-level kernel unsafe
+                return fast
         if part.num_rows:
             order = pa.compute.sort_indices(part["key"])
             part = part.take(order)
@@ -636,11 +659,15 @@ def generate_links(
         # prune at the read: push the rule's constant-equality clauses
         # into per-side prefilters (ComparisonToRestrictionConverter
         # analogue; see linking/pushdown.py). Off by default like the
-        # reference (reference.conf:85).
-        from silk_ray.linking.pushdown import push_rule_filters
+        # reference (reference.conf:85). Self-link: the one dataset
+        # serves both roles, so rows are pruned only when BOTH side
+        # restrictions reject them.
+        from silk_ray.linking.pushdown import push_rule_filters, push_rule_filters_self
 
-        source_ds = push_rule_filters(source_ds, spec, source_or_target=True)
-        if target_ds is not None and not source_equals_target:
+        if target_ds is None or source_equals_target:
+            source_ds = push_rule_filters_self(source_ds, spec)
+        else:
+            source_ds = push_rule_filters(source_ds, spec, source_or_target=True)
             target_ds = push_rule_filters(target_ds, spec, source_or_target=False)
 
     hot_keys = {}

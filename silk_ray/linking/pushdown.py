@@ -95,8 +95,15 @@ def _const_value(spec: dict):
 
 def _comparison_leaf(spec: dict) -> object:
     """One comparison → restriction literal or opaque leaf
-    (convertComparison, ComparisonToRestrictionConverter.scala:135-147)."""
+    (convertComparison, ComparisonToRestrictionConverter.scala:135-147).
+
+    Only threshold-0 comparisons convert: with θ ≥ 1 this engine's
+    scorer links UNEQUAL values (score 1−d/θ ≥ 0 at d=1,
+    kernel/rule.py Comparison.apply), so a hard filter would drop
+    linkable rows."""
     metric = spec["metric"]
+    if float(spec.get("threshold", 0.0)) != 0.0:
+        return Opaque()
     s_in, t_in = spec.get("source", {}), spec.get("target", {})
     s_const, t_const = _const_value(s_in), _const_value(t_in)
     if s_const is not None and "path" in t_in and len(t_in) == 1:
@@ -221,42 +228,59 @@ def _numeric_mask(col: pa.ChunkedArray, lit: NumericLiteral):
     return pc.less_equal(pc.abs(pc.subtract(vals, lit.value)), lit.precision)
 
 
+def restriction_mask(batch: pa.Table, restriction: list[list]):
+    """Boolean keep-mask for a restriction over one batch: AND of
+    clauses, OR within a clause; unknown literals (missing / list-typed
+    / non-string-typed / unparseable column, null value) count as
+    satisfied so no linkable row is dropped."""
+    n = batch.num_rows
+    keep = pa.array([True] * n)
+    for clause in restriction:
+        clause_mask = None
+        unknown = False
+        for lit in clause:
+            if lit.path not in batch.column_names:
+                unknown = True
+                continue
+            col = batch[lit.path]
+            if isinstance(lit, NumericLiteral):
+                # numeric semantics are cast-stable only for numeric and
+                # string columns; anything else (bool, date, …) formats
+                # differently than the evaluator's str() → unknown
+                if not (
+                    pa.types.is_string(col.type)
+                    or pa.types.is_integer(col.type)
+                    or pa.types.is_floating(col.type)
+                ):
+                    unknown = True
+                    continue
+                m = _numeric_mask(col, lit)
+                if m is None:
+                    unknown = True
+                    continue
+            else:
+                # Arrow's cast-to-string formatting differs from the
+                # evaluator's Python str() (True→'true', 10.0→'10'),
+                # so string equality only applies to string columns
+                if not pa.types.is_string(col.type):
+                    unknown = True
+                    continue
+                m = pc.equal(col, lit.value)
+            if lit.negated:
+                m = pc.invert(m)
+            m = pc.fill_null(m, True)  # null value → unknown → keep
+            clause_mask = m if clause_mask is None else pc.or_(clause_mask, m)
+        if unknown or clause_mask is None:
+            continue  # clause can't be evaluated here → no pruning
+        keep = pc.and_(keep, clause_mask)
+    return keep
+
+
 def restriction_filter(restriction: list[list]):
-    """Vectorized batch predicate for a restriction: AND of clauses, OR
-    within a clause; unknown literals (missing / list-typed /
-    unparseable column, null value) count as satisfied so no linkable
-    row is dropped."""
+    """Vectorized batch predicate applying :func:`restriction_mask`."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        keep = pa.array([True] * n)
-        for clause in restriction:
-            clause_mask = None
-            unknown = False
-            for lit in clause:
-                if lit.path not in batch.column_names:
-                    unknown = True
-                    continue
-                col = batch[lit.path]
-                if pa.types.is_nested(col.type):
-                    unknown = True
-                    continue
-                if isinstance(lit, NumericLiteral):
-                    m = _numeric_mask(col, lit)
-                    if m is None:
-                        unknown = True
-                        continue
-                else:
-                    scol = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
-                    m = pc.equal(scol, lit.value)
-                if lit.negated:
-                    m = pc.invert(m)
-                m = pc.fill_null(m, True)  # null value → unknown → keep
-                clause_mask = m if clause_mask is None else pc.or_(clause_mask, m)
-            if unknown or clause_mask is None:
-                continue  # clause can't be evaluated here → no pruning
-            keep = pc.and_(keep, clause_mask)
-        return batch.filter(keep)
+        return batch.filter(restriction_mask(batch, restriction))
 
     return fn
 
@@ -268,3 +292,20 @@ def push_rule_filters(ds, rule_spec: dict, source_or_target: bool, remove_inequa
     if restriction is None:
         return ds
     return ds.map_batches(restriction_filter(restriction), batch_format="pyarrow")
+
+
+def push_rule_filters_self(ds, rule_spec: dict, remove_inequalities: bool = True):
+    """Self-link variant: the shared dataset serves BOTH roles, so a row
+    may be pruned only when it fails the source-side restriction AND the
+    target-side restriction (it can then appear in no link at all).
+    Requires both sides to convert; otherwise nothing is pruned."""
+    rs = rule_to_restriction(rule_spec, True, remove_inequalities)
+    rt = rule_to_restriction(rule_spec, False, remove_inequalities)
+    if rs is None or rt is None:
+        return ds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(restriction_mask(batch, rs), restriction_mask(batch, rt))
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -170,7 +170,12 @@ def write_dataset(ds, path: str, format: str = "parquet", **kw):
         return ds.write_csv(path, **kw)
     if format == "json":
         if "template" in kw:
-            return _write_json_template(ds, path, kw.pop("template"), **kw)
+            template = kw.pop("template")
+            if kw:
+                raise ValueError(
+                    f"json template sink accepts no extra options, got {sorted(kw)}"
+                )
+            return _write_json_template(ds, path, template)
         return ds.write_json(path, **kw)
     if format == "xml":
         return _write_xml(ds, path, **kw)

@@ -296,3 +296,31 @@ def test_salted_emit_dedups_colliding_keys():
     out = stage(pa.table({"c_name": ["Customer#000001005"], "uri": ["Customer#000001005"]}))
     keys = out["key"].to_pylist()
     assert len(keys) == len(set(keys)), f"duplicate emitted block keys: {keys}"
+
+
+def test_levenshtein_fast_path_non_ascii_fallback():
+    """DuckDB levenshtein is byte-level; 'café' vs 'cafe' is char d=1
+    but byte d=2. The fast path must detect non-ASCII and fall back to
+    the character-level generic path."""
+    import pyarrow as pa
+
+    from silk_ray.linking.pipeline import PairScorer
+
+    rule = {
+        "operator": {
+            "metric": "levenshteinDistance",
+            "threshold": 1,
+            "source": {"path": "name"},
+            "target": {"path": "name"},
+        },
+    }
+    tbl = pa.table({
+        "key": pa.array([5, 5], pa.int64()),
+        "side": pa.array([1, 0], pa.int8()),
+        "uri": pa.array(["a", "b"]),
+        "keys": pa.array([[5], [5]], pa.list_(pa.int64())),
+        "vals_0": pa.array([["café"], ["cafe"]], pa.list_(pa.string())),
+    })
+    out = PairScorer(rule, limit=0.0)(tbl)
+    assert out.num_rows == 1
+    assert out["confidence"][0].as_py() == 0.0  # char d=1, 1 - 1/1

@@ -185,3 +185,50 @@ def test_end_to_end_pushdown_matches_unfiltered(ray_session):
     assert key(pushed) == key(plain)
     assert len(plain) > 0
     assert all(s.startswith("s") and int(s[1:]) % 2 for s, _ in key(pushed))
+
+
+def test_threshold_nonzero_equality_not_pushed():
+    # with θ ≥ 1 the scorer links UNEQUAL values (1 - 1/θ ≥ 0), so a
+    # hard filter would drop linkable rows — must stay opaque
+    op = _src_eq("lang", "en")
+    op["threshold"] = 1.0
+    assert rule_to_restriction({"operator": op}, source_or_target=True) is None
+
+
+def test_non_string_columns_are_unknown():
+    # Arrow's cast formatting (True→'true', 10.0→'10') differs from the
+    # evaluator's str(); non-string columns must not be pruned
+    fn = restriction_filter([[Literal(True, "flag", "True", False)]])
+    batch = pa.table({"flag": [True, False], "x": [1, 2]})
+    assert fn(batch)["x"].to_pylist() == [1, 2]
+    fn2 = restriction_filter([[Literal(True, "num", "10.0", False)]])
+    assert fn2(pa.table({"num": [10.0, 11.0], "x": [1, 2]}))["x"].to_pylist() == [1, 2]
+    # numeric literal over bool is also unknown
+    from silk_ray.linking.pushdown import NumericLiteral
+
+    fn3 = restriction_filter([[NumericLiteral(True, "flag", 1.0, 0.0)]])
+    assert fn3(pa.table({"flag": [True, False], "x": [1, 2]}))["x"].to_pylist() == [1, 2]
+
+
+def test_self_link_pushdown_keeps_either_side(ray_session):
+    # self-link: the one dataset serves both roles; a row failing only
+    # the source restriction must survive (it can still be a target)
+    import ray.data as rd
+
+    from silk_ray.linking.pushdown import push_rule_filters_self
+
+    rule = {
+        "operator": _and(
+            _src_eq("src_lang", "en"),
+            _tgt_eq("tgt_lang", "de"),
+        )
+    }
+    ds = rd.from_items(
+        [
+            {"src_lang": "en", "tgt_lang": "fr", "x": 1},  # valid source only
+            {"src_lang": "fr", "tgt_lang": "de", "x": 2},  # valid target only
+            {"src_lang": "fr", "tgt_lang": "fr", "x": 3},  # neither → pruned
+        ]
+    )
+    out = push_rule_filters_self(ds, rule).to_pandas()
+    assert sorted(out.x) == [1, 2]
