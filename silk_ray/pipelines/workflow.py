@@ -48,19 +48,28 @@ def _consumers(nodes: list[dict]) -> dict[str, int]:
     return count
 
 
-def execute_workflow(spec: dict[str, Any]) -> dict[str, Any]:
-    """Execute the node DAG; returns {node id: Dataset | sink result}."""
+def execute_workflow(spec: dict[str, Any], bindings: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Execute the node DAG; returns {node id: Dataset | sink result}.
+
+    ``bindings`` maps node ids to already-built Datasets — the
+    VariableDataset semantics (VariableDataset.scala: a placeholder
+    dataset bound at workflow execution time); a bound id short-circuits
+    its node (a ``{"type": "variable"}`` node with no binding errors)."""
     import pyarrow.compute as pc
 
     nodes = {n["id"]: n for n in spec["nodes"]}
     n_consumers = _consumers(spec["nodes"])
-    built: dict[str, Any] = {}
+    built: dict[str, Any] = dict(bindings or {})
 
     def build(node_id: str):
         if node_id in built:
             return built[node_id]
         n = nodes[node_id]
         t = n["type"]
+        if t == "variable":
+            raise ValueError(
+                f"variable dataset node {node_id!r} was not bound at execution time"
+            )
         if t == "dataset":
             from silk_ray.sources.registry import read_dataset
 
@@ -140,6 +149,29 @@ def execute_workflow(spec: dict[str, Any]) -> dict[str, Any]:
                 build(n["input"]), n["input_col"],
                 n.get("base_path", ""), parent_col=n.get("parent_col"),
             )
+        elif t == "workflow":
+            # nested workflow (NestedWorkflowExecutionTest semantics):
+            # sub-spec inline (``nodes``) or from ``config`` (JSON file);
+            # ``inputs`` binds parent nodes into the child's variable
+            # nodes; ``output`` names the child node exposed as this
+            # node's dataset
+            import json as _json
+
+            if "nodes" in n:
+                sub_spec = {"nodes": n["nodes"]}
+            else:
+                with open(n["config"]) as f:
+                    sub_spec = _json.load(f)
+            sub_bindings = {
+                child_id: build(parent_id)
+                for child_id, parent_id in (n.get("inputs") or {}).items()
+            }
+            sub_built = execute_workflow(sub_spec, bindings=sub_bindings)
+            out_id = n.get("output")
+            if out_id is None:
+                built[node_id] = sub_built
+                return sub_built
+            ds = sub_built[out_id]
         elif t == "sink":
             from silk_ray.sources.registry import write_links
 

@@ -65,3 +65,54 @@ def test_workflow_cli(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["sinks"] == {"o": str(tmp_path / "out")}
     assert _count(tmp_path / "out") == 500
+
+
+def test_nested_workflow_with_variable_binding(ray_session, tmp_path):
+    """Nested workflow execution (NestedWorkflowExecutionTest.scala:17-33):
+    a parent workflow node runs a child workflow whose `variable` node is
+    bound to a parent dataset (VariableDataset.scala semantics)."""
+    from silk_ray.pipelines.workflow import execute_workflow
+
+    child = {
+        "nodes": [
+            {"id": "in", "type": "variable"},
+            {"id": "t", "type": "transform", "input": "in",
+             "rules": [
+                 {"target": "doc_id", "input": {"path": "doc_id"}},
+                 {"target": "upper", "input": {"transform": "upperCase",
+                                               "inputs": [{"path": "lang"}]}},
+             ]},
+        ]
+    }
+    (tmp_path / "child.json").write_text(json.dumps(child))
+    parent = {
+        "nodes": [
+            {"id": "docs", "type": "dataset",
+             "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "lang"]},
+            {"id": "sub", "type": "workflow", "config": str(tmp_path / "child.json"),
+             "inputs": {"in": "docs"}, "output": "t"},
+            {"id": "out", "type": "sink", "input": "sub", "path": str(tmp_path / "o")},
+        ]
+    }
+    built = execute_workflow(parent)
+    df = built["sub"].to_pandas() if hasattr(built["sub"], "to_pandas") else None
+    out = _count(tmp_path / "o")
+    assert out == 500
+    # inline sub-spec variant + unbound variable error
+    parent2 = {
+        "nodes": [
+            {"id": "docs", "type": "dataset",
+             "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "lang"]},
+            {"id": "sub", "type": "workflow", "nodes": child["nodes"],
+             "inputs": {"in": "docs"}, "output": "t"},
+        ]
+    }
+    built2 = execute_workflow(parent2)
+    assert built2["sub"].to_pandas()["upper"].str.isupper().all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not bound"):
+        execute_workflow(child)
