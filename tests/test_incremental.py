@@ -134,3 +134,36 @@ def test_links_replay_after_lost_linkstate_commit(engine_run, tmp_path):
     replayed = _as_set(links_table(root))
     assert replayed == with_commit
     assert replayed == _as_set(_batch_links(root))
+
+
+def test_incremental_equals_batch_single_levenshtein(tmp_path_factory, ray_session):
+    """Same incremental-vs-batch invariant under a single-levenshtein
+    rule — this shape takes the vectorized native-kernel scoring fast
+    path (PairScorer._score_levenshtein_vectorized) on BOTH the
+    incremental route (with the dirty pre-filter inside the join) and
+    the batch route."""
+    rule = {
+        "operator": {
+            "metric": "levenshteinDistance",
+            "threshold": 2,
+            "source": {"transform": "untilCharacter", "params": {"untilCharacter": "."},
+                       "inputs": [{"path": "path"}]},
+            "target": {"transform": "untilCharacter", "params": {"untilCharacter": "."},
+                       "inputs": [{"path": "path"}]},
+        },
+    }
+    from silk_ray.linking.pipeline import add_uri_column, generate_links
+
+    base = make_base_table(100, seed=71, near_dup_frac=0.25)
+    log = make_changelog(base, 400, seed=72, dup_frac=0.03)
+    root = str(tmp_path_factory.mktemp("lake_lev"))
+    cfg = EngineConfig(epoch_size=200, num_partitions=4, n_block_partitions=16, rule_spec=rule)
+    run(root, log, cfg)
+    incremental = _as_set(links_table(root))
+    snap = snapshot_dataset(root)
+    batch = _as_set(
+        generate_links(add_uri_column(snap), None, rule, source_equals_target=True,
+                       link_limit=None).to_pandas()
+    )
+    assert incremental == batch
+    assert len(incremental) > 0
