@@ -157,6 +157,18 @@ def parse_lsl_config(path: str) -> dict[str, Any]:
         if outs is not None:
             for o in outs.findall("Output"):
                 outputs.append({"type": o.get("type"), "params": _params(o)})
+        for side in ("SourceDataset", "TargetDataset"):
+            node = il.find(side)
+            restrict = node.findtext("RestrictTo") if node is not None else None
+            if restrict and restrict.strip():
+                # a SPARQL graph-pattern restriction; silently dropping it
+                # would change the link set — reject loudly (equality
+                # restrictions are available via the JSON rule DSL +
+                # linking/pushdown.py instead)
+                raise ValueError(
+                    f"interlink {il.get('id')!r}: non-empty <RestrictTo> on {side} "
+                    "is a SPARQL restriction this engine does not evaluate"
+                )
         interlinks.append(
             {
                 "id": il.get("id"),

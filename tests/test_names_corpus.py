@@ -182,3 +182,20 @@ def test_lsl_path_and_filter_parsing(tmp_path):
     assert [i["id"] for i in parsed["interlinks"]] == ["one", "two"]
     assert parsed["interlinks"][0]["rule"]["filter_limit"] == 1
     assert parsed["interlinks"][1]["rule"]["filter_unambiguous"] is True
+
+
+def test_lsl_rejects_nonempty_restrict_to(tmp_path):
+    """A non-empty <RestrictTo> is a SPARQL restriction we don't
+    evaluate — parsing must fail loudly, not silently change the link
+    set (LinkSpecificationLanguage.md RestrictTo)."""
+    import pytest
+
+    from silk_ray.sources.lsl import parse_lsl_config
+
+    xml = open(f"{NAMES}/config.xml").read().replace(
+        "<RestrictTo></RestrictTo>", "<RestrictTo>?a rdf:type foaf:Person .</RestrictTo>", 1
+    )
+    p = tmp_path / "config.xml"
+    p.write_text(xml)
+    with pytest.raises(ValueError, match="RestrictTo"):
+        parse_lsl_config(str(p))
