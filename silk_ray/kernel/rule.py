@@ -311,9 +311,29 @@ class LinkageRule:
 # ---------------------------------------------------------------------------
 
 
+def _check_keys(spec: dict, allowed: frozenset, what: str) -> None:
+    """A misspelled spec key would otherwise silently fall back to its
+    default (e.g. ``treshold`` → θ=0) — reject unknown keys loudly.
+    Keys starting with ``_`` or named ``comment`` are annotations."""
+    unknown = [
+        k for k in spec if k not in allowed and not k.startswith("_") and k != "comment"
+    ]
+    if unknown:
+        raise ValueError(f"unknown {what} spec keys {unknown}; allowed: {sorted(allowed)}")
+
+
+_INPUT_KEYS = frozenset({"path", "transform", "params", "inputs"})
+_COMPARISON_KEYS = frozenset(
+    {"metric", "params", "source", "target", "threshold", "weight", "indexing"}
+)
+_AGGREGATION_KEYS = frozenset({"aggregator", "params", "operators", "weight"})
+_RULE_KEYS = frozenset({"operator", "filter_limit", "filter_unambiguous", "index_crop"})
+
+
 def input_from_dict(spec: dict[str, Any]) -> Input:
     """``{"path": "col"}`` or
     ``{"transform": "lowerCase", "params": {...}, "inputs": [...]}``."""
+    _check_keys(spec, _INPUT_KEYS, "input")
     if "path" in spec:
         return PathInput(spec["path"])
     if "transform" in spec:
@@ -325,6 +345,7 @@ def input_from_dict(spec: dict[str, Any]) -> Input:
 
 def operator_from_dict(spec: dict[str, Any]) -> SimilarityOperator:
     if "metric" in spec:
+        _check_keys(spec, _COMPARISON_KEYS, "comparison")
         metric = get_distance(spec["metric"], **spec.get("params", {}))
         return Comparison(
             metric=metric,
@@ -335,6 +356,7 @@ def operator_from_dict(spec: dict[str, Any]) -> SimilarityOperator:
             indexing=spec.get("indexing", True),
         )
     if "aggregator" in spec:
+        _check_keys(spec, _AGGREGATION_KEYS, "aggregation")
         agg = get_aggregator(spec["aggregator"], **spec.get("params", {}))
         ops = [operator_from_dict(o) for o in spec.get("operators", [])]
         return Aggregation(aggregator=agg, operators=ops, weight=spec.get("weight", 1))
@@ -342,6 +364,7 @@ def operator_from_dict(spec: dict[str, Any]) -> SimilarityOperator:
 
 
 def rule_from_dict(spec: dict[str, Any]) -> LinkageRule:
+    _check_keys(spec, _RULE_KEYS, "rule")
     return LinkageRule(
         operator=operator_from_dict(spec["operator"]),
         filter_limit=spec.get("filter_limit"),

@@ -225,3 +225,27 @@ def test_object_mapping_nested_struct():
         {"uri": "http://example.org/person/bob", "name_uc": "BOB"},
     ]
     assert pa.types.is_struct(out["author"].type)
+
+
+def test_unknown_spec_keys_rejected():
+    """A typo'd key (treshold) silently falling back to the default
+    would change the link set — must be rejected loudly; `_`-prefixed
+    and `comment` keys are annotations."""
+    import pytest
+
+    from silk_ray.kernel.rule import rule_from_dict
+
+    with pytest.raises(ValueError, match="treshold"):
+        rule_from_dict({"operator": {"metric": "equality", "treshold": 5,
+                                     "source": {"path": "a"}, "target": {"path": "b"}}})
+    with pytest.raises(ValueError, match="opertors"):
+        rule_from_dict({"operator": {"aggregator": "min", "opertors": []}})
+    with pytest.raises(ValueError, match="filtre_limit"):
+        rule_from_dict({"operator": {"metric": "equality", "source": {"path": "a"},
+                                     "target": {"path": "b"}}, "filtre_limit": 1})
+    with pytest.raises(ValueError, match="pth"):
+        rule_from_dict({"operator": {"metric": "equality", "source": {"pth": "a"},
+                                     "target": {"path": "b"}}})
+    # annotations pass
+    rule_from_dict({"operator": {"metric": "equality", "comment": "x", "_note": 1,
+                                 "source": {"path": "a"}, "target": {"path": "b"}}})
