@@ -38,6 +38,36 @@ from __future__ import annotations
 from typing import Any
 
 
+_NODE_KEYS = {
+    "dataset": {"id", "type", "path", "format", "columns", "limit", "uri_cols"},
+    "variable": {"id", "type"},
+    "transform": {"id", "type", "input", "rules", "error_output"},
+    "link": {"id", "type", "source", "target", "rule", "link_limit"},
+    "parse_json": {"id", "type", "input", "input_col", "base_path", "parent_col"},
+    "parse_xml": {"id", "type", "input", "input_col", "base_path", "parent_col"},
+    "workflow": {"id", "type", "nodes", "config", "inputs", "output"},
+    "sink": {"id", "type", "input", "path", "format"},
+}
+_NODE_KEYS["JsonParserOperator"] = _NODE_KEYS["parse_json"]
+_NODE_KEYS["XmlParserOperator"] = _NODE_KEYS["parse_xml"]
+
+
+def _check_node_keys(n: dict) -> None:
+    """A typo'd node key (e.g. ``rule`` on a transform) would silently
+    no-op — reject loudly. `_`-prefixed and `comment` keys annotate."""
+    allowed = _NODE_KEYS.get(n.get("type"))
+    if allowed is None:
+        return  # unknown type errors in build() with its own message
+    unknown = [
+        k for k in n if k not in allowed and not k.startswith("_") and k != "comment"
+    ]
+    if unknown:
+        raise ValueError(
+            f"workflow node {n.get('id')!r} ({n['type']}): unknown keys {unknown}; "
+            f"allowed: {sorted(allowed)}"
+        )
+
+
 def _consumers(nodes: list[dict]) -> dict[str, int]:
     count: dict[str, int] = {}
     for n in nodes:
@@ -57,6 +87,8 @@ def execute_workflow(spec: dict[str, Any], bindings: dict[str, Any] | None = Non
     its node (a ``{"type": "variable"}`` node with no binding errors)."""
     import pyarrow.compute as pc
 
+    for n in spec["nodes"]:
+        _check_node_keys(n)
     nodes = {n["id"]: n for n in spec["nodes"]}
     n_consumers = _consumers(spec["nodes"])
     built: dict[str, Any] = dict(bindings or {})
