@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -247,6 +248,31 @@ def read_bp_reconciled(root: str, files: list[str], n_leaves: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _compact_bundle(root: str, bps: list[int], chains: list[list[str]], n_leaves: int, epoch: int):
+    out = []
+    for bp, files in zip(bps, chains):
+        merged = read_bp_reconciled(root, files, n_leaves).sort_by(
+            [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
+        )
+        merged = merged.add_column(0, "action", pa.array(["add"] * merged.num_rows, pa.string()))
+        rel = os.path.join("blockmap", f"bp={bp:05d}", f"compact-{epoch:06d}.parquet")
+        ckpt.atomic_write_parquet(merged, os.path.join(root, rel))
+        out.append((bp, rel))
+    return out
+
+
+_compact_bps_task = None  # ray.remote wrapper, created lazily (no ray at import)
+
+
+def _ensure_compact_task():
+    global _compact_bps_task
+    if _compact_bps_task is None:
+        import ray
+
+        _compact_bps_task = ray.remote(num_cpus=1)(_compact_bundle)
+    return _compact_bps_task
+
+
 # ---------------------------------------------------------------------------
 # stage 3+4: delta re-score and links merge
 # ---------------------------------------------------------------------------
@@ -269,6 +295,15 @@ def update_links(
     import pyarrow.compute as pc
 
     from silk_ray.linking.pipeline import PairScorer
+
+    _phases: list[tuple[str, float]] = []
+    _t_prev = [time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        # per-phase wall clock, printed when SILKRAY_LINK_PHASES is set
+        now = time.perf_counter()
+        _phases.append((name, now - _t_prev[0]))
+        _t_prev[0] = now
 
     state = read_linkstate(root)
     assert state["epoch"] == epoch - 1, (
@@ -304,6 +339,7 @@ def update_links(
 
     if summary_files:
         summary_batches = [pq.read_table(f) for f in summary_files]
+        _mark("read_summaries")
     else:
         # fallback (e.g. merge ran without link_spec): run the delta
         # index over the dirty files as its own execution
@@ -346,33 +382,24 @@ def update_links(
     affected_bps = sorted({k % n_block_partitions for k in affected_keys})
 
     # -- compaction: bound each partition's delta chain ------------------
+    # raw Ray tasks, not a Dataset: this is a driver-coordinated chain
+    # maintenance op over a known small bp list; the streaming-executor
+    # fixed cost (~0.5-1 s) was a measurable slice of every epoch
     to_compact = [bp for bp in bm_files if len(bm_files[bp]) > COMPACT_AT]
     if to_compact:
-        def compact_bp(batch: pa.Table) -> pa.Table:
-            out_bp, out_file = [], []
-            for row in batch.to_pylist():
-                bp, files = row["bp"], row["files"]
-                merged = read_bp_reconciled(root, files, n_leaves).sort_by(
-                    [("key", "ascending"), ("side", "ascending"), ("uri", "ascending")]
-                )
-                merged = merged.add_column(
-                    0, "action", pa.array(["add"] * merged.num_rows, pa.string())
-                )
-                rel = os.path.join(
-                    "blockmap", f"bp={bp:05d}", f"compact-{epoch:06d}.parquet"
-                )
-                ckpt.atomic_write_parquet(merged, os.path.join(root, rel))
-                out_bp.append(bp)
-                out_file.append(rel)
-            return pa.table({"bp": pa.array(out_bp, pa.int32()), "file": pa.array(out_file, pa.string())})
-
-        compacted = (
-            rd.from_items([{"bp": bp, "files": bm_files[bp]} for bp in to_compact])
-            .map_batches(compact_bp, batch_format="pyarrow", batch_size=4)
-            .take_all()
+        task = _ensure_compact_task()
+        compacted = ray.get(
+            [
+                task.remote(root, to_compact[i : i + 4],
+                            [bm_files[bp] for bp in to_compact[i : i + 4]],
+                            n_leaves, epoch)
+                for i in range(0, len(to_compact), 4)
+            ]
         )
-        for r in compacted:
-            bm_files[int(r["bp"])] = [r["file"]]
+        for bundle in compacted:
+            for bp, rel in bundle:
+                bm_files[int(bp)] = [rel]
+        _mark("compaction")
 
     # -- stage 3: re-score affected blocks ------------------------------
     keys_ref = ray.put(pa.array(sorted(affected_keys), pa.int64()))
@@ -600,7 +627,9 @@ def update_links(
 
     shutil.rmtree(links_dir_new, ignore_errors=True)
     os.makedirs(links_dir_new, exist_ok=True)
+    _mark("plan_build")
     merged.write_parquet(links_dir_new)
+    _mark("score_and_write")
     if os.environ.get("SILKRAY_LINK_STATS"):
         print(f"[silk_ray] update_links epoch {epoch} stats:\n{merged.stats()}")
 
@@ -641,8 +670,10 @@ def update_links(
         # can still replay against this epoch's intact file set
         "links_files_prev": prev_files,
     }
+    _mark("manifest_post")
     commit_linkstate(root, state)
     _gc_links(root, state)
+    _mark("commit_gc")
 
     metrics = {
         "epoch": epoch,
@@ -653,6 +684,8 @@ def update_links(
         "links_total": _count_links(root, state),
     }
     _append_link_metrics(root, epoch, metrics)
+    if os.environ.get("SILKRAY_LINK_PHASES"):
+        print(f"[link-phases] epoch={epoch} " + " ".join(f"{n}={d:.2f}" for n, d in _phases), flush=True)
     return metrics
 
 
