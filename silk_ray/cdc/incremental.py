@@ -273,6 +273,122 @@ def _ensure_compact_task():
     return _compact_bps_task
 
 
+def _links_empty_table() -> pa.Table:
+    return pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "target": pa.array([], pa.string()),
+            "confidence": pa.array([], pa.float64()),
+            "epoch_added": pa.array([], pa.int32()),
+        }
+    )
+
+
+def _lrs_bundle(
+    root: str,
+    bucket: dict,
+    key_arr: pa.Array,
+    uri_arr: pa.Array,
+    payload,
+    limit: float,
+    n_leaves: int,
+    n_block_partitions: int,
+    epoch: int,
+) -> pa.Table:
+    """One cost-balanced loader bucket: reconcile delta chains, keep
+    rows in affected blocks, key-sub-split hot bps, score fused (no
+    shuffle — bp co-locates every row of a key; see update_links)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from silk_ray.linking.pipeline import PairScorer
+
+    t_start = time.perf_counter()
+    parts = []
+    chain_memo: dict[tuple, pa.Table] = {}
+    for files, msplit, rsplit in zip(bucket["files"], bucket["msplits"], bucket["rsplits"]):
+        memo_key = tuple(files)
+        t = chain_memo.get(memo_key)
+        if t is None:
+            t = read_bp_reconciled(root, files, n_leaves)
+            t = t.filter(pc.is_in(t["key"], value_set=key_arr))
+            if len(chain_memo) >= 4:
+                chain_memo.clear()
+            chain_memo[memo_key] = t
+        if msplit > 1 and t.num_rows:
+            keys_np = t["key"].to_numpy(zero_copy_only=False)
+            mask = (keys_np // n_block_partitions) % msplit == rsplit
+            t = t.filter(pa.array(mask))
+        parts.append(t)
+    loaded = pa.concat_tables(parts) if parts else _exploded_schema(n_leaves).empty_table()
+    loaded = loaded.append_column("dirty", pc.is_in(loaded["uri"], value_set=uri_arr))
+    t_mid = time.perf_counter()
+    scorer = PairScorer(payload, limit=limit, source_equals_target=True, dirty_col="dirty")
+    out = scorer(loaded)
+    out = out.append_column("epoch_added", pa.array([epoch] * out.num_rows, pa.int32()))
+    if os.environ.get("SILKRAY_LINK_PROFILE"):
+        print(
+            f"[lrs] load={t_mid - t_start:.2f} score={time.perf_counter() - t_mid:.2f} "
+            f"rows={loaded.num_rows}",
+            flush=True,
+        )
+    return out
+
+
+def _drop_dirty_files(root: str, files: list[str], uri_arr: pa.Array) -> pa.Table:
+    """Stored link files minus links touching a dirty uri."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for f in files:
+        t = pq.read_table(os.path.join(root, f))
+        if "epoch_added" not in t.column_names:  # pre-tagging layout
+            t = t.append_column("epoch_added", pa.array([0] * t.num_rows, pa.int32()))
+        keep = pc.and_(
+            pc.invert(pc.is_in(t["source"], value_set=uri_arr)),
+            pc.invert(pc.is_in(t["target"], value_set=uri_arr)),
+        )
+        parts.append(t.filter(keep))
+    return pa.concat_tables(parts) if parts else _links_empty_table()
+
+
+def _write_links_bundle(root: str, dir_new: str, name: str, refs: list, epoch: int) -> dict:
+    """Concat a bundle of link tables (object refs) and write ONE
+    manifest file, returning its entry + this epoch's recomputed count
+    (sketch computed here, not re-read driver-side)."""
+    import ray
+    import pyarrow.compute as pc
+
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    merged = pa.concat_tables(tables) if tables else _links_empty_table()
+    p = os.path.join(dir_new, name)
+    ckpt.atomic_write_parquet(merged, p)
+    n_new = int(
+        pc.sum(pc.cast(pc.equal(merged["epoch_added"], epoch), pa.int64())).as_py() or 0
+    )
+    return {
+        "file": os.path.relpath(p, root),
+        "rows": merged.num_rows,
+        "sketch": _sketch_of_links(merged),
+        "n_new": n_new,
+    }
+
+
+_LINK_TASKS: dict[str, object] = {}
+
+
+def _link_task(name: str):
+    """Lazily-created ray.remote wrappers (no ray needed at import)."""
+    task = _LINK_TASKS.get(name)
+    if task is None:
+        import ray
+
+        fn = {"lrs": _lrs_bundle, "drop": _drop_dirty_files, "write": _write_links_bundle}[name]
+        task = ray.remote(num_cpus=1)(fn)
+        _LINK_TASKS[name] = task
+    return task
+
+
 # ---------------------------------------------------------------------------
 # stage 3+4: delta re-score and links merge
 # ---------------------------------------------------------------------------
@@ -487,93 +603,7 @@ def update_links(
         if b
     ]
 
-    def load_and_restrict(batch: pa.Table) -> pa.Table:
-        """Per-(bp, key-split) loader: reconcile the delta chain, keep
-        rows in affected blocks (vectorized is_in), apply the key
-        sub-split for hot bps, flag dirty rows."""
-        import numpy as np
-        import pyarrow.compute as pc
-
-        key_set = ray.get(keys_ref)
-        uri_set = ray.get(uris_ref)
-        parts = []
-        # consecutive items of a hot bp share the same chain: reconcile
-        # + affected-key filter once per chain per batch, not once per
-        # key-split (msplit × chain-size re-reads grow quadratically
-        # with corpus size otherwise)
-        chain_memo: dict[tuple, pa.Table] = {}
-        for bucket in batch.to_pylist():
-            for files, msplit, rsplit in zip(
-                bucket["files"], bucket["msplits"], bucket["rsplits"]
-            ):
-                memo_key = tuple(files)
-                t = chain_memo.get(memo_key)
-                if t is None:
-                    t = read_bp_reconciled(root, files, n_leaves)
-                    t = t.filter(pc.is_in(t["key"], value_set=key_set))
-                    if len(chain_memo) >= 4:
-                        chain_memo.clear()
-                    chain_memo[memo_key] = t
-                if msplit > 1 and t.num_rows:
-                    keys_np = t["key"].to_numpy(zero_copy_only=False)
-                    mask = (keys_np // n_block_partitions) % msplit == rsplit
-                    t = t.filter(pa.array(mask))
-                parts.append(t)
-        t = pa.concat_tables(parts) if parts else exploded_schema.empty_table()
-        dirty_flag = pc.is_in(t["uri"], value_set=uri_set)
-        return t.append_column("dirty", dirty_flag)
-
-    # pairs need >=1 dirty side (clean∩clean pairs keep their stored
-    # links); min-common-key dedup inside the scorer → each pair once
-    scorer = PairScorer(payload, limit=limit, source_equals_target=True, dirty_col="dirty")
-
-    def tag_epoch(batch: pa.Table) -> pa.Table:
-        # per-link provenance: the epoch that (re)computed it; also how
-        # links_recomputed is counted after the single fused write
-        return batch.append_column(
-            "epoch_added", pa.array([epoch] * batch.num_rows, pa.int32())
-        )
-
-    empty_links = pa.table(
-        {
-            "source": pa.array([], pa.string()),
-            "target": pa.array([], pa.string()),
-            "confidence": pa.array([], pa.float64()),
-            "epoch_added": pa.array([], pa.int32()),
-        }
-    )
-    if loader_items:
-        # NO score shuffle: loader items are per-bp and bp = key %
-        # n_block_partitions, so every row of a key is already
-        # co-located inside one loader task — the scorer (which sorts
-        # by key in-memory and applies min-common-key pair dedup
-        # globally via the per-row key set) runs fused in the same task
-        # right after the chain load. The batch-linking path still
-        # shuffles because its exploded rows aren't pre-partitioned
-        # (linking/pipeline.py _score_partitioned).
-        def load_restrict_score(batch: pa.Table) -> pa.Table:
-            if os.environ.get("SILKRAY_LINK_PROFILE"):
-                import time as _t
-
-                t0 = _t.perf_counter()
-                loaded = load_and_restrict(batch)
-                t1 = _t.perf_counter()
-                out = tag_epoch(scorer(loaded))
-                print(
-                    f"[lrs] load={t1 - t0:.2f} score={_t.perf_counter() - t1:.2f} "
-                    f"rows={loaded.num_rows}",
-                    flush=True,
-                )
-                return out
-            return tag_epoch(scorer(load_and_restrict(batch)))
-
-        new_links = rd.from_items(
-            loader_buckets, override_num_blocks=len(loader_buckets)
-        ).map_batches(load_restrict_score, batch_format="pyarrow", batch_size=1)
-    else:
-        new_links = rd.from_arrow(empty_links)
-
-    # -- stage 4: merge into the stored link set (manifest-based) -------
+    # -- stage 3 (score) + stage 4 (links merge) as TWO RAW-TASK WAVES --
     # The stored link set is a MANIFEST of size-bounded parquet files,
     # each carrying a small uri-bitset sketch. Per epoch only files
     # whose sketch intersects the dirty-uri bits are rewritten
@@ -582,20 +612,15 @@ def update_links(
     # O(delta + affected files), not O(total links) — the same
     # delta-not-state principle as the blockmap LSM and the lake
     # merge-apply.
-    def drop_dirty(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        uri_set = ray.get(uris_ref)  # pa.Array of dirty uris
-        if "epoch_added" not in batch.column_names:  # pre-tagging layout
-            batch = batch.append_column(
-                "epoch_added", pa.array([0] * batch.num_rows, pa.int32())
-            )
-        keep = pc.and_(
-            pc.invert(pc.is_in(batch["source"], value_set=uri_set)),
-            pc.invert(pc.is_in(batch["target"], value_set=uri_set)),
-        )
-        return batch.filter(keep)
-
+    #
+    # Raw Ray tasks instead of a Dataset plan: wave 1 scores each
+    # loader bucket / drop-dirties each affected-file group and returns
+    # table refs; wave 2 concats refs per output file, writes it, and
+    # computes its manifest entry (rows, sketch, n_new) IN the task —
+    # no per-epoch streaming-executor startup and no driver-side
+    # re-read of written files. Same shape as the merge stage's direct
+    # exchange (merge.py), which replaced a sort-groupby for the same
+    # reason.
     manifest = _links_manifest(state, root)
     dirty_bits = _uri_bits(sorted(dirty_uris))
     affected, carried = [], []
@@ -610,51 +635,48 @@ def update_links(
     links_dir_new = os.path.join(root, "links", f"epoch-{epoch:06d}")
     affected_rows = sum(e["rows"] for e in affected)
     n_link_blocks = max(1, min(64, affected_rows // 500_000 + 1))
+
+    lrs = _link_task("lrs")
+    refs = [
+        lrs.remote(root, bucket, keys_ref, uris_ref, payload, limit,
+                   n_leaves, n_block_partitions, epoch)
+        for bucket in loader_buckets
+    ]
     if affected:
-        old_links = rd.read_parquet(
-            [os.path.join(root, e["file"]) for e in affected],
-            override_num_blocks=n_link_blocks,
-        )
-        kept = old_links.map_batches(drop_dirty, batch_format="pyarrow")
-        merged = kept.union(new_links).repartition(n_link_blocks)
-    else:
-        merged = new_links.repartition(n_link_blocks)
-    # Idempotent replay: write_parquet APPENDS uniquely-named files, so a
-    # crash between this write and commit_linkstate would otherwise leave
-    # a partial epoch dir that a replay doubles. Clearing any previous
-    # attempt first keeps the linkstate pointer swap the sole commit point.
+        drop = _link_task("drop")
+        files = [e["file"] for e in affected]
+        per = max(1, len(files) // n_link_blocks)
+        refs += [
+            drop.remote(root, files[i : i + per], uris_ref)
+            for i in range(0, len(files), per)
+        ]
+
+    # Idempotent replay: a crash between this write and commit_linkstate
+    # would otherwise leave a partial epoch dir that a replay doubles.
+    # Clearing any previous attempt first keeps the linkstate pointer
+    # swap the sole commit point.
     import shutil
 
     shutil.rmtree(links_dir_new, ignore_errors=True)
     os.makedirs(links_dir_new, exist_ok=True)
     _mark("plan_build")
-    merged.write_parquet(links_dir_new)
+    write = _link_task("write")
+    if refs:
+        n_out = min(n_link_blocks, len(refs))
+        bundles = [refs[i::n_out] for i in range(n_out)]
+        entries = ray.get(
+            [
+                write.remote(root, links_dir_new, f"part-{i:05d}.parquet", b, epoch)
+                for i, b in enumerate(bundles)
+            ]
+        )
+    else:
+        entries = [
+            _write_links_bundle(root, links_dir_new, "part-00000.parquet", [], epoch)
+        ]
     _mark("score_and_write")
-    if os.environ.get("SILKRAY_LINK_STATS"):
-        print(f"[silk_ray] update_links epoch {epoch} stats:\n{merged.stats()}")
-
-    # manifest entries + sketches for the written delta files (delta-
-    # sized reads, driver-side), counting this epoch's recomputed links
-    n_new = 0
-    written = []
-    for f in sorted(os.listdir(links_dir_new)):
-        if not f.endswith(".parquet"):
-            continue
-        p = os.path.join(links_dir_new, f)
-        t = pq.read_table(p, columns=["source", "target", "epoch_added"])
-        n_new += int(
-            pa.compute.sum(
-                pa.compute.cast(pa.compute.equal(t["epoch_added"], epoch), pa.int64())
-            ).as_py()
-            or 0
-        )
-        written.append(
-            {
-                "file": os.path.relpath(p, root),
-                "rows": t.num_rows,
-                "sketch": _sketch_of_links(t),
-            }
-        )
+    n_new = sum(e.pop("n_new") for e in entries)
+    written = entries
 
     prev_files = [
         {"file": e["file"]} for e in _links_manifest(
