@@ -30,15 +30,20 @@ Per merge epoch E (consuming ``dirty/p=*/epoch-{E}.parquet`` deltas):
    exploded payload never enters the object store.
 2. **compaction**: partitions whose delta chain exceeds ``COMPACT_AT``
    are reconciled and rewritten to one file (amortized O(lake/K)).
-3. **delta re-score**: per affected-bp loader tasks reconcile the
-   chain (newest-file-wins per uri), keep rows in affected blocks
-   (vectorized ``is_in``), then coarse-partition ``groupby`` + pair
-   scoring with min-common-key dedup; pairs need ≥1 dirty side
+3. **delta re-score** (raw-task wave 1): per cost-balanced loader
+   bucket, reconcile the chain (newest-file-wins per uri), keep rows
+   in affected blocks (vectorized ``is_in``), key-sub-split hot bps,
+   score fused with min-common-key dedup; pairs need ≥1 dirty side
    (clean∩clean pairs keep their stored links).
-4. **links merge** (``map_batches`` filter + union over the AFFECTED
-   manifest files only): drop stored links touching a dirty uri, add
-   the recomputed ones; unaffected files carry over by reference —
-   O(delta + affected files) per epoch, not O(total links).
+4. **links merge** (wave 1 drop-dirty tasks + wave 2 bundle-write
+   tasks over the AFFECTED manifest files only): drop stored links
+   touching a dirty uri, add the recomputed ones; each write task
+   computes its own manifest entry (rows, uri sketch, n_new);
+   unaffected files carry over by reference — O(delta + affected
+   files) per epoch, not O(total links). Raw Ray tasks, not a
+   Dataset: per-epoch deltas are small and the streaming-executor
+   startup (~1.5 s/epoch) dominated the useful work (measured, see
+   BASELINE.md); the batch-linking path stays a Dataset pipeline.
 
 The maintained set is UNFILTERED (every pair with confidence ≥ limit);
 the per-source top-k LinkFilter (Filter.scala:31-57) is applied as a
