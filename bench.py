@@ -73,7 +73,7 @@ def prepare_changelog(min_events: int = 400_000) -> tuple[str, int]:
 
     corpus_x = int(os.environ.get("SILKRAY_SCALE_CORPUS", "1"))
     tag = SF_DIR.rstrip("/").split("/")[-1]
-    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-{min_events}-x{corpus_x}-v4")
+    seg_dir = os.path.join(CACHE_DIR, f"changelog-{tag}-{min_events}-x{corpus_x}-v5")
     done = os.path.join(seg_dir, "_DONE")
     if os.path.exists(done):
         with open(done) as f:

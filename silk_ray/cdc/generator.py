@@ -325,10 +325,22 @@ def write_changelog_segments(changelog: pa.Table, out_dir: str, segment_size: in
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    ordered = changelog.sort_by("offset")
+    # sort_by's take concatenates chunks; >2 GiB of string content in a
+    # column overflows int32 offsets — widen strings for the sort
+    # (parquet round-trips large_string as plain BYTE_ARRAY)
+    widened = pa.schema(
+        [
+            pa.field(f.name, pa.large_string()) if pa.types.is_string(f.type) else f
+            for f in changelog.schema
+        ]
+    )
+    ordered = changelog.cast(widened).sort_by("offset")
     paths = []
     for seg_no, start in enumerate(range(0, ordered.num_rows, segment_size)):
-        seg = ordered.slice(start, segment_size)
+        # cast each (small) segment back: parquet's ARROW:schema metadata
+        # would otherwise restore large_string on read and break mixed-
+        # type string kernels downstream
+        seg = ordered.slice(start, segment_size).cast(changelog.schema)
         p = os.path.join(out_dir, f"segment-{seg_no:06d}.parquet")
         pq.write_table(seg, p)
         paths.append(p)

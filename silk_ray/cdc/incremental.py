@@ -303,7 +303,6 @@ def _lrs_bundle(
     """One cost-balanced loader bucket: reconcile delta chains, keep
     rows in affected blocks, key-sub-split hot bps, score fused (no
     shuffle — bp co-locates every row of a key; see update_links)."""
-    import numpy as np
     import pyarrow.compute as pc
 
     from silk_ray.linking.pipeline import PairScorer
@@ -357,26 +356,44 @@ def _drop_dirty_files(root: str, files: list[str], uri_arr: pa.Array) -> pa.Tabl
     return pa.concat_tables(parts) if parts else _links_empty_table()
 
 
-def _write_links_bundle(root: str, dir_new: str, name: str, refs: list, epoch: int) -> dict:
-    """Concat a bundle of link tables (object refs) and write ONE
-    manifest file, returning its entry + this epoch's recomputed count
-    (sketch computed here, not re-read driver-side)."""
+LINK_FILE_ROWS = 500_000  # target rows per manifest file
+
+
+def _write_links_bundle(root: str, dir_new: str, name: str, refs: list, epoch: int) -> list[dict]:
+    """Concat a bundle of link tables (object refs) and write
+    size-bounded manifest files (≤ ``LINK_FILE_ROWS`` rows each — an
+    oversized input file re-splits here, keeping per-epoch rewrite cost
+    bounded per file), returning their entries + this epoch's recomputed
+    counts (sketch computed here, not re-read driver-side). An empty
+    bundle writes nothing."""
     import ray
     import pyarrow.compute as pc
 
     tables = [t for t in ray.get(list(refs)) if t.num_rows]
-    merged = pa.concat_tables(tables) if tables else _links_empty_table()
-    p = os.path.join(dir_new, name)
-    ckpt.atomic_write_parquet(merged, p)
-    n_new = int(
-        pc.sum(pc.cast(pc.equal(merged["epoch_added"], epoch), pa.int64())).as_py() or 0
-    )
-    return {
-        "file": os.path.relpath(p, root),
-        "rows": merged.num_rows,
-        "sketch": _sketch_of_links(merged),
-        "n_new": n_new,
-    }
+    if not tables:
+        return []
+    merged = pa.concat_tables(tables)
+    out = []
+    n_chunks = -(-merged.num_rows // LINK_FILE_ROWS)
+    per = -(-merged.num_rows // n_chunks)
+    for j in range(n_chunks):
+        chunk = merged.slice(j * per, per)
+        if not chunk.num_rows:
+            continue
+        p = os.path.join(dir_new, f"{name}-{j:03d}.parquet")
+        ckpt.atomic_write_parquet(chunk, p)
+        n_new = int(
+            pc.sum(pc.cast(pc.equal(chunk["epoch_added"], epoch), pa.int64())).as_py() or 0
+        )
+        out.append(
+            {
+                "file": os.path.relpath(p, root),
+                "rows": chunk.num_rows,
+                "sketch": _sketch_of_links(chunk),
+                "n_new": n_new,
+            }
+        )
+    return out
 
 
 _LINK_TASKS: dict[str, object] = {}
@@ -414,8 +431,6 @@ def update_links(
     import ray
     import ray.data as rd
     import pyarrow.compute as pc
-
-    from silk_ray.linking.pipeline import PairScorer
 
     _phases: list[tuple[str, float]] = []
     _t_prev = [time.perf_counter()]
@@ -525,7 +540,6 @@ def update_links(
     # -- stage 3: re-score affected blocks ------------------------------
     keys_ref = ray.put(pa.array(sorted(affected_keys), pa.int64()))
     uris_ref = ray.put(pa.array(sorted(dirty_uris), pa.string()))
-    exploded_schema = _exploded_schema(n_leaves)
 
     # per-bp delta row counts (driver-side, from the summary): large
     # bps are SUB-SPLIT by key so no single scoring task becomes the
@@ -595,8 +609,8 @@ def update_links(
         i = loads.index(min(loads))
         buckets[i].append(it)
         loads[i] += est[id(it)]
-    # one row per bucket (parallel lists); consumed with batch_size=1 so
-    # each task is exactly one cost-balanced bucket
+    # one dict per bucket (parallel lists); each wave-1 task takes
+    # exactly one cost-balanced bucket
     loader_buckets = [
         {
             "bps": [it["bp"] for it in b],
@@ -665,23 +679,25 @@ def update_links(
     shutil.rmtree(links_dir_new, ignore_errors=True)
     os.makedirs(links_dir_new, exist_ok=True)
     _mark("plan_build")
-    write = _link_task("write")
+    written: list[dict] = []
     if refs:
+        write = _link_task("write")
         n_out = min(n_link_blocks, len(refs))
         bundles = [refs[i::n_out] for i in range(n_out)]
-        entries = ray.get(
-            [
-                write.remote(root, links_dir_new, f"part-{i:05d}.parquet", b, epoch)
-                for i, b in enumerate(bundles)
-            ]
-        )
-    else:
-        entries = [
-            _write_links_bundle(root, links_dir_new, "part-00000.parquet", [], epoch)
+        write_refs = [
+            write.remote(root, links_dir_new, f"part-{i:05d}", b, epoch)
+            for i, b in enumerate(bundles)
         ]
+        # release the driver's pins on wave-1 outputs: each write task
+        # holds its own bundle's refs, so blocks free as writes finish
+        # instead of all living until update_links returns
+        del refs, bundles
+        for entry_list in ray.get(write_refs):
+            written.extend(entry_list)
+    # no refs at all (no loader buckets, no affected files) → nothing
+    # written this epoch; the manifest simply carries existing entries
     _mark("score_and_write")
-    n_new = sum(e.pop("n_new") for e in entries)
-    written = entries
+    n_new = sum(e.pop("n_new") for e in written)
 
     prev_files = [
         {"file": e["file"]} for e in _links_manifest(
@@ -705,6 +721,10 @@ def update_links(
     metrics = {
         "epoch": epoch,
         "links_recomputed": int(n_new),
+        # rows in rewritten files minus what survived = stored links
+        # dropped this epoch (dirty-uri links; recomputed ones that
+        # still hold come back via n_new)
+        "links_removed": int(affected_rows - (sum(e["rows"] for e in written) - n_new)),
         "dirty_uris": len(dirty_uris),
         "affected_keys": len(affected_keys),
         "affected_block_partitions": len(affected_bps),
