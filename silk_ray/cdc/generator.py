@@ -337,11 +337,12 @@ def write_changelog_segments(changelog: pa.Table, out_dir: str, segment_size: in
     ordered = changelog.cast(widened).sort_by("offset")
     paths = []
     for seg_no, start in enumerate(range(0, ordered.num_rows, segment_size)):
-        # cast each (small) segment back: parquet's ARROW:schema metadata
-        # would otherwise restore large_string on read and break mixed-
-        # type string kernels downstream
-        seg = ordered.slice(start, segment_size).cast(changelog.schema)
+        seg = ordered.slice(start, segment_size)
         p = os.path.join(out_dir, f"segment-{seg_no:06d}.parquet")
-        pq.write_table(seg, p)
+        # store_schema=False drops the ARROW:schema metadata, so the
+        # widened large_string columns round-trip as plain BYTE_ARRAY →
+        # string on read (a cast-back of a slice trips Arrow's
+        # whole-buffer size check instead of the slice's)
+        pq.write_table(seg, p, store_schema=False)
         paths.append(p)
     return paths
