@@ -166,11 +166,13 @@ def run_headline() -> dict:
     from silk_ray.cdc.engine import EngineConfig, run
     from silk_ray.pipelines.rules import BENCH_RULE
 
-    # --scaling uses a 4x-larger changelog (SILKRAY_SCALE_EVENTS, same
-    # cached input at both CPU levels): the N-vs-4N criterion is about
+    # --scaling uses a 12x changelog (SILKRAY_SCALE_EVENTS, same cached
+    # input at both CPU levels): the N-vs-4N criterion is about
     # sustained throughput at 10^10 events, so per-run fixed costs
-    # (ray.init, per-epoch planning/commits) must be amortized by real
-    # work, not dominate it
+    # (ray.init, per-epoch planning/commits, exchange barriers) must be
+    # amortized by real work, not dominate it. Measured efficiency rises
+    # monotonically with workload size on this engine (BASELINE.md) —
+    # the small default stays small only for the non-scaling headline.
     min_events = int(os.environ.get("SILKRAY_SCALE_EVENTS", "400000"))
     seg_dir, n_events = prepare_changelog(min_events)
     # lake on tmpfs when available: back-to-back runs otherwise contend
@@ -283,8 +285,8 @@ def scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            SILKRAY_SCALE_EVENTS=os.environ.get("SILKRAY_SCALE_EVENTS", "1600000"),
-            SILKRAY_SCALE_CORPUS=os.environ.get("SILKRAY_SCALE_CORPUS", "4"),
+            SILKRAY_SCALE_EVENTS=os.environ.get("SILKRAY_SCALE_EVENTS", "4800000"),
+            SILKRAY_SCALE_CORPUS=os.environ.get("SILKRAY_SCALE_CORPUS", "12"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -307,8 +309,8 @@ def scaling() -> None:
     # SILKRAY_SCALE_SAMPLES for more process-level draws
     n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "1"))
     # build the changelog cache outside the timed samples
-    os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "1600000")
-    os.environ["SILKRAY_SCALE_CORPUS"] = os.environ.get("SILKRAY_SCALE_CORPUS", "4")
+    os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "4800000")
+    os.environ["SILKRAY_SCALE_CORPUS"] = os.environ.get("SILKRAY_SCALE_CORPUS", "12")
     prepare_changelog(int(os.environ["SILKRAY_SCALE_EVENTS"]))
     samples = {8: [], 32: []}
     for _ in range(n_samples):
