@@ -29,22 +29,36 @@ import os
 
 
 class Manifest:
-    def __init__(self, epoch: int, next_offset: int, partitions: dict[int, dict]):
+    def __init__(
+        self,
+        epoch: int,
+        next_offset: int,
+        partitions: dict[int, dict],
+        prev_files: list[str] | None = None,
+    ):
         self.epoch = epoch
         self.next_offset = next_offset
         # pid -> {"files": [relpath, ...] (delta chain, oldest first),
         #         "hwm": int, "rows": int, "epoch": int}
         self.partitions = partitions
+        # chain files of the PREVIOUS manifest: GC retention for the
+        # one-epoch rollback/crash window (same design as the link
+        # store's links_files_prev)
+        self.prev_files = prev_files or []
 
     @staticmethod
     def empty() -> "Manifest":
         return Manifest(epoch=0, next_offset=0, partitions={})
+
+    def chain_files(self) -> list[str]:
+        return [f for info in self.partitions.values() for f in info.get("files", [])]
 
     def to_dict(self) -> dict:
         return {
             "epoch": self.epoch,
             "next_offset": self.next_offset,
             "partitions": {str(k): v for k, v in self.partitions.items()},
+            "prev_files": self.prev_files,
         }
 
     @staticmethod
@@ -53,6 +67,7 @@ class Manifest:
             epoch=d["epoch"],
             next_offset=d["next_offset"],
             partitions={int(k): v for k, v in d["partitions"].items()},
+            prev_files=d.get("prev_files", []),
         )
 
 

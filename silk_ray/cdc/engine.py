@@ -10,6 +10,15 @@ Resume logic: the merge manifest and the linkstate each record their
 epoch; after a crash anywhere, :func:`run` first brings the link state
 up to the merge epoch (dirty files are kept per epoch), then continues
 tailing. Both sub-commits are idempotent, so replays converge.
+
+Storage GC (per epoch, post-commit; ``EngineConfig.gc``): superseded
+lake/blockmap chain files, orphaned shard-write attempts and consumed
+dirty/summary inputs are deleted — a continuously-tailing engine keeps
+O(live state + in-flight epoch) files, not O(history). Every GC rule
+retains a one-epoch rollback window (``prev_files`` /
+``blockmap_prev`` / newest dirty+summary epoch — the same retention
+the link store's ``links_files_prev`` already used), so crash replay
+and a one-epoch checkpoint rollback are unaffected (tests/test_gc.py).
 """
 
 from __future__ import annotations
@@ -18,8 +27,8 @@ import time
 from dataclasses import dataclass, field
 
 from silk_ray.cdc import checkpoint as ckpt
-from silk_ray.cdc.incremental import read_linkstate, update_links
-from silk_ray.cdc.merge import run_epoch
+from silk_ray.cdc.incremental import gc_blockmap, read_linkstate, update_links
+from silk_ray.cdc.merge import gc_lake, gc_link_inputs, run_epoch
 
 
 @dataclass
@@ -31,6 +40,11 @@ class EngineConfig:
     renames: dict[str, str] = field(default_factory=dict)
     limit: float = 0.0
     max_epochs: int | None = None
+    # per-epoch storage GC (post-commit): superseded lake/blockmap chain
+    # files, orphaned shard attempts, consumed dirty/summary inputs.
+    # Without it a continuously-tailing engine grows storage without
+    # bound. Disable to inspect every intermediate file in tests.
+    gc: bool = True
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -82,6 +96,15 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 n_block_partitions=config.n_block_partitions,
             )
             m = {**m, "links": link_metrics}
+        if config.gc:
+            # post-commit storage GC: every rule below deletes only
+            # files the committed manifests can no longer reference
+            n_gc = gc_lake(root)
+            if config.rule_spec is not None:
+                state = read_linkstate(root)
+                n_gc += gc_blockmap(root, state)
+                n_gc += gc_link_inputs(root, int(state["epoch"]))
+            m["gc_files"] = n_gc
         # per-epoch wall time: epochs are identical in shape, so the
         # best epoch is a throttling-robust throughput estimator on
         # hosts where sustained-load wall time swings run-to-run

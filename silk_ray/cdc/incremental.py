@@ -704,6 +704,11 @@ def update_links(
             {k: v for k, v in state.items() if k in ("links_files", "links_dir")}, root
         )
     ]
+    prev_blockmap = [
+        f
+        for v in state.get("blockmap", {}).values()
+        for f in (v if isinstance(v, list) else [v])
+    ]
     state = {
         "epoch": epoch,
         "blockmap": {str(k): v for k, v in bm_files.items()},
@@ -712,6 +717,9 @@ def update_links(
         # between a future epoch's links write and its linkstate commit
         # can still replay against this epoch's intact file set
         "links_files_prev": prev_files,
+        # previous blockmap chains: same one-epoch GC retention, so a
+        # rolled-back linkstate can still reconcile its chains
+        "blockmap_prev": prev_blockmap,
     }
     _mark("manifest_post")
     commit_linkstate(root, state)
@@ -820,6 +828,50 @@ def _gc_links(root: str, state: dict) -> None:
                 os.rmdir(full)
             except OSError:
                 pass
+
+
+def gc_blockmap(root: str, state: dict | None = None) -> int:
+    """Delete blockmap files neither the committed linkstate nor its
+    one-epoch rollback window (``blockmap_prev``) references:
+    pre-compaction chain members two commits back and orphaned shards
+    from crashed/retried delta-index attempts (shard names carry a
+    random suffix, so a retry never overwrites its predecessor — the
+    summary file registers exactly one attempt's shards and the rest
+    are garbage). Files whose embedded epoch is NEWER than the
+    linkstate epoch are kept: a pending catch-up ``update_links`` will
+    register them from the summaries. Run only after
+    ``commit_linkstate``. Returns files removed."""
+    from silk_ray.cdc.merge import _file_epoch
+
+    if state is None:
+        state = read_linkstate(root)
+    link_epoch = int(state.get("epoch", 0))
+    live = {
+        os.path.normpath(f)
+        for files in state.get("blockmap", {}).values()
+        for f in (files if isinstance(files, list) else [files])
+    }
+    live |= {os.path.normpath(f) for f in state.get("blockmap_prev", [])}
+    base = os.path.join(root, "blockmap")
+    if not os.path.isdir(base):
+        return 0
+    removed = 0
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if not os.path.isdir(full):
+            continue
+        for f in os.listdir(full):
+            if not f.endswith(".parquet"):
+                continue
+            e = _file_epoch(f)
+            rel = os.path.normpath(os.path.join("blockmap", d, f))
+            if rel not in live and e is not None and e <= link_epoch:
+                try:
+                    os.remove(os.path.join(root, rel))
+                    removed += 1
+                except OSError:
+                    pass
+    return removed
 
 
 def _count_links(root: str, state: dict) -> int:

@@ -46,6 +46,7 @@ State is never authoritative in RAM: everything reconstructs from
 from __future__ import annotations
 
 import os
+import re
 import time
 import zlib
 
@@ -618,6 +619,7 @@ def run_epoch(
         epoch=epoch,
         next_offset=max(int(max_off) + 1, lo),
         partitions=new_partitions,
+        prev_files=manifest.chain_files(),
     )
     ckpt.commit_manifest(root, new_manifest, window=(lo, hi))
 
@@ -644,6 +646,75 @@ def run_epoch(
     }
     ckpt.write_metrics(root, epoch, metrics)
     return metrics
+
+
+_EPOCH_IN_NAME = re.compile(r"(?:epoch|compact|delta)-(\d+)")
+
+
+def _file_epoch(name: str) -> int | None:
+    m = _EPOCH_IN_NAME.search(name)
+    return int(m.group(1)) if m else None
+
+
+def gc_lake(root: str) -> int:
+    """Delete lake partition files neither the current manifest nor the
+    previous one (``prev_files``: the one-epoch rollback/crash window)
+    references — pre-compaction chain members two commits back, partial
+    files of a crashed in-flight epoch (harmless, replay rewrites them
+    byte-identically). Run only AFTER a manifest commit; a crash mid-GC
+    leaves only unreferenced garbage. Returns files removed.
+
+    Without this, a continuously-tailing engine grows storage without
+    bound: every compaction supersedes a chain but the old delta files
+    stay on disk forever."""
+    manifest = ckpt.read_manifest(root)
+    live = {os.path.normpath(f) for f in manifest.chain_files() + manifest.prev_files}
+    base = os.path.join(root, "partitions")
+    if not os.path.isdir(base):
+        return 0
+    removed = 0
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if not os.path.isdir(full):
+            continue
+        for f in os.listdir(full):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(os.path.join("partitions", d, f))
+            if rel not in live:
+                try:
+                    os.remove(os.path.join(root, rel))
+                    removed += 1
+                except OSError:
+                    pass
+    return removed
+
+
+def gc_link_inputs(root: str, link_epoch: int) -> int:
+    """Delete consumed dirty-delta and linker-summary files older than
+    the one-epoch rollback window (epochs ≤ linkstate epoch − 1): a
+    rolled-back linkstate replays at most the newest committed epoch,
+    whose inputs are retained; anything older can never be read again.
+    Returns files removed."""
+    link_epoch = link_epoch - 1
+    removed = 0
+    for sub in ("dirty", "summaries"):
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if not os.path.isdir(full):
+                continue
+            for f in os.listdir(full):
+                e = _file_epoch(f)
+                if f.endswith(".parquet") and e is not None and e <= link_epoch:
+                    try:
+                        os.remove(os.path.join(full, f))
+                        removed += 1
+                    except OSError:
+                        pass
+    return removed
 
 
 def run_to_completion(root: str, changelog, epoch_size: int = 100_000, **kw) -> list[dict]:
