@@ -44,6 +44,7 @@ TIMED_QUERIES = [
     "events_daily",
     "events_latest_state",
     "events_sessionize",
+    "events_asof_prev",
     "doc_token_stats",
     "doc_fingerprint",
     "dedup_exact",

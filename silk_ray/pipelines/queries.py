@@ -697,6 +697,35 @@ SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
 """
 
 
+def events_asof_prev(sf_dir: str):
+    """Backward as-of self-join: each event matched to the same user's
+    most recent strictly-earlier event (inner — first event per user
+    drops out). Hash-co-partitioned on user, per-key sort + binary
+    search (relational.asof_join)."""
+    from silk_ray.pipelines.relational import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    joined = asof_join(
+        ev,
+        ev,
+        by="user_id",
+        on="ts",
+        value_cols={"event_id": "prev_event_id", "value": "prev_value"},
+    )
+    out = joined.to_pandas()[["event_id", "user_id", "prev_event_id", "prev_value"]]
+    out["prev_value"] = out["prev_value"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ASOF_SQL = """
+SELECT l.event_id AS event_id, l.user_id AS user_id,
+       r.event_id AS prev_event_id, round(r.value, 6) AS prev_value
+FROM events l ASOF JOIN events r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+ORDER BY l.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (text analysis / dedup / transform)
 # ---------------------------------------------------------------------------
@@ -1202,6 +1231,7 @@ def build_queries():
         "events_daily": events_daily,
         "events_latest_state": events_latest_state,
         "events_sessionize": events_sessionize,
+        "events_asof_prev": events_asof_prev,
         "doc_token_stats": doc_token_stats,
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
@@ -1236,6 +1266,7 @@ def build_oracle_sql():
         "events_daily": EVENTS_DAILY_SQL,
         "events_latest_state": EVENTS_LATEST_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_asof_prev": EVENTS_ASOF_SQL,
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

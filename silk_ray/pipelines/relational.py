@@ -112,6 +112,83 @@ def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):
     )
 
 
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    value_cols: dict[str, str],
+    strict: bool = True,
+    num_partitions: int = 64,
+):
+    """Backward as-of join (inner): each left row is matched to the
+    single right row with the greatest ``on`` value at-or-before
+    (``strict``: strictly before) the left row's ``on``, within the
+    same ``by`` key. ``value_cols`` maps right column → output name.
+    Left rows with no predecessor are dropped (inner semantics, so
+    output types stay non-null).
+
+    Partitioning: both sides are hash-co-partitioned on ``by`` (the
+    same :func:`grouped_apply` shuffle key every other keyed op uses);
+    the per-key merge is sort + ``np.searchsorted`` — O((n+m) log m)
+    per key, no per-pair work. Assumption: one ``by``-key group fits a
+    single task (same as grouped_apply); salt hot keys upstream if a
+    single key's rows exceed a task's memory."""
+
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_cols = list(left_schema.names)
+    right_keep = [by, on] + sorted(set(value_cols) - {by, on})
+    # one explicit unified Arrow schema for both union branches (types
+    # from the left side win for shared names; right-only value columns
+    # keep their own type) — padding is typed nulls, so the union never
+    # sees null-type vs typed-column conflicts
+    fields = list(left_schema)
+    for c in right_keep:
+        if c not in left_cols:
+            fields.append(right_schema.field(c))
+    unified = pa.schema(fields + [pa.field("_side", pa.int8())])
+
+    def tag(side: int):
+        keep = set(left_cols) if side == 0 else set(right_keep)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for f in unified:
+                if f.name == "_side":
+                    cols[f.name] = pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
+                elif f.name in keep and f.name in batch.column_names:
+                    col = batch[f.name]
+                    cols[f.name] = col if col.type == f.type else col.cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            return pa.table(cols)
+
+        return fn
+
+    l2 = left.map_batches(tag(0), batch_format="pyarrow")
+    r2 = right.map_batches(tag(1), batch_format="pyarrow")
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        r = g[g["_side"] == 1].sort_values(on, kind="mergesort")
+        out = l.drop(columns=["_side"] + [c for c in value_cols if c not in left_cols])
+        if not len(r) or not len(l):
+            out = out.head(0)
+            for src, dst in value_cols.items():
+                out[dst] = pd.Series([], dtype=g[src].dtype)
+            return out
+        side = "left" if strict else "right"
+        idx = np.searchsorted(r[on].to_numpy(), l[on].to_numpy(), side=side) - 1
+        hit = idx >= 0
+        out = out[hit]
+        for src, dst in value_cols.items():
+            out[dst] = r[src].to_numpy()[idx[hit]]
+        return out
+
+    return grouped_apply(l2.union(r2), by, merge_group, num_partitions=num_partitions)
+
+
 def round_columns(ds, cols: dict[str, int]):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         for c, nd in cols.items():

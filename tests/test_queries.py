@@ -129,3 +129,39 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5  # approximate method, weakly-clustered corpus
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of join edges: strict drops ties and first-per-key
+    rows; non-strict matches equal timestamps; keys never cross."""
+    import ray.data as rd
+
+    from silk_ray.pipelines.relational import asof_join
+
+    left = rd.from_items(
+        [
+            {"k": 1, "t": 10, "v": 1.0},
+            {"k": 1, "t": 20, "v": 2.0},
+            {"k": 1, "t": 30, "v": 3.0},
+            {"k": 2, "t": 10, "v": 9.0},  # only row of key 2 → dropped (strict)
+        ]
+    )
+    out = (
+        asof_join(left, left, by="k", on="t", value_cols={"t": "prev_t", "v": "prev_v"})
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert out[["k", "t", "prev_t", "prev_v"]].values.tolist() == [
+        [1, 20, 10, 1.0],
+        [1, 30, 20, 2.0],
+    ]
+
+    # non-strict: equal timestamp matches itself
+    out2 = (
+        asof_join(left, left, by="k", on="t", value_cols={"t": "prev_t"}, strict=False)
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert out2["prev_t"].tolist() == [10, 20, 30, 10]
