@@ -253,6 +253,29 @@ def read_bp_reconciled(root: str, files: list[str], n_leaves: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _consolidate_bundle(root: str, bps: list[int], shard_lists: list[list[str]], epoch: int):
+    """Merge each bp's SAME-EPOCH shard files (one per merge task that
+    touched the bp; disjoint uris, so concat order is irrelevant) into
+    one delta file. O(this epoch's delta). Deterministic content
+    (sorted input file list, sorted rows) → idempotent on replay."""
+    out = []
+    for bp, files in zip(bps, shard_lists):
+        rel = os.path.join("blockmap", f"bp={bp:05d}", f"delta-{epoch:06d}-merged.parquet")
+        # replay fast-path: the merged file's content is uniquely
+        # determined by (bp, epoch) — the shard set is fixed by the
+        # epoch's committed summaries — so an existing file IS the
+        # result (and after a post-commit rollback the original shards
+        # may already be GC'd)
+        if not os.path.exists(os.path.join(root, rel)):
+            tables = [pq.read_table(os.path.join(root, f)) for f in sorted(files)]
+            merged = pa.concat_tables(tables).sort_by(
+                [("key", "ascending"), ("side", "ascending"), ("uri", "ascending"), ("action", "ascending")]
+            )
+            ckpt.atomic_write_parquet(merged, os.path.join(root, rel))
+        out.append((bp, rel))
+    return out
+
+
 def _compact_bundle(root: str, bps: list[int], chains: list[list[str]], n_leaves: int, epoch: int):
     out = []
     for bp, files in zip(bps, chains):
@@ -267,6 +290,7 @@ def _compact_bundle(root: str, bps: list[int], chains: list[list[str]], n_leaves
 
 
 _compact_bps_task = None  # ray.remote wrapper, created lazily (no ray at import)
+_consolidate_bps_task = None
 
 
 def _ensure_compact_task():
@@ -276,6 +300,15 @@ def _ensure_compact_task():
 
         _compact_bps_task = ray.remote(num_cpus=1)(_compact_bundle)
     return _compact_bps_task
+
+
+def _ensure_consolidate_task():
+    global _consolidate_bps_task
+    if _consolidate_bps_task is None:
+        import ray
+
+        _consolidate_bps_task = ray.remote(num_cpus=1)(_consolidate_bundle)
+    return _consolidate_bps_task
 
 
 def _links_empty_table() -> pa.Table:
@@ -513,6 +546,32 @@ def update_links(
         ).group_by(["bp", "file"]).aggregate([])
         for bp, f in zip(files_tbl["bp"].to_pylist(), files_tbl["file"].to_pylist()):
             new_shards.setdefault(bp, []).append(f)
+    # consolidate same-epoch shards (one per merge task that touched the
+    # bp) into ONE delta file per bp: chains then grow O(1) per epoch,
+    # so the full COMPACT_AT reconcile fires every ~COMPACT_AT epochs
+    # per bp (amortized O(state/COMPACT_AT)) instead of every epoch —
+    # without this, ~P shards/bp/epoch tripped compaction into an
+    # O(total blockmap) rewrite per epoch (measured 0.6-0.9 s/epoch at
+    # sf0.1, growing with state)
+    multi = {bp: sorted(set(s)) for bp, s in new_shards.items() if len(set(s)) > 1}
+    if multi:
+        task = _ensure_consolidate_task()
+        items = sorted(multi.items())
+        # one wave across the cluster: the cost is per-small-file IO
+        # (~P shards per bp), so spread bps over ~2 tasks per CPU
+        ncpu_c = int(ray.cluster_resources().get("CPU", 8))
+        per = max(1, -(-len(items) // (2 * ncpu_c)))
+        merged = ray.get(
+            [
+                task.remote(root, [bp for bp, _ in items[i : i + per]],
+                            [fs for _, fs in items[i : i + per]], epoch)
+                for i in range(0, len(items), per)
+            ]
+        )
+        for bundle in merged:
+            for bp, rel in bundle:
+                new_shards[int(bp)] = [rel]
+        _mark("consolidate")
     for bp, shards in new_shards.items():
         bm_files.setdefault(bp, []).extend(sorted(set(shards)))
     affected_bps = sorted({k % n_block_partitions for k in affected_keys})
