@@ -45,6 +45,7 @@ TIMED_QUERIES = [
     "events_latest_state",
     "events_sessionize",
     "events_asof_prev",
+    "events_window_pairs",
     "doc_token_stats",
     "doc_fingerprint",
     "dedup_exact",

@@ -726,6 +726,35 @@ ORDER BY l.event_id
 """
 
 
+def events_window_pairs(sf_dir: str):
+    """Banded non-equi self-join: each event paired with every event of
+    the same user in its preceding 30-minute window (range_join —
+    hash-co-partitioned, per-key sort + two binary searches per row)."""
+    from silk_ray.pipelines.relational import range_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = range_join(
+        ev,
+        ev,
+        by="user_id",
+        on="ts",
+        lo=-pd.Timedelta(minutes=30),
+        hi=pd.Timedelta(0),
+        value_cols={"event_id": "match_id"},
+    )
+    out = joined.to_pandas()[["event_id", "user_id", "match_id"]]
+    return out.sort_values(["event_id", "match_id"]).reset_index(drop=True)
+
+
+EVENTS_WINDOW_PAIRS_SQL = """
+SELECT l.event_id AS event_id, l.user_id AS user_id, r.event_id AS match_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts < l.ts
+ORDER BY event_id, match_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (text analysis / dedup / transform)
 # ---------------------------------------------------------------------------
@@ -1232,6 +1261,7 @@ def build_queries():
         "events_latest_state": events_latest_state,
         "events_sessionize": events_sessionize,
         "events_asof_prev": events_asof_prev,
+        "events_window_pairs": events_window_pairs,
         "doc_token_stats": doc_token_stats,
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
@@ -1267,6 +1297,7 @@ def build_oracle_sql():
         "events_latest_state": EVENTS_LATEST_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_asof_prev": EVENTS_ASOF_SQL,
+        "events_window_pairs": EVENTS_WINDOW_PAIRS_SQL,
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

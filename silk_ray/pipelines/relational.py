@@ -112,37 +112,16 @@ def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):
     )
 
 
-def asof_join(
-    left,
-    right,
-    by: str,
-    on: str,
-    value_cols: dict[str, str],
-    strict: bool = True,
-    num_partitions: int = 64,
-):
-    """Backward as-of join (inner): each left row is matched to the
-    single right row with the greatest ``on`` value at-or-before
-    (``strict``: strictly before) the left row's ``on``, within the
-    same ``by`` key. ``value_cols`` maps right column → output name.
-    Left rows with no predecessor are dropped (inner semantics, so
-    output types stay non-null).
-
-    Partitioning: both sides are hash-co-partitioned on ``by`` (the
-    same :func:`grouped_apply` shuffle key every other keyed op uses);
-    the per-key merge is sort + ``np.searchsorted`` — O((n+m) log m)
-    per key, no per-pair work. Assumption: one ``by``-key group fits a
-    single task (same as grouped_apply); salt hot keys upstream if a
-    single key's rows exceed a task's memory."""
-
+def _union_sides(left, right, by: str, on: str, value_cols: dict[str, str]):
+    """Tag and union both join sides under one explicit unified Arrow
+    schema (left types win for shared names; right-only value columns
+    keep their own type; padding is typed nulls, so the union never
+    sees null-type vs typed-column conflicts). Returns
+    ``(left_tagged, right_tagged, left_cols)``."""
     left_schema = left.schema().base_schema
     right_schema = right.schema().base_schema
     left_cols = list(left_schema.names)
     right_keep = [by, on] + sorted(set(value_cols) - {by, on})
-    # one explicit unified Arrow schema for both union branches (types
-    # from the left side win for shared names; right-only value columns
-    # keep their own type) — padding is typed nulls, so the union never
-    # sees null-type vs typed-column conflicts
     fields = list(left_schema)
     for c in right_keep:
         if c not in left_cols:
@@ -166,8 +145,37 @@ def asof_join(
 
         return fn
 
-    l2 = left.map_batches(tag(0), batch_format="pyarrow")
-    r2 = right.map_batches(tag(1), batch_format="pyarrow")
+    return (
+        left.map_batches(tag(0), batch_format="pyarrow"),
+        right.map_batches(tag(1), batch_format="pyarrow"),
+        left_cols,
+    )
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    value_cols: dict[str, str],
+    strict: bool = True,
+    num_partitions: int = 64,
+):
+    """Backward as-of join (inner): each left row is matched to the
+    single right row with the greatest ``on`` value at-or-before
+    (``strict``: strictly before) the left row's ``on``, within the
+    same ``by`` key. ``value_cols`` maps right column → output name.
+    Left rows with no predecessor are dropped (inner semantics, so
+    output types stay non-null).
+
+    Partitioning: both sides are hash-co-partitioned on ``by`` (the
+    same :func:`grouped_apply` shuffle key every other keyed op uses);
+    the per-key merge is sort + ``np.searchsorted`` — O((n+m) log m)
+    per key, no per-pair work. Assumption: one ``by``-key group fits a
+    single task (same as grouped_apply); salt hot keys upstream if a
+    single key's rows exceed a task's memory."""
+
+    l2, r2, left_cols = _union_sides(left, right, by, on, value_cols)
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0]
@@ -184,6 +192,58 @@ def asof_join(
         out = out[hit]
         for src, dst in value_cols.items():
             out[dst] = r[src].to_numpy()[idx[hit]]
+        return out
+
+    return grouped_apply(l2.union(r2), by, merge_group, num_partitions=num_partitions)
+
+
+def range_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    lo,
+    hi,
+    value_cols: dict[str, str],
+    num_partitions: int = 64,
+):
+    """Banded non-equi join (inner): each left row matched to EVERY
+    right row of the same ``by`` key whose ``on`` lies in
+    ``[left.on + lo, left.on + hi)`` (half-open; ``lo``/``hi`` may be
+    negative, e.g. ``lo=-Timedelta('30m'), hi=Timedelta(0)`` = the
+    preceding 30-minute window). Emits one row per matched pair:
+    left columns + ``value_cols`` (right column → output name).
+
+    Partitioning: both sides hash-co-partitioned on ``by``
+    (:func:`grouped_apply`); per key the right side is sorted once and
+    each left row's band is found with two binary searches, pairs
+    materialized by vectorized repeat — O((n+m) log m + pairs) per
+    key, never O(n·m) probing. Assumptions: one ``by``-key group fits
+    a task, and the band is selective enough that ``pairs`` per key
+    fits a task's memory (cap the band upstream for hot keys)."""
+    l2, r2, left_cols = _union_sides(left, right, by, on, value_cols)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        r = g[g["_side"] == 1].sort_values(on, kind="mergesort")
+        out = l.drop(columns=["_side"] + [c for c in value_cols if c not in left_cols])
+        if not len(r) or not len(l):
+            out = out.head(0)
+            for src, dst in value_cols.items():
+                out[dst] = pd.Series([], dtype=g[src].dtype)
+            return out
+        r_on = r[on].to_numpy()
+        l_on = l[on].to_numpy()
+        lo_idx = np.searchsorted(r_on, l_on + lo, side="left")
+        hi_idx = np.searchsorted(r_on, l_on + hi, side="left")
+        counts = hi_idx - lo_idx
+        total = int(counts.sum())
+        left_take = np.repeat(np.arange(len(l)), counts)
+        offsets = np.repeat(np.cumsum(counts) - counts, counts)
+        right_take = np.repeat(lo_idx, counts) + (np.arange(total) - offsets)
+        out = out.iloc[left_take].copy()
+        for src, dst in value_cols.items():
+            out[dst] = r[src].to_numpy()[right_take]
         return out
 
     return grouped_apply(l2.union(r2), by, merge_group, num_partitions=num_partitions)

@@ -165,3 +165,29 @@ def test_asof_join_semantics(ray_session):
         .reset_index(drop=True)
     )
     assert out2["prev_t"].tolist() == [10, 20, 30, 10]
+
+
+def test_range_join_semantics(ray_session):
+    """Banded join edges: half-open [on+lo, on+hi), keys never cross,
+    zero-match rows drop (inner)."""
+    import ray.data as rd
+
+    from silk_ray.pipelines.relational import range_join
+
+    left = rd.from_items(
+        [
+            {"k": 1, "t": 10},
+            {"k": 1, "t": 20},
+            {"k": 1, "t": 25},
+            {"k": 2, "t": 20},
+        ]
+    )
+    out = (
+        range_join(left, left, by="k", on="t", lo=-10, hi=0, value_cols={"t": "match_t"})
+        .to_pandas()
+        .sort_values(["k", "t", "match_t"])
+        .reset_index(drop=True)
+    )
+    # t=10: window [0,10) → none; t=20: [10,20) → 10; t=25: [15,25) → 20;
+    # k=2 t=20: no earlier rows of k=2 (k=1's t=10..25 never cross keys)
+    assert out[["k", "t", "match_t"]].values.tolist() == [[1, 20, 10], [1, 25, 20]]
