@@ -305,11 +305,12 @@ def scaling() -> None:
     # level SILKRAY_SCALE_SAMPLES times, interleaved with cool-down
     # gaps, and report the best-case (min) per level; a real fixed-size
     # cluster comparison would not need this
-    # one process sample per level by default: each run already yields 4
-    # identical-shape per-epoch draws (epoch_seconds), and best-epoch
-    # throughput is the throttling-robust estimator; raise
-    # SILKRAY_SCALE_SAMPLES for more process-level draws
-    n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "1"))
+    # two process samples per level by default, min per level: this
+    # host throttles under sustained load (back-to-back identical runs
+    # swing up to 1.5x), and min-of-2 is the estimator the recorded
+    # BASELINE.md acceptance number (0.833) was produced with — the
+    # default must reproduce the documented result
+    n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "2"))
     # build the changelog cache outside the timed samples
     os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "4800000")
     os.environ["SILKRAY_SCALE_CORPUS"] = os.environ.get("SILKRAY_SCALE_CORPUS", "12")

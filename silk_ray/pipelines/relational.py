@@ -116,10 +116,11 @@ def _union_sides(left, right, by: str, on: str, value_cols: dict[str, str]):
     """Tag and union both join sides under one explicit unified Arrow
     schema (left types win for shared names; right-only value columns
     keep their own type; padding is typed nulls, so the union never
-    sees null-type vs typed-column conflicts). Returns
-    ``(left_tagged, right_tagged, left_cols)``."""
+    sees null-type vs typed-column conflicts). A self-join (``right is
+    left``) tags both sides from ONE scan instead of re-running the
+    shared lineage twice. Returns ``(unioned, left_cols, unified)``."""
     left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    right_schema = right.schema().base_schema if right is not left else left_schema
     left_cols = list(left_schema.names)
     right_keep = [by, on] + sorted(set(value_cols) - {by, on})
     fields = list(left_schema)
@@ -128,27 +129,106 @@ def _union_sides(left, right, by: str, on: str, value_cols: dict[str, str]):
             fields.append(right_schema.field(c))
     unified = pa.schema(fields + [pa.field("_side", pa.int8())])
 
-    def tag(side: int):
+    def retype(batch: pa.Table, side: int) -> pa.Table:
         keep = set(left_cols) if side == 0 else set(right_keep)
+        cols = {}
+        for f in unified:
+            if f.name == "_side":
+                cols[f.name] = pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
+            elif f.name in keep and f.name in batch.column_names:
+                col = batch[f.name]
+                cols[f.name] = col if col.type == f.type else col.cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        return pa.table(cols)
 
-        def fn(batch: pa.Table) -> pa.Table:
-            cols = {}
-            for f in unified:
-                if f.name == "_side":
-                    cols[f.name] = pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
-                elif f.name in keep and f.name in batch.column_names:
-                    col = batch[f.name]
-                    cols[f.name] = col if col.type == f.type else col.cast(f.type)
-                else:
-                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
-            return pa.table(cols)
+    if right is left:
+        unioned = left.map_batches(
+            lambda b: pa.concat_tables([retype(b, 0), retype(b, 1)]),
+            batch_format="pyarrow",
+        )
+    else:
+        unioned = left.map_batches(
+            lambda b: retype(b, 0), batch_format="pyarrow"
+        ).union(right.map_batches(lambda b: retype(b, 1), batch_format="pyarrow"))
+    return unioned, left_cols, unified
 
-        return fn
+
+def _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit):
+    """Shared machinery of :func:`asof_join` / :func:`range_join` —
+    Arrow-native throughout (typed-null padding never passes through a
+    pandas conversion, so integer value columns stay exact int64):
+
+    1. tag + union both sides under one unified schema;
+    2. hash-co-partition on ``by`` (one coarse ``groupby("__part")``
+       shuffle, many keys per partition — same shape as
+       :func:`grouped_apply`);
+    3. per partition: ONE sort by ``(by, _side, on, value srcs)`` (the
+       trailing value columns make tie-breaking among equal ``on``
+       rows deterministic regardless of shuffle arrival order), then a
+       per-key vectorized merge: ``emit(l_on, r_on)`` returns the
+       matched (left, right) local index arrays from two binary
+       searches, and the output is built by two ``take`` calls."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    unioned, left_cols, unified = _union_sides(left, right, by, on, value_cols)
+    out_schema = pa.schema(
+        [unified.field(c) for c in left_cols]
+        + [pa.field(dst, unified.field(src).type) for src, dst in value_cols.items()]
+    )
+    tie_cols = [c for c in sorted(set(value_cols)) if c not in (by, on)]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        col = batch[by]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            part = np.fromiter(
+                (zlib.crc32(str(v).encode()) % num_partitions for v in col.to_pylist()),
+                np.int64,
+                batch.num_rows,
+            )
+        else:
+            part = np.abs(col.cast(pa.int64()).to_numpy(zero_copy_only=False)) % num_partitions
+        return batch.append_column("__part", pa.array(part, pa.int64()))
+
+    def apply_part(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__part"])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            part,
+            sort_keys=[(by, "ascending"), ("_side", "ascending"), (on, "ascending")]
+            + [(c, "ascending") for c in tie_cols],
+        )
+        part = part.take(order).combine_chunks()
+        by_np = part[by].to_numpy(zero_copy_only=False)
+        side_np = part["_side"].to_numpy()
+        on_np = part[on].to_numpy(zero_copy_only=False)
+        changes = np.nonzero(by_np[1:] != by_np[:-1])[0] + 1
+        starts = np.concatenate(([0], changes, [len(by_np)]))
+        l_takes, r_takes = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            mid = s + int(np.searchsorted(side_np[s:e], 1, side="left"))
+            if mid == s or mid == e:  # one side empty for this key
+                continue
+            li, ri = emit(on_np[s:mid], on_np[mid:e])
+            if len(li):
+                l_takes.append(li + s)
+                r_takes.append(ri + mid)
+        if not l_takes:
+            return out_schema.empty_table()
+        lt = part.take(pa.array(np.concatenate(l_takes)))
+        rt = part.take(pa.array(np.concatenate(r_takes)))
+        cols = {c: lt[c] for c in left_cols}
+        for src, dst in value_cols.items():
+            cols[dst] = rt[src]
+        return pa.table(cols)
 
     return (
-        left.map_batches(tag(0), batch_format="pyarrow"),
-        right.map_batches(tag(1), batch_format="pyarrow"),
-        left_cols,
+        unioned.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(apply_part, batch_format="pyarrow")
     )
 
 
@@ -166,35 +246,24 @@ def asof_join(
     (``strict``: strictly before) the left row's ``on``, within the
     same ``by`` key. ``value_cols`` maps right column → output name.
     Left rows with no predecessor are dropped (inner semantics, so
-    output types stay non-null).
+    output types stay non-null). Ties among right rows with equal
+    ``on`` are broken deterministically by the value columns' sort
+    order.
 
     Partitioning: both sides are hash-co-partitioned on ``by`` (the
-    same :func:`grouped_apply` shuffle key every other keyed op uses);
-    the per-key merge is sort + ``np.searchsorted`` — O((n+m) log m)
-    per key, no per-pair work. Assumption: one ``by``-key group fits a
-    single task (same as grouped_apply); salt hot keys upstream if a
-    single key's rows exceed a task's memory."""
+    same coarse shuffle key every other keyed op uses); the per-key
+    merge is sort + ``np.searchsorted`` — O((n+m) log (n+m)) per key,
+    no per-pair work. Assumption: one ``by``-key group fits a single
+    task (same as grouped_apply); salt hot keys upstream if a single
+    key's rows exceed a task's memory."""
+    side = "left" if strict else "right"
 
-    l2, r2, left_cols = _union_sides(left, right, by, on, value_cols)
+    def emit(l_on: np.ndarray, r_on: np.ndarray):
+        idx = np.searchsorted(r_on, l_on, side=side) - 1
+        hit = np.nonzero(idx >= 0)[0]
+        return hit, idx[hit]
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0]
-        r = g[g["_side"] == 1].sort_values(on, kind="mergesort")
-        out = l.drop(columns=["_side"] + [c for c in value_cols if c not in left_cols])
-        if not len(r) or not len(l):
-            out = out.head(0)
-            for src, dst in value_cols.items():
-                out[dst] = pd.Series([], dtype=g[src].dtype)
-            return out
-        side = "left" if strict else "right"
-        idx = np.searchsorted(r[on].to_numpy(), l[on].to_numpy(), side=side) - 1
-        hit = idx >= 0
-        out = out[hit]
-        for src, dst in value_cols.items():
-            out[dst] = r[src].to_numpy()[idx[hit]]
-        return out
-
-    return grouped_apply(l2.union(r2), by, merge_group, num_partitions=num_partitions)
+    return _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit)
 
 
 def range_join(
@@ -214,39 +283,27 @@ def range_join(
     preceding 30-minute window). Emits one row per matched pair:
     left columns + ``value_cols`` (right column → output name).
 
-    Partitioning: both sides hash-co-partitioned on ``by``
-    (:func:`grouped_apply`); per key the right side is sorted once and
-    each left row's band is found with two binary searches, pairs
-    materialized by vectorized repeat — O((n+m) log m + pairs) per
-    key, never O(n·m) probing. Assumptions: one ``by``-key group fits
-    a task, and the band is selective enough that ``pairs`` per key
-    fits a task's memory (cap the band upstream for hot keys)."""
-    l2, r2, left_cols = _union_sides(left, right, by, on, value_cols)
+    Partitioning: both sides hash-co-partitioned on ``by``; per key
+    the right side is sorted once and each left row's band is found
+    with two binary searches, pairs materialized by vectorized repeat
+    — O((n+m) log (n+m) + pairs) per key, never O(n·m) probing.
+    Assumptions: one ``by``-key group fits a task, and the band is
+    selective enough that ``pairs`` per key fits a task's memory (cap
+    the band upstream for hot keys)."""
+    if not (lo <= hi):
+        raise ValueError(f"range_join requires lo <= hi, got lo={lo!r} hi={hi!r}")
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0]
-        r = g[g["_side"] == 1].sort_values(on, kind="mergesort")
-        out = l.drop(columns=["_side"] + [c for c in value_cols if c not in left_cols])
-        if not len(r) or not len(l):
-            out = out.head(0)
-            for src, dst in value_cols.items():
-                out[dst] = pd.Series([], dtype=g[src].dtype)
-            return out
-        r_on = r[on].to_numpy()
-        l_on = l[on].to_numpy()
+    def emit(l_on: np.ndarray, r_on: np.ndarray):
         lo_idx = np.searchsorted(r_on, l_on + lo, side="left")
         hi_idx = np.searchsorted(r_on, l_on + hi, side="left")
-        counts = hi_idx - lo_idx
+        counts = np.maximum(hi_idx - lo_idx, 0)
         total = int(counts.sum())
-        left_take = np.repeat(np.arange(len(l)), counts)
+        left_take = np.repeat(np.arange(len(l_on)), counts)
         offsets = np.repeat(np.cumsum(counts) - counts, counts)
         right_take = np.repeat(lo_idx, counts) + (np.arange(total) - offsets)
-        out = out.iloc[left_take].copy()
-        for src, dst in value_cols.items():
-            out[dst] = r[src].to_numpy()[right_take]
-        return out
+        return left_take, right_take
 
-    return grouped_apply(l2.union(r2), by, merge_group, num_partitions=num_partitions)
+    return _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit)
 
 
 def round_columns(ds, cols: dict[str, int]):

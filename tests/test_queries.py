@@ -191,3 +191,19 @@ def test_range_join_semantics(ray_session):
     # t=10: window [0,10) → none; t=20: [10,20) → 10; t=25: [15,25) → 20;
     # k=2 t=20: no earlier rows of k=2 (k=1's t=10..25 never cross keys)
     assert out[["k", "t", "match_t"]].values.tolist() == [[1, 20, 10], [1, 25, 20]]
+
+
+def test_join_right_only_int64_stays_exact(ray_session):
+    """Right-only integer value columns must survive the join exactly
+    (the Arrow-native merge never converts typed-null padding through
+    pandas float64, which silently corrupts int64 above 2^53)."""
+    import ray.data as rd
+
+    from silk_ray.pipelines.relational import asof_join
+
+    big = (1 << 53) + 1
+    left = rd.from_items([{"k": 1, "t": 20}])
+    right = rd.from_items([{"k": 1, "t": 10, "rid": big}])
+    out = asof_join(left, right, by="k", on="t", value_cols={"rid": "rid_out"}).to_pandas()
+    assert out["rid_out"].dtype == np.int64
+    assert out["rid_out"].tolist() == [big]
