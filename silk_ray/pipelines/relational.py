@@ -256,6 +256,14 @@ def asof_join(
     no per-pair work. Assumption: one ``by``-key group fits a single
     task (same as grouped_apply); salt hot keys upstream if a single
     key's rows exceed a task's memory."""
+    return _keyed_merge_join(
+        left, right, by, on, value_cols, num_partitions, _asof_emit(strict)
+    )
+
+
+def _asof_emit(strict: bool):
+    """Per-key as-of match kernel on sorted ``on`` arrays: local (left,
+    right) index pairs of each left row's latest predecessor."""
     side = "left" if strict else "right"
 
     def emit(l_on: np.ndarray, r_on: np.ndarray):
@@ -263,7 +271,7 @@ def asof_join(
         hit = np.nonzero(idx >= 0)[0]
         return hit, idx[hit]
 
-    return _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit)
+    return emit
 
 
 def range_join(
@@ -292,6 +300,14 @@ def range_join(
     the band upstream for hot keys)."""
     if not (lo <= hi):
         raise ValueError(f"range_join requires lo <= hi, got lo={lo!r} hi={hi!r}")
+    return _keyed_merge_join(
+        left, right, by, on, value_cols, num_partitions, _range_emit(lo, hi)
+    )
+
+
+def _range_emit(lo, hi):
+    """Per-key band-match kernel on sorted ``on`` arrays: local (left,
+    right) index pairs for every right row in ``[l+lo, l+hi)``."""
 
     def emit(l_on: np.ndarray, r_on: np.ndarray):
         lo_idx = np.searchsorted(r_on, l_on + lo, side="left")
@@ -303,7 +319,7 @@ def range_join(
         right_take = np.repeat(lo_idx, counts) + (np.arange(total) - offsets)
         return left_take, right_take
 
-    return _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit)
+    return emit
 
 
 def round_columns(ds, cols: dict[str, int]):

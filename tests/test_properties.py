@@ -176,3 +176,46 @@ def test_sketch_jaccard_equals_exact(w1, w2):
     s1, s2 = shingles(t1, 3), shingles(t2, 3)
     want = len(s1 & s2) / len(s1 | s2) if (s1 | s2) else 0.0
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# keyed merge-join kernels (asof / range) vs brute force
+# ---------------------------------------------------------------------------
+
+on_values = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=30)
+
+
+@given(on_values, on_values, st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_asof_emit_matches_bruteforce(l_vals, r_vals, strict):
+    from silk_ray.pipelines.relational import _asof_emit
+
+    l_on = np.array(sorted(l_vals), dtype=np.int64)
+    r_on = np.array(sorted(r_vals), dtype=np.int64)
+    li, ri = _asof_emit(strict)(l_on, r_on)
+    got = {(int(a), int(b)) for a, b in zip(li, ri)}
+    want = set()
+    for i, lv in enumerate(l_on):
+        cand = [j for j, rv in enumerate(r_on) if (rv < lv if strict else rv <= lv)]
+        if cand:
+            want.add((i, cand[-1]))  # last index = greatest value (sorted, dup-stable)
+    assert got == want
+
+
+@given(on_values, on_values, st.integers(-20, 20), st.integers(0, 25))
+@settings(max_examples=200, deadline=None)
+def test_range_emit_matches_bruteforce(l_vals, r_vals, lo, width):
+    from silk_ray.pipelines.relational import _range_emit
+
+    hi = lo + width
+    l_on = np.array(sorted(l_vals), dtype=np.int64)
+    r_on = np.array(sorted(r_vals), dtype=np.int64)
+    li, ri = _range_emit(lo, hi)(l_on, r_on)
+    got = sorted(zip(li.tolist(), ri.tolist()))
+    want = sorted(
+        (i, j)
+        for i, lv in enumerate(l_on)
+        for j, rv in enumerate(r_on)
+        if lv + lo <= rv < lv + hi
+    )
+    assert got == want
