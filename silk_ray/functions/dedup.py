@@ -332,7 +332,13 @@ def minhash_lsh_pairs(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (weighted by term frequency)."""
+    """64-bit SimHash over word tokens (weighted by term frequency).
+
+    Per-token hash = the lower 64 bits of md5 (little-endian of digest
+    bytes 8..16) — chosen because it equals DuckDB's
+    ``md5_number_lower``, which makes the whole SimHash pipeline
+    (weighted bit majority, banding, hamming verify) exactly
+    reproducible in SQL (the ``dedup_simhash`` oracle)."""
     from collections import Counter
 
     counts = Counter(_tokens(text))
@@ -340,7 +346,7 @@ def simhash64(text: str) -> int:
         return 0
     hashes = np.array(
         [
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
             for tok in counts
         ],
         dtype=np.uint64,

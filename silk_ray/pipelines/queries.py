@@ -974,6 +974,48 @@ def dedup_simhash(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=4).to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
 
+# exact oracle: the per-token hash is md5-lower-64 (== DuckDB
+# md5_number_lower), so signature computation (term-frequency-weighted
+# bit majority), 4x16-bit banding AND the hamming<=4 verify are all
+# reproduced in SQL. XOR-hamming is invariant to the engine's
+# int64-offset storage (the top-bit flips cancel), so the oracle works
+# on unsigned signatures directly.
+DEDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS tok, count(*) AS w
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+),
+bits AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1 THEN w ELSE -w END) AS acc
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << bit ELSE CAST(0 AS UBIGINT) END) AS h
+  FROM bits GROUP BY doc_id
+),
+allsig AS (  -- docs with no tokens get signature 0, like simhash64('')
+  SELECT d.doc_id, coalesce(s.h, CAST(0 AS UBIGINT)) AS h
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, h, band, (h >> (band * 16)) & 65535 AS chunk
+  FROM allsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id, l.h AS hl, r.h AS hr
+  FROM banded l JOIN banded r ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT left_id, right_id, CAST(bit_count(xor(hl, hr)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(hl, hr)) <= 4
+ORDER BY left_id, right_id
+"""
+
+
 def dedup_ngram_jaccard(sf_dir: str):
     from silk_ray.functions.dedup import ngram_jaccard_pairs
 
@@ -1270,10 +1312,10 @@ def build_queries():
         "knn_cosine": knn_cosine,
         "label_stats": label_stats,
         "link_names": link_names,
+        "dedup_simhash": dedup_simhash,
         # rows-only (no SQL oracle)
         "lang_id": lang_id,
         "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh_q,
@@ -1306,6 +1348,7 @@ def build_oracle_sql():
         "knn_cosine": KNN_COSINE_SQL,
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
+        "dedup_simhash": DEDUP_SIMHASH_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "link_names": LINK_NAMES_SQL,
     }
