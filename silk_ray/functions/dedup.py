@@ -65,15 +65,30 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 _MERSENNE = (1 << 61) - 1
 
 
-class MinHasher:
-    """n_perm universal-hash MinHash signatures over word shingles;
-    permutation parameters generated once per actor from a fixed seed."""
+def _md5_lower64(s: str) -> int:
+    """Lower 64 bits of md5 (little-endian of digest bytes 8..16) —
+    equals DuckDB's ``md5_number_lower``, which keeps every hash in the
+    MinHash pipeline reproducible in SQL (the ``dedup_minhash``
+    oracle)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
 
-    def __init__(self, n_perm: int = 64, k_shingle: int = 3, seed: int = 1234, text_col: str = "text", id_col: str = "doc_id"):
-        rng = np.random.default_rng(seed)
+
+class MinHasher:
+    """n_perm universal-hash MinHash signatures over word shingles.
+    Permutation parameters and the shingle base hash both derive from
+    md5-lower-64 (not a seeded RNG), so signatures are exactly
+    SQL-reproducible."""
+
+    def __init__(self, n_perm: int = 64, k_shingle: int = 3, text_col: str = "text", id_col: str = "doc_id"):
         # a, x < 2^32 so a*x + b < 2^64: exact in uint64, then mod p
-        self.a = rng.integers(1, 1 << 32, size=n_perm, dtype=np.uint64)
-        self.b = rng.integers(0, 1 << 32, size=n_perm, dtype=np.uint64)
+        self.a = np.array(
+            [1 + _md5_lower64(f"minhash-a-{i}") % ((1 << 32) - 1) for i in range(n_perm)],
+            dtype=np.uint64,
+        )
+        self.b = np.array(
+            [_md5_lower64(f"minhash-b-{i}") % (1 << 32) for i in range(n_perm)],
+            dtype=np.uint64,
+        )
         self.n_perm = n_perm
         self.k = k_shingle
         self.text_col = text_col
@@ -83,7 +98,7 @@ class MinHasher:
         sh = shingles(text, self.k)
         if not sh:
             return np.zeros(self.n_perm, dtype=np.uint64)
-        base = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+        base = np.array([_md5_lower64(s) % (1 << 32) for s in sh], dtype=np.uint64)
         # (n_perm, |sh|) fully vectorized universal hash, min per row
         hashed = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return hashed.min(axis=1)

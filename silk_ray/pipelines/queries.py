@@ -974,6 +974,58 @@ def dedup_simhash(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=4).to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
 
+# exact oracle: every hash in the MinHash pipeline derives from
+# md5-lower-64 (== DuckDB md5_number_lower) — shingle base hash
+# x = md5 % 2^32, permutation params a_i/b_i from md5('minhash-a-i') —
+# so the 64 signatures ((a*x+b) mod 2^61-1, exact in HUGEINT), the
+# 16x4 banding (joined on the raw 4-tuple, which is what the engine's
+# bucket crc encodes) and the jaccard>=0.5 verify are all reproduced
+# in SQL. Verify jaccard is computed over the shingle STRING sets —
+# equal to the engine's crc32-sketch jaccard up to crc collisions
+# (same caveat the n-gram oracle already relies on).
+DEDUP_MINHASH_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                         i -> array_to_string(w[i:i+2], ' '))) END) AS s
+  FROM w
+),
+xs AS (
+  SELECT DISTINCT doc_id, md5_number_lower(s) % 4294967296 AS x FROM sh
+),
+perms AS (
+  SELECT i, 1 + (md5_number_lower('minhash-a-' || i) % 4294967295) AS a,
+         md5_number_lower('minhash-b-' || i) % 4294967296 AS b
+  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+),
+sigs AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS tup
+  FROM (
+    SELECT doc_id, i, min((CAST(a AS HUGEINT) * x + b) % 2305843009213693951) AS v
+    FROM xs CROSS JOIN perms GROUP BY doc_id, i
+  ) GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM sigs l JOIN sigs r ON l.band = r.band AND l.tup = r.tup AND l.doc_id < r.doc_id
+),
+shl AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id)
+SELECT c.left_id, c.right_id,
+       CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
+FROM cand c JOIN shl a ON a.doc_id = c.left_id JOIN shl b ON b.doc_id = c.right_id
+WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
+ORDER BY left_id, right_id
+"""
+
+
 # exact oracle: the per-token hash is md5-lower-64 (== DuckDB
 # md5_number_lower), so signature computation (term-frequency-weighted
 # bit majority), 4x16-bit banding AND the hamming<=4 verify are all
@@ -1313,9 +1365,9 @@ def build_queries():
         "label_stats": label_stats,
         "link_names": link_names,
         "dedup_simhash": dedup_simhash,
+        "dedup_minhash": dedup_minhash,
         # rows-only (no SQL oracle)
         "lang_id": lang_id,
-        "dedup_minhash": dedup_minhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh_q,
@@ -1348,6 +1400,7 @@ def build_oracle_sql():
         "knn_cosine": KNN_COSINE_SQL,
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
+        "dedup_minhash": DEDUP_MINHASH_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "link_names": LINK_NAMES_SQL,
