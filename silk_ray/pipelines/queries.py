@@ -960,6 +960,50 @@ def lang_id(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _lang_id_sql() -> str:
+    """Exact oracle for the trigram-overlap language heuristic: the
+    per-language profiles are built IN SQL from the same literal seed
+    phrases (single source: LangId.SEED), doc/profile trigrams use the
+    identical 2-space padding + lower(), score = |∩|/|doc grams| with
+    the same first-in-dict-order tie-break and 0.05 floor."""
+    from silk_ray.functions.text import LangId
+
+    seeds = ", ".join(
+        f"({i}, '{lang}', '{seed.replace(chr(39), chr(39) * 2)}')"
+        for i, (lang, seed) in enumerate(LangId.SEED.items())
+    )
+    return f"""
+WITH seeds(ord, lang, seed) AS (VALUES {seeds}),
+prof AS (
+  SELECT ord, lang,
+    list_distinct(list_transform(generate_series(1, len('  ' || lower(seed) || '  ') - 2),
+                                 i -> substr('  ' || lower(seed) || '  ', i, 3))) AS grams
+  FROM seeds
+),
+docg AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len('  ' || lower(text) || '  ') - 2),
+                                 i -> substr('  ' || lower(text) || '  ', i, 3))) AS grams
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, p.lang, p.ord,
+         CAST(len(list_intersect(d.grams, p.grams)) AS DOUBLE) / len(d.grams) AS score
+  FROM docg d CROSS JOIN prof p
+  WHERE len(d.grams) > 0
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       coalesce(CASE WHEN b.score > 0.05 THEN b.lang END, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_minhash(sf_dir: str):
     from silk_ray.functions.dedup import minhash_lsh_pairs
 
@@ -1366,10 +1410,10 @@ def build_queries():
         "link_names": link_names,
         "dedup_simhash": dedup_simhash,
         "dedup_minhash": dedup_minhash,
-        # rows-only (no SQL oracle)
         "lang_id": lang_id,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
+        # rows-only (no SQL oracle)
         "knn_lsh": knn_lsh_q,
         "knn_ivf": knn_ivf_q,
         "link_documents": link_documents,
@@ -1402,6 +1446,7 @@ def build_oracle_sql():
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
+        "lang_id": _lang_id_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "link_names": LINK_NAMES_SQL,
     }
