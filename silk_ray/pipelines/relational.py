@@ -181,6 +181,12 @@ def _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit):
     tie_cols = [c for c in sorted(set(value_cols)) if c not in (by, on)]
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # SQL join semantics: a null key or null ordering value never
+        # matches anything — drop those rows instead of letting the
+        # segment scan group null-keyed rows together
+        mask = pc.and_(pc.is_valid(batch[by]), pc.is_valid(batch[on]))
+        if not pc.min(mask).as_py():
+            batch = batch.filter(mask)
         col = batch[by]
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             part = np.fromiter(

@@ -207,3 +207,21 @@ def test_join_right_only_int64_stays_exact(ray_session):
     out = asof_join(left, right, by="k", on="t", value_cols={"rid": "rid_out"}).to_pandas()
     assert out["rid_out"].dtype == np.int64
     assert out["rid_out"].tolist() == [big]
+
+
+def test_join_null_keys_never_match(ray_session):
+    """SQL semantics: a null by-key or null on-value matches nothing."""
+    import ray.data as rd
+
+    from silk_ray.pipelines.relational import asof_join
+
+    left = rd.from_items(
+        [
+            {"k": None, "t": 20, "v": 1.0},
+            {"k": 1, "t": None, "v": 2.0},
+            {"k": 1, "t": 20, "v": 3.0},
+            {"k": 1, "t": 10, "v": 4.0},
+        ]
+    )
+    out = asof_join(left, left, by="k", on="t", value_cols={"v": "prev_v"}).to_pandas()
+    assert out[["k", "t", "prev_v"]].values.tolist() == [[1, 20, 4.0]]
