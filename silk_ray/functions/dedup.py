@@ -65,12 +65,9 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 _MERSENNE = (1 << 61) - 1
 
 
-def _md5_lower64(s: str) -> int:
-    """Lower 64 bits of md5 (little-endian of digest bytes 8..16) —
-    equals DuckDB's ``md5_number_lower``, which keeps every hash in the
-    MinHash pipeline reproducible in SQL (the ``dedup_minhash``
-    oracle)."""
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+# md5-lower-64 (== DuckDB ``md5_number_lower``) keeps every hash in the
+# MinHash pipeline reproducible in SQL (the ``dedup_minhash`` oracle)
+from silk_ray.kernel.index import md5_lower64 as _md5_lower64  # noqa: E402
 
 
 class MinHasher:

@@ -820,27 +820,45 @@ class JaccardMinhashLSH(JaccardDistance):
     (AND), so a candidate needs Jaccard ≈ collision^(1/rows) — frequent
     single values no longer collapse everything into one block. Recall
     is 1-(1-s^rows)^bands (probabilistic, tunable), a documented
-    deviation used by the scale-path rules."""
+    deviation used by the scale-path rules.
+
+    Every hash derives from md5-lower-64 (== DuckDB
+    ``md5_number_lower``): base value hash = md5 % 2^32, permutation
+    params a_i/b_i from md5('mhlsh-{seed}-a/b-{i}') — so a SQL oracle
+    reproduces the signatures exactly (a·x+b < 2^64, so the numpy
+    uint64 math equals HUGEINT) and the banding as raw row-tuples (the
+    engine's band key crc-encodes the same tuple; crc collisions only
+    ever ADD engine candidates — the negligible caveat the
+    dedup_minhash oracle already documents)."""
 
     id = "jaccardMinhashLSH"
 
     def __init__(self, bands: int = 6, rows: int = 6, seed: int = 97):
         import numpy as np
 
+        from silk_ray.kernel.index import md5_lower64
+
         self.bands = bands
         self.rows = rows
         n = bands * rows
-        rng = np.random.default_rng(seed)
-        self._a = rng.integers(1, 1 << 32, size=n, dtype=np.uint64)
-        self._b = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+        self._a = np.array(
+            [1 + md5_lower64(f"mhlsh-{seed}-a-{i}") % ((1 << 32) - 1) for i in range(n)],
+            dtype=np.uint64,
+        )
+        self._b = np.array(
+            [md5_lower64(f"mhlsh-{seed}-b-{i}") % (1 << 32) for i in range(n)],
+            dtype=np.uint64,
+        )
 
     def index(self, values, limit, source_or_target):
         import numpy as np
 
+        from silk_ray.kernel.index import md5_lower64
+
         value_set = set(values)
         if not value_set:
             return Index.one_dim(set())
-        base = np.array([stable_str_hash(v) for v in value_set], dtype=np.uint64)
+        base = np.array([md5_lower64(v) % (1 << 32) for v in value_set], dtype=np.uint64)
         mersenne = np.uint64((1 << 61) - 1)
         sig = ((self._a[:, None] * base[None, :] + self._b[:, None]) % mersenne).min(axis=1)
         keys = set()

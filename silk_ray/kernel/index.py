@@ -54,6 +54,16 @@ def stable_str_hash(s: str) -> int:
     return zlib.crc32(s.encode("utf-8", "surrogatepass"))
 
 
+def md5_lower64(s: str) -> int:
+    """Lower 64 bits of md5 (little-endian of digest bytes 8..16) —
+    equals DuckDB's ``md5_number_lower``. Used wherever a pipeline hash
+    must be reproducible by the SQL oracles (kmvTokens sketch order,
+    MinHash/SimHash token hashing, jaccardMinhashLSH signatures)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:], "little")
+
+
 class Index:
     __slots__ = ("indices", "sizes")
 

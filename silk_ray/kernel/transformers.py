@@ -1600,7 +1600,9 @@ class KmvTokensTransformer(Transformer):
     smallest stable hashes. Not in the reference — our scale addition
     (SURVEY.md §7.3): Jaccard over the KMV sketch approximates token
     Jaccard while bounding blocking-index size and shuffle payload to
-    O(k) per row."""
+    O(k) per row. The hash is md5-lower-64 (== DuckDB
+    ``md5_number_lower``) so a SQL oracle can reproduce the sketch
+    exactly (``list_sort`` by ``(md5_number_lower(s), s)``, take k)."""
 
     id = "kmvTokens"
 
@@ -1608,10 +1610,10 @@ class KmvTokensTransformer(Transformer):
         self.k = k
 
     def apply(self, values):
-        from silk_ray.kernel.index import stable_str_hash
+        from silk_ray.kernel.index import md5_lower64
 
         distinct = {v for vs in values for v in vs}
-        return sorted(distinct, key=lambda v: (stable_str_hash(v), v))[: self.k]
+        return sorted(distinct, key=lambda v: (md5_lower64(v), v))[: self.k]
 
 
 class ValidationError(ValueError):

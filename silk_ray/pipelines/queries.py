@@ -1244,7 +1244,11 @@ ORDER BY source, target
 
 def link_documents(sf_dir: str):
     """Self-linkage of documents: Silk rule over (lang equality,
-    KMV-token Jaccard of text)."""
+    KMV-token Jaccard of text) — average aggregation
+    (AverageAggregator.scala:48-79) with banded MinHash-LSH blocking.
+    Every pipeline hash derives from md5-lower-64, so the full rule
+    (kmv sketch order, 36 LSH signatures, 6x6 banding, weighted-average
+    score, >=0 keep) has an exact SQL oracle."""
     from silk_ray.linking.pipeline import add_uri_column, generate_links
 
     rule = {
@@ -1269,6 +1273,71 @@ def link_documents(sf_dir: str):
     links = generate_links(ds, None, rule, source_equals_target=True).to_pandas()
     links["confidence"] = links["confidence"].round(6)
     return links.sort_values(["source", "target"]).reset_index(drop=True)
+
+
+# exact oracle for the flagship linkage rule: the engine's tokenizer is
+# re.split(r'\s') (empties KEPT — DuckDB string_split_regex matches,
+# incl. '' -> ['']); shingle joins raw token windows; kmvTokens keeps
+# the 32 distinct shingles smallest by (md5_number_lower, value); the
+# jaccardMinhashLSH index derives base hash (md5 % 2^32) and the 36
+# permutation params from md5-lower-64, so the 6x6 banding reproduces
+# as raw signature tuples (the engine crc-encodes the same tuple —
+# collisions could only ADD engine candidates, the documented
+# negligible caveat shared with the dedup_minhash oracle). Score =
+# weighted average of (lang equality -> ±1, theta=0 semantics) and
+# (KMV-set jaccard, conf = 1 - d/0.5), kept iff >= 0; pairs ordered by
+# the STRING form of doc_id (engine uris are strings).
+LINK_DOCUMENTS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, string_split_regex(text, '\s') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       ELSE list_transform(generate_series(1, len(w) - 2),
+                           i -> array_to_string(w[i:i+2], ' ')) END) AS s
+  FROM d
+),
+kmv AS (
+  SELECT doc_id, s FROM (SELECT DISTINCT doc_id, s FROM sh)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY md5_number_lower(s), s) <= 32
+),
+perms AS (
+  SELECT i, 1 + (md5_number_lower('mhlsh-97-a-' || i) % 4294967295) AS a,
+         md5_number_lower('mhlsh-97-b-' || i) % 4294967296 AS b
+  FROM (SELECT unnest(generate_series(0, 35)) AS i)
+),
+sigs AS (
+  SELECT doc_id, i // 6 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS tup
+  FROM (
+    SELECT doc_id, i,
+           min((CAST(a AS HUGEINT) * (md5_number_lower(s) % 4294967296) + b)
+               % 2305843009213693951) AS v
+    FROM kmv CROSS JOIN perms GROUP BY doc_id, i
+  ) GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS lid, r.doc_id AS rid
+  FROM sigs l JOIN sigs r ON l.band = r.band AND l.tup = r.tup
+   AND CAST(l.doc_id AS VARCHAR) < CAST(r.doc_id AS VARCHAR)
+),
+ks AS (SELECT doc_id, list(s) AS ss FROM kmv GROUP BY doc_id),
+scored AS (
+  SELECT CAST(c.lid AS VARCHAR) AS source, CAST(c.rid AS VARCHAR) AS target,
+         (CASE WHEN dl.lang = dr.lang THEN 1.0 ELSE -1.0 END
+          + 2.0 * (1.0 - (1.0 - CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))) / 0.5)
+         ) / 3.0 AS confidence
+  FROM cand c
+  JOIN ks a ON a.doc_id = c.lid JOIN ks b ON b.doc_id = c.rid
+  JOIN documents dl ON dl.doc_id = c.lid JOIN documents dr ON dr.doc_id = c.rid
+  WHERE dl.lang IS NOT NULL AND dr.lang IS NOT NULL
+)
+SELECT source, target, round(confidence, 6) AS confidence
+FROM scored WHERE confidence >= 0.0
+ORDER BY source, target
+"""
 
 
 def learn_linkage_rule(sf_dir: str):
@@ -1449,4 +1518,5 @@ def build_oracle_sql():
         "lang_id": _lang_id_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "link_names": LINK_NAMES_SQL,
+        "link_documents": LINK_DOCUMENTS_SQL,
     }
