@@ -121,21 +121,146 @@ def _sketch_of(text: str, k: int) -> np.ndarray:
     return np.unique(np.fromiter((zlib.crc32(s.encode()) for s in sh), np.uint32, len(sh)))
 
 
-def _candidate_pairs(band_rows, id_col: str):
+def _find_hot_buckets(band_rows, hot_cap: int, n_salt_max: int) -> dict[int, int]:
+    """Pre-pass (mirror of linking's ``find_hot_keys``): count rows per
+    bucket, return ``{bucket: n_salt}`` for buckets above the cap. Only
+    counts move — the result is a small driver-side dict (hot buckets
+    are rare by construction) broadcast into the salt stage."""
+    hot: dict[int, int] = {}
+    counted = band_rows.groupby("bucket").count()
+    for b in counted.iter_batches(batch_format="pyarrow"):
+        for k, c in zip(b["bucket"].to_pylist(), b["count()"].to_pylist()):
+            if c > hot_cap:
+                hot[k] = min(n_salt_max, -(-c // hot_cap))
+    return hot
+
+
+def _salt_triangle(band_rows, id_col: str, carry: list[str], hot: dict[int, int]):
+    """Triangle-salt oversized buckets: each row gets a stable salt
+    ``s = crc32(id) % S`` and is replicated into every group
+    ``(bucket, min(s,j), max(s,j))`` for ``j in 0..S-1``. A pair (a, b)
+    then meets in exactly ONE group — {s_a, s_b} — so the pair set is
+    identical to the unsalted bucket while per-task work drops from
+    O(n²) to O((n/S)²) (cross) per group. Non-hot rows pass through
+    with g_lo = g_hi = salt = 0."""
+    import ray
+
+    def passthrough(batch: pa.Table) -> pa.Table:
+        zeros = np.zeros(batch.num_rows, np.int8)
+        cols = {
+            "bucket": batch["bucket"],
+            "g_lo": pa.array(zeros, pa.int8()),
+            "g_hi": pa.array(zeros, pa.int8()),
+            "salt": pa.array(zeros, pa.int8()),
+            id_col: batch[id_col],
+        }
+        for c in carry:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    if not hot:
+        return band_rows.map_batches(passthrough, batch_format="pyarrow")
+
+    hot_ref = ray.put(hot)
+    hot_keys_arr = np.fromiter(hot.keys(), np.int64, len(hot))
+
+    def salt(batch: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        hot_mask = np.isin(buckets, hot_keys_arr)
+        cold = batch.filter(pa.array(~hot_mask))
+        zeros = np.zeros(cold.num_rows, np.int8)
+        out_cols = {
+            "bucket": cold["bucket"],
+            "g_lo": pa.array(zeros, pa.int8()),
+            "g_hi": pa.array(zeros, pa.int8()),
+            "salt": pa.array(zeros, pa.int8()),
+            id_col: cold[id_col],
+        }
+        for c in carry:
+            out_cols[c] = cold[c]
+        tables = [pa.table(out_cols)]
+        if hot_mask.any():
+            hot_tbl = batch.filter(pa.array(hot_mask))
+            ids = hot_tbl[id_col].to_pylist()
+            hb = hot_tbl["bucket"].to_pylist()
+            rows, lo, hi, sa = [], [], [], []
+            for i, (b, doc) in enumerate(zip(hb, ids)):
+                n_salt = h[b]
+                s = zlib.crc32(str(doc).encode()) % n_salt
+                for j in range(n_salt):
+                    rows.append(i)
+                    lo.append(min(s, j))
+                    hi.append(max(s, j))
+                    sa.append(s)
+            take = pa.array(rows, pa.int64())
+            sub = hot_tbl.take(take)
+            cols = {
+                "bucket": sub["bucket"],
+                "g_lo": pa.array(lo, pa.int8()),
+                "g_hi": pa.array(hi, pa.int8()),
+                "salt": pa.array(sa, pa.int8()),
+                id_col: sub[id_col],
+            }
+            for c in carry:
+                cols[c] = sub[c]
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
+
+    return band_rows.map_batches(salt, batch_format="pyarrow")
+
+
+def _group_sides(group: pa.Table, id_col: str):
+    """Distinct rows of one (bucket, g_lo, g_hi) group → (left_indices,
+    right_indices) into the deduped arrays: triangular pairs for a
+    same-salt group, full cross for a mixed-salt group. Vectorized —
+    no Python pair loop."""
+    import pandas as pd
+
+    g_lo = group["g_lo"][0].as_py()
+    g_hi = group["g_hi"][0].as_py()
+    df = group.to_pandas()
+    df = df.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+    if g_lo == g_hi:
+        n = len(df)
+        if n < 2:
+            return df, None, None
+        li, ri = np.triu_indices(n, k=1)
+        return df, li, ri
+    salts = df["salt"].to_numpy()
+    a = np.flatnonzero(salts == g_lo)
+    b = np.flatnonzero(salts == g_hi)
+    if a.size == 0 or b.size == 0:
+        return df, None, None
+    li = np.repeat(a, b.size)
+    ri = np.tile(b, a.size)
+    # normalize to id order (ids are sorted, so index order == id order)
+    lo = np.minimum(li, ri)
+    hi = np.maximum(li, ri)
+    return df, lo, hi
+
+
+def _candidate_pairs(band_rows, id_col: str, hot_cap: int = 4096, n_salt_max: int = 64):
     """(bucket, id) rows → distinct (left_id, right_id) candidate pairs
-    with left < right. Only ids move through both shuffles."""
+    with left < right. Only ids move through both shuffles. Buckets
+    above ``hot_cap`` rows are triangle-salted (see :func:`_salt_triangle`)
+    so one degenerate bucket (e.g. all-empty docs sharing MinHash
+    signature 0) cannot become a single O(n²) straggler task; pair
+    emission is vectorized (np.triu_indices / repeat+tile)."""
+    hot = _find_hot_buckets(band_rows, hot_cap, n_salt_max)
+    salted = _salt_triangle(band_rows, id_col, [], hot)
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         id_type = group[id_col].type
-        uniq = sorted(set(group[id_col].to_pylist()))
-        ls, rs = [], []
-        for x in range(len(uniq)):
-            for y in range(x + 1, len(uniq)):
-                ls.append(uniq[x])
-                rs.append(uniq[y])
-        return pa.table({"left_id": pa.array(ls, id_type), "right_id": pa.array(rs, id_type)})
+        df, li, ri = _group_sides(group, id_col)
+        if li is None:
+            return pa.schema([("left_id", id_type), ("right_id", id_type)]).empty_table()
+        ids = df[id_col].to_numpy()
+        return pa.table(
+            {"left_id": pa.array(ids[li], id_type), "right_id": pa.array(ids[ri], id_type)}
+        )
 
-    pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(emit_pairs, batch_format="pyarrow")
     # same pair can surface from several buckets → distinct
     from ray.data.aggregate import Count
 
@@ -270,6 +395,8 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     jaccard_threshold: float = 0.7,
     concurrency=(1, 8),
+    hot_cap: int = 4096,
+    n_salt_max: int = 64,
 ):
     """MinHash → band buckets → candidate pairs → sketch-Jaccard verify.
 
@@ -334,7 +461,7 @@ def minhash_lsh_pairs(
         return pa.table({"bucket": flat["bucket"], id_col: ids})
 
     band_rows = sketched.map_batches(explode_bands, batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows, id_col)
+    cand = _candidate_pairs(band_rows, id_col, hot_cap=hot_cap, n_salt_max=n_salt_max)
     return _verify_adaptive(cand, sketched, id_col, jaccard_threshold, "jaccard")
 
 
@@ -389,10 +516,27 @@ class SimHashStage:
         )
 
 
-def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3, n_tables: int = 4):
+# byte-popcount lookup for vectorized hamming (numpy < 2 lacks bitwise_count)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def simhash_near_dup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    hot_cap: int = 4096,
+    n_salt_max: int = 64,
+):
     """Near-dup candidates by SimHash: split the 64-bit hash into
     ``n_tables`` 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ one band equal),
-    bucket-groupby per band, verify hamming distance in-bucket."""
+    bucket-groupby per band, verify hamming distance in-bucket.
+    Degenerate buckets (e.g. every empty doc has signature 0, so all
+    four of its bands collide) are triangle-salted above ``hot_cap``
+    rows — identical output, bounded per-task pairs — and the hamming
+    verify is a vectorized XOR-popcount matrix, chunked to bound peak
+    memory, not a Python pair loop."""
     band_bits = 64 // n_tables
 
     class Bander(SimHashStage):
@@ -417,26 +561,44 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text", m
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    hot = _find_hot_buckets(banded.select_columns(["bucket"]), hot_cap, n_salt_max)
+    salted = _salt_triangle(banded, id_col, ["simhash"], hot)
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        hs = group["simhash"].to_pylist()
-        uniq = sorted(set(zip(ids, hs)))
-        ls, rs, ds_ = [], [], []
-        for x in range(len(uniq)):
-            for y in range(x + 1, len(uniq)):
-                d = bin((uniq[x][1] ^ uniq[y][1]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming and uniq[x][0] != uniq[y][0]:
-                    ls.append(uniq[x][0])
-                    rs.append(uniq[y][0])
-                    ds_.append(d)
+        id_type = group[id_col].type
+        empty = pa.schema(
+            [("left_id", id_type), ("right_id", id_type), ("hamming", pa.int64())]
+        ).empty_table()
+        df, li, ri = _group_sides(group, id_col)
+        if li is None:
+            return empty
+        ids = df[id_col].to_numpy()
+        hashes = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ls, rs, hs = [], [], []
+        # chunk the left side so the XOR matrix stays small
+        for s in range(0, len(li), 1 << 20):
+            l_idx = li[s : s + (1 << 20)]
+            r_idx = ri[s : s + (1 << 20)]
+            x = hashes[l_idx] ^ hashes[r_idx]
+            d = _POPCNT8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1, dtype=np.int64)
+            keep = d <= max_hamming
+            if keep.any():
+                ls.append(ids[l_idx[keep]])
+                rs.append(ids[r_idx[keep]])
+                hs.append(d[keep])
+        if not ls:
+            return empty
         return pa.table(
-            {"left_id": pa.array(ls), "right_id": pa.array(rs), "hamming": pa.array(ds_, pa.int64())}
+            {
+                "left_id": pa.array(np.concatenate(ls), id_type),
+                "right_id": pa.array(np.concatenate(rs), id_type),
+                "hamming": pa.array(np.concatenate(hs), pa.int64()),
+            }
         )
 
     from ray.data.aggregate import Min
 
-    pairs = banded.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(verify, batch_format="pyarrow")
     return pairs.groupby(["left_id", "right_id"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -451,6 +613,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     threshold: float = 0.8,
+    hot_cap: int = 4096,
+    n_salt_max: int = 64,
 ):
     """Exact all-pairs n-gram Jaccard ≥ threshold via prefix filtering:
     each doc emits its ⌊n(1-t)⌋+1 smallest-hashed shingles as block keys
@@ -490,5 +654,5 @@ def ngram_jaccard_pairs(
         return pa.table({"bucket": flat["bucket"], id_col: batch[id_col].take(flat["_row"])})
 
     band_rows = sketched.map_batches(explode_prefix, batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows, id_col)
+    cand = _candidate_pairs(band_rows, id_col, hot_cap=hot_cap, n_salt_max=n_salt_max)
     return _verify_adaptive(cand, sketched, id_col, threshold, "jaccard")

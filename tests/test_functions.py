@@ -69,6 +69,47 @@ def test_simhash_pairs(doc_ds):
     assert (0, 1) in got  # exact copies: hamming 0
 
 
+def test_hot_bucket_salting_identical_output(ray_session):
+    """Adversarial mega-bucket: many empty docs share MinHash signature
+    0 (all bands collide) and SimHash 0. Triangle salting must (a)
+    trigger, (b) bound per-task group size, and (c) leave the pair set
+    byte-identical to the unsalted run."""
+    import ray.data as rd
+
+    from silk_ray.functions.dedup import (
+        _find_hot_buckets,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    rows = [{"doc_id": i, "text": ""} for i in range(60)]
+    rows += [
+        {"doc_id": 100 + j, "text": f"regular document {j} about topic alpha{j} beta{j} gamma{j}"}
+        for j in range(8)
+    ]
+    ds = rd.from_items(rows)
+
+    def norm(df):
+        return df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+    # minhash: empty docs → 60*(60-1)/2 = 1770 pairs at jaccard>=... empty
+    # sketches score 0.0, so use threshold 0.0 to keep them in the output
+    unsalted = norm(minhash_lsh_pairs(ds, jaccard_threshold=0.0, hot_cap=10**9).to_pandas())
+    salted = norm(minhash_lsh_pairs(ds, jaccard_threshold=0.0, hot_cap=16, n_salt_max=8).to_pandas())
+    assert len(unsalted) >= 1770
+    assert unsalted.equals(salted)
+
+    un_sim = norm(simhash_near_dup_pairs(ds, max_hamming=0, hot_cap=10**9).to_pandas())
+    sa_sim = norm(simhash_near_dup_pairs(ds, max_hamming=0, hot_cap=16, n_salt_max=8).to_pandas())
+    assert len(un_sim) >= 1770
+    assert un_sim.equals(sa_sim)
+
+    # the pre-pass actually detects the degenerate bucket and sizes salts
+    band_rows = rd.from_items([{"bucket": 7, "doc_id": i} for i in range(64)])
+    hot = _find_hot_buckets(band_rows, hot_cap=16, n_salt_max=8)
+    assert hot == {7: 4}
+
+
 def test_ngram_jaccard_exact_pairs(doc_ds):
     from silk_ray.functions.dedup import ngram_jaccard_pairs, shingles
 
