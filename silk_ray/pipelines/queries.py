@@ -1397,24 +1397,81 @@ def learn_linkage_rule(sf_dir: str):
     )
 
 
-def cdc_flagship(sf_dir: str):
-    """The flagship CDC pipeline: lake built from a deterministic
-    changelog seeded by this sf tier's documents; returns final state."""
-    import tempfile
+def _cdc_changelog_path(sf_dir: str) -> str:
+    """Deterministic on-disk location of the flagship's generated
+    changelog for one sf tier — the handshake that lets the DuckDB
+    oracle read the exact event stream the engine consumed."""
+    import hashlib
 
-    from silk_ray.cdc.engine import EngineConfig, run
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/silkray_cdc_oracle/changelog_{h}.parquet"
+
+
+def _ensure_cdc_changelog(sf_dir: str) -> tuple[pa.Table, int]:
+    """Generate (seeded — byte-identical every run) the flagship
+    changelog for ``sf_dir`` and persist it where the SQL oracle reads
+    it. Returns (changelog, base_row_count)."""
+    import pyarrow.parquet as pq
+
     from silk_ray.cdc.generator import make_changelog
-    from silk_ray.cdc.merge import state_table
-    from silk_ray.pipelines.rules import BENCH_RULE
 
     base = base_from_documents(sf_dir)
     log = make_changelog(base, max(500, base.num_rows * 3), seed=5, dup_frac=0.02)
+    path = _cdc_changelog_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(log, tmp)
+        os.replace(tmp, path)  # atomic: concurrent writers both win
+    return log, base.num_rows
+
+
+def cdc_flagship(sf_dir: str):
+    """The flagship CDC pipeline: lake built from a deterministic
+    changelog seeded by this sf tier's documents; returns final state.
+    The merge-apply reduction has an exact SQL oracle (last-writer-wins
+    by offset per (repo, path), duplicate offsets ignored, trailing D
+    deletes) over the persisted changelog parquet."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import state_table
+    from silk_ray.pipelines.rules import BENCH_RULE
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
     root = tempfile.mkdtemp(prefix="silkray_lake_")
     spec = {k: v for k, v in BENCH_RULE.items() if k != "filter_limit"}
-    run(root, log, EngineConfig(epoch_size=max(250, base.num_rows), num_partitions=8,
+    run(root, log, EngineConfig(epoch_size=max(250, n_base), num_partitions=8,
                                 n_block_partitions=16, rule_spec=spec))
     state = state_table(root).to_pandas()
     return state.reset_index(drop=True)
+
+
+def cdc_flagship_sql_for(sf_dir: str) -> str:
+    """Last-writer-wins SQL oracle over the persisted changelog: the
+    generator appends ``dup_frac`` verbatim duplicate events (same
+    offset, same payload — DISTINCT removes them), state is the newest
+    surviving event per key, keys whose newest event is D are gone.
+    The changelog for ``sf_dir`` is generated here if the oracle runs
+    before the Ray query — the generation is seeded, so both sides see
+    byte-identical events."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit, lang, content, branch
+FROM (
+  SELECT repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+def _cdc_flagship_sql() -> str:
+    # the driver runs correctness at sf0.01 (the registry is static SQL)
+    return cdc_flagship_sql_for("/root/testdata/sf0.01")
 
 
 def base_from_documents(sf_dir: str) -> pa.Table:
@@ -1482,10 +1539,10 @@ def build_queries():
         "lang_id": lang_id,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
+        "link_documents": link_documents,
         # rows-only (no SQL oracle)
         "knn_lsh": knn_lsh_q,
         "knn_ivf": knn_ivf_q,
-        "link_documents": link_documents,
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
     }
@@ -1519,4 +1576,5 @@ def build_oracle_sql():
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "link_names": LINK_NAMES_SQL,
         "link_documents": LINK_DOCUMENTS_SQL,
+        "cdc_flagship": _cdc_flagship_sql(),
     }

@@ -43,7 +43,14 @@ def test_query_matches_oracle(ray_session, name):
     ray_df = QUERIES[name](SF_DIR)
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
-    oracle_df = duckdb_result(ORACLES[name])
+    if name == "cdc_flagship":
+        # the registry SQL pins the driver's sf0.01 changelog path;
+        # rebuild it for this test's tier
+        from silk_ray.pipelines.queries import cdc_flagship_sql_for
+
+        oracle_df = duckdb_result(cdc_flagship_sql_for(SF_DIR))
+    else:
+        oracle_df = duckdb_result(ORACLES[name])
     assert set(ray_df.columns) == set(oracle_df.columns), (
         f"{name}: columns {list(ray_df.columns)} vs {list(oracle_df.columns)}"
     )
