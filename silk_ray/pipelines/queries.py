@@ -43,6 +43,19 @@ def _orders_fit_broadcast(sf_dir: str) -> bool:
     return n <= _BROADCAST_ORDERS_MAX_ROWS
 
 
+# customer/supplier scale with SF too (TPC-H: 150k/10k rows per SF) — at
+# 100 TB they are billion-row tables, so their driver-side broadcast is
+# gated by the same metadata probe, with a hash-shuffle join fallback
+_BROADCAST_DIM_MAX_ROWS = 4_000_000
+
+
+def _dim_fits_broadcast(sf_dir: str, table: str) -> bool:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    return n <= _BROADCAST_DIM_MAX_ROWS
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish
 # ---------------------------------------------------------------------------
@@ -107,21 +120,26 @@ def q3_revenue_topk(sf_dir: str):
     driver until the final ≤10·num_blocks rows."""
     from ray.data.aggregate import Max, Sum
 
-    from silk_ray.pipelines.relational import broadcast_semi_filter
+    from silk_ray.pipelines.relational import broadcast_semi_filter, shuffle_semi_filter
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = cust.map_batches(
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    cust_keys = set(building.to_pandas()["c_custkey"])  # dimension-sized broadcast
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders.map_batches(
         lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
         batch_format="pyarrow",
     )
-    orders = broadcast_semi_filter(orders, "o_custkey", cust_keys)
+    # customer scales with SF: driver-side key set only below the
+    # metadata-probed gate, hash-shuffle semi-join above it
+    if _dim_fits_broadcast(sf_dir, "customer"):
+        cust_keys = set(building.to_pandas()["c_custkey"])
+        orders = broadcast_semi_filter(orders, "o_custkey", cust_keys)
+    else:
+        orders = shuffle_semi_filter(orders, "o_custkey", building, "c_custkey")
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -309,88 +327,126 @@ def _lookup(ref, vals):
 
 def q5_local_supplier(sf_dir: str):
     """TPC-H Q5 shape: 6-table join where customer and supplier must be
-    in the same ASIA nation. Dimensions (region⋈nation, customer keys,
-    supplier keys) broadcast as sorted arrays; orders⋈lineitem is a
-    hash-partitioned shuffle join (tagged union + groupby(part) +
-    vectorized pandas merge per partition) — both fact tables stream."""
+    in the same ASIA nation. region⋈nation are true constants (5/25
+    rows, not SF-scaled) and stay driver-side; customer and supplier
+    SCALE with SF, so each attaches via a broadcast sorted-array lookup
+    only below the metadata-probed gate and a hash-shuffle dimension
+    join above it; orders⋈lineitem is a broadcast key map below the
+    orders gate, else a hash-partitioned shuffle join. Both fact tables
+    stream throughout — nothing SF-scaled materializes driver-side
+    unconditionally."""
     from ray.data.aggregate import Sum
+
+    from silk_ray.pipelines.relational import shuffle_lookup
 
     region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     asia_key = int(region.loc[region.r_name == "ASIA", "r_regionkey"].iloc[0])
     asia_nations = nation[nation.n_regionkey == asia_key]
     nation_names = dict(zip(asia_nations.n_nationkey, asia_nations.n_name))
-
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust.c_nationkey.isin(nation_names)]
-    cust_ref = _broadcast_arrays(cust.c_custkey.to_numpy(), cust.c_nationkey.to_numpy())
-    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_ref = _broadcast_arrays(supp.s_suppkey.to_numpy(), supp.s_nationkey.to_numpy())
+    asia_set = np.sort(asia_nations.n_nationkey.to_numpy())
 
     lo = pd.Timestamp("1996-01-01")
     hi = pd.Timestamp("1997-01-01")
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    n_part = 64
-
-    def order_side(b: pa.Table) -> pa.Table:
+    def date_filter(b: pa.Table) -> pa.Table:
         b = b.filter(
             pc.and_(
                 pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
                 pc.less(b["o_orderdate"], pa.scalar(hi)),
             )
         )
-        hit, nk = _lookup(cust_ref, b["o_custkey"].to_numpy())
-        b = b.filter(pa.array(hit))
-        n = b.num_rows
-        return pa.table(
-            {
-                "okey": b["o_orderkey"],
-                "part": pc.cast(pc.bit_wise_and(b["o_orderkey"], n_part - 1), pa.int32()),
-                "cust_nation": pa.array(nk[hit], pa.int64()),
-                "suppkey": pa.nulls(n, pa.int64()),
-                "revenue": pa.nulls(n, pa.float64()),
-            }
+        return b.select(["o_orderkey", "o_custkey"])
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        date_filter, batch_format="pyarrow"
+    )
+
+    # ---- orders ⋈ customer → (okey, cust_nation), ASIA customers only
+    if _dim_fits_broadcast(sf_dir, "customer"):
+        cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust[cust.c_nationkey.isin(nation_names)]
+        cust_ref = _broadcast_arrays(cust.c_custkey.to_numpy(), cust.c_nationkey.to_numpy())
+
+        def attach_cust(b: pa.Table) -> pa.Table:
+            hit, nk = _lookup(cust_ref, b["o_custkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(hit))
+            return pa.table(
+                {"okey": b["o_orderkey"], "cust_nation": pa.array(nk[hit].astype(np.int64), pa.int64())}
+            )
+
+        orders_n = orders.map_batches(attach_cust, batch_format="pyarrow")
+    else:
+        cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: b.filter(
+                pa.array(np.isin(b["c_nationkey"].to_numpy(zero_copy_only=False), asia_set))
+            ),
+            batch_format="pyarrow",
+        )
+        orders_n = shuffle_lookup(
+            orders, "o_custkey", cust_ds, "c_custkey", "c_nationkey", "cust_nation"
+        ).map_batches(
+            lambda b: pa.table(
+                {"okey": b["o_orderkey"], "cust_nation": pc.cast(b["cust_nation"], pa.int64())}
+            ),
+            batch_format="pyarrow",
         )
 
-    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-
-    def li_side(b: pa.Table) -> pa.Table:
+    # ---- lineitem ⋈ supplier → (okey, s_nation, revenue)
+    def li_rev(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        n = b.num_rows
-        return pa.table(
-            {
-                "okey": b["l_orderkey"],
-                "part": pc.cast(pc.bit_wise_and(b["l_orderkey"], n_part - 1), pa.int32()),
-                "cust_nation": pa.nulls(n, pa.int64()),
-                "suppkey": b["l_suppkey"],
-                "revenue": rev,
-            }
+        return pa.table({"okey": b["l_orderkey"], "l_suppkey": b["l_suppkey"], "revenue": rev})
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_rev, batch_format="pyarrow"
+    )
+    if _dim_fits_broadcast(sf_dir, "supplier"):
+        supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+        supp_ref = _broadcast_arrays(supp.s_suppkey.to_numpy(), supp.s_nationkey.to_numpy())
+
+        def attach_supp(b: pa.Table) -> pa.Table:
+            hit, sn = _lookup(supp_ref, b["l_suppkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "okey": b["okey"],
+                    "s_nation": pa.array(sn[hit].astype(np.int64), pa.int64()),
+                    "revenue": b["revenue"],
+                }
+            )
+
+        li_n = li.map_batches(attach_supp, batch_format="pyarrow")
+    else:
+        supp_ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        li_n = shuffle_lookup(
+            li, "l_suppkey", supp_ds, "s_suppkey", "s_nationkey", "s_nation"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "okey": b["okey"],
+                    "s_nation": pc.cast(b["s_nation"], pa.int64()),
+                    "revenue": b["revenue"],
+                }
+            ),
+            batch_format="pyarrow",
         )
 
-    # adaptive join (same planning rule as q3): below the broadcast
-    # threshold the filtered (okey -> cust_nation) map ships once and
-    # the whole join runs map-side over the streaming lineitem — no
-    # fact-table shuffle at all; above it, hash-partitioned shuffle join
+    # ---- final join on okey with cust_nation == s_nation
     if _orders_fit_broadcast(sf_dir):
-        odf = (
-            orders.map_batches(order_side, batch_format="pyarrow")
-            .select_columns(["okey", "cust_nation"])
-            .to_pandas()
-        )
+        odf = orders_n.to_pandas()
         okey_ref = _broadcast_arrays(odf.okey.to_numpy(), odf.cust_nation.to_numpy())
 
         def li_join(b: pa.Table) -> pa.Table:
-            okeys = b["l_orderkey"].to_numpy(zero_copy_only=False)
-            hit, cust_nation = _lookup(okey_ref, okeys)
-            b = b.filter(pa.array(hit))
-            cust_nation = cust_nation[hit]
-            hit_s, s_nation = _lookup(supp_ref, b["l_suppkey"].to_numpy(zero_copy_only=False))
-            keep = hit_s & (s_nation == cust_nation)
+            hit, cust_nation = _lookup(okey_ref, b["okey"].to_numpy(zero_copy_only=False))
+            keep = hit & (cust_nation == b["s_nation"].to_numpy(zero_copy_only=False))
             b = b.filter(pa.array(keep))
-            rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
             g = (
-                pa.table({"n_nationkey": pa.array(cust_nation[keep], pa.int64()), "revenue": rev})
+                pa.table(
+                    {
+                        "n_nationkey": pa.array(cust_nation[keep].astype(np.int64), pa.int64()),
+                        "revenue": b["revenue"],
+                    }
+                )
                 .group_by("n_nationkey")
                 .aggregate([("revenue", "sum")])
             )
@@ -399,42 +455,64 @@ def q5_local_supplier(sf_dir: str):
             )
 
         agg = (
-            li.map_batches(li_join, batch_format="pyarrow")
+            li_n.map_batches(li_join, batch_format="pyarrow")
             .groupby("n_nationkey")
             .aggregate(Sum("revenue", alias_name="revenue"))
             .to_pandas()
         )
-        agg["n_name"] = agg.n_nationkey.map(nation_names)
-        agg["revenue"] = agg["revenue"].round(2)
-        return (
-            agg[["n_name", "revenue"]]
-            .sort_values("revenue", ascending=False)
-            .reset_index(drop=True)
+    else:
+        n_part = 64
+
+        def tag_o(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "okey": b["okey"],
+                    "part": pc.cast(pc.bit_wise_and(b["okey"], n_part - 1), pa.int32()),
+                    "cust_nation": b["cust_nation"],
+                    "s_nation": pa.nulls(n, pa.int64()),
+                    "revenue": pa.nulls(n, pa.float64()),
+                }
+            )
+
+        def tag_l(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "okey": b["okey"],
+                    "part": pc.cast(pc.bit_wise_and(b["okey"], n_part - 1), pa.int32()),
+                    "cust_nation": pa.nulls(n, pa.int64()),
+                    "s_nation": b["s_nation"],
+                    "revenue": b["revenue"],
+                }
+            )
+
+        tagged = orders_n.map_batches(tag_o, batch_format="pyarrow").union(
+            li_n.map_batches(tag_l, batch_format="pyarrow")
         )
 
-    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
-        li.map_batches(li_side, batch_format="pyarrow")
-    )
+        def join_part(df: pd.DataFrame) -> pd.DataFrame:
+            o = df[df.cust_nation.notna()][["okey", "cust_nation"]]
+            l = df[df.cust_nation.isna()][["okey", "s_nation", "revenue"]]
+            m = l.merge(o, on="okey")
+            m = m[m.s_nation.to_numpy() == m.cust_nation.to_numpy()]
+            if m.empty:
+                return pd.DataFrame(
+                    {
+                        "n_nationkey": pd.Series([], dtype="int64"),
+                        "revenue": pd.Series([], dtype="float64"),
+                    }
+                )
+            m["n_nationkey"] = m.cust_nation.astype("int64")
+            return m.groupby("n_nationkey", as_index=False)["revenue"].sum()
 
-    def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        o = df[df.cust_nation.notna()][["okey", "cust_nation"]]
-        l = df[df.cust_nation.isna()][["okey", "suppkey", "revenue"]]
-        m = l.merge(o, on="okey")
-        if m.empty:
-            return pd.DataFrame({"n_nationkey": pd.Series([], dtype="int64"),
-                                 "revenue": pd.Series([], dtype="float64")})
-        hit, s_nation = _lookup(supp_ref, m.suppkey.to_numpy(dtype=np.int64))
-        m = m[hit & (s_nation == m.cust_nation.to_numpy())]
-        m["n_nationkey"] = m.cust_nation.astype("int64")
-        return m.groupby("n_nationkey", as_index=False)["revenue"].sum()
-
-    agg = (
-        tagged.groupby("part")
-        .map_groups(join_part, batch_format="pandas")
-        .groupby("n_nationkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
-    )
+        agg = (
+            tagged.groupby("part")
+            .map_groups(join_part, batch_format="pandas")
+            .groupby("n_nationkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .to_pandas()
+        )
     agg["n_name"] = agg.n_nationkey.map(nation_names)
     agg["revenue"] = agg["revenue"].round(2)
     return (

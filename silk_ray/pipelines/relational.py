@@ -82,6 +82,99 @@ def broadcast_lookup_sorted(ds, key_col: str, keys, values, out_col: str, drop_m
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _hash_part(arr, num_partitions: int) -> np.ndarray:
+    """Partition ids for an Arrow array (vectorized modulo for integer
+    keys, crc32 for strings)."""
+    import zlib
+
+    a = arr.to_numpy(zero_copy_only=False)
+    if a.dtype.kind in "iu":
+        return (a.astype(np.int64, copy=False) % num_partitions + num_partitions) % num_partitions
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) % num_partitions for v in a), np.int64, len(a)
+    )
+
+
+def shuffle_lookup(ds, key_col: str, dim, dim_key: str, dim_val: str, out_col: str, num_partitions: int = 64):
+    """Hash-shuffle dimension join (inner): attach ``dim_val`` as
+    ``out_col`` to every ``ds`` row whose key matches a ``dim`` row;
+    unmatched rows drop. The scale path when the dimension exceeds the
+    broadcast gate — both sides shuffle only their needed columns, and
+    each partition joins with a vectorized sorted lookup. Dimension keys
+    are assumed unique (a duplicate keeps one arbitrary value — fine for
+    key-unique dimensions and for semi-join use)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    base = ds.schema().base_schema
+    if out_col in base.names:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    val_type = dim.schema().base_schema.field(dim_val).type
+    key_type = base.field(key_col).type
+    fact_names = list(base.names)
+
+    def tag_fact(b: pa.Table) -> pa.Table:
+        cols = {f.name: b[f.name] for f in base}
+        cols[out_col] = pa.nulls(b.num_rows, val_type)
+        cols["_dside"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["_dpart"] = pa.array(_hash_part(b[key_col], num_partitions), pa.int64())
+        return pa.table(cols)
+
+    def tag_dim(b: pa.Table) -> pa.Table:
+        keys = b[dim_key].cast(key_type)
+        cols = {}
+        for f in base:
+            cols[f.name] = keys if f.name == key_col else pa.nulls(b.num_rows, f.type)
+        cols[out_col] = b[dim_val]
+        cols["_dside"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["_dpart"] = pa.array(_hash_part(keys, num_partitions), pa.int64())
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_fact, batch_format="pyarrow").union(
+        dim.map_batches(tag_dim, batch_format="pyarrow")
+    )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g["_dside"].to_numpy(zero_copy_only=False)
+        out_schema = pa.schema([g.schema.field(c) for c in fact_names] + [pa.field(out_col, val_type)])
+        dim_rows = np.flatnonzero(side == 0)
+        fact_rows = np.flatnonzero(side == 1)
+        if dim_rows.size == 0 or fact_rows.size == 0:
+            return out_schema.empty_table()
+        dsub = g.take(pa.array(dim_rows))
+        keys = dsub[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        svals = dsub[out_col].to_numpy(zero_copy_only=False)[order]
+        fsub = g.take(pa.array(fact_rows))
+        hit, vals = lookup_sorted(skeys, svals, fsub[key_col].to_numpy(zero_copy_only=False))
+        fsub = fsub.filter(pa.array(hit))
+        cols = {c: fsub[c] for c in fact_names}
+        cols[out_col] = pa.array(list(vals[hit]), val_type)
+        return pa.table(cols)
+
+    return tagged.groupby("_dpart").map_groups(join_group, batch_format="pyarrow")
+
+
+def shuffle_semi_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions: int = 64):
+    """Hash-shuffle semi-join: keep ``ds`` rows whose key appears in
+    ``keys_ds`` — the fallback when the key side is too big for
+    :func:`broadcast_semi_filter`'s driver-side set."""
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        return pa.table({keys_col: b[keys_col], "_one": pa.array(np.ones(b.num_rows, np.int8))})
+
+    out = shuffle_lookup(
+        ds,
+        key_col,
+        keys_ds.map_batches(keys_only, batch_format="pyarrow"),
+        keys_col,
+        "_one",
+        "__semi_hit",
+        num_partitions=num_partitions,
+    )
+    return out.drop_columns(["__semi_hit"])
+
+
 def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):
     """Hash-partitioned grouped apply: shuffle on ``hash(key) % P``
     coarse partitions, then a vectorized pandas ``groupby`` inside each

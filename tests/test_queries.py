@@ -109,13 +109,18 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     assert recall >= 0.5  # approximate method, small corpus
 
 
+@pytest.mark.parametrize("gates", ["orders", "dims", "both"])
 @pytest.mark.parametrize("name", ["q3_revenue_topk", "q5_local_supplier", "q10_returned_items"])
-def test_shuffle_join_branch_matches_oracle(ray_session, name, monkeypatch):
-    """Force the hash-shuffle join branch (normally taken only above the
-    broadcast threshold) and check it against the same oracle."""
+def test_shuffle_join_branch_matches_oracle(ray_session, name, gates, monkeypatch):
+    """Force the hash-shuffle join branches (normally taken only above
+    the broadcast gates) — orders side, customer/supplier dimension
+    side, and both — and check each against the same oracle."""
     import silk_ray.pipelines.queries as q
 
-    monkeypatch.setattr(q, "_BROADCAST_ORDERS_MAX_ROWS", 0)
+    if gates in ("orders", "both"):
+        monkeypatch.setattr(q, "_BROADCAST_ORDERS_MAX_ROWS", 0)
+    if gates in ("dims", "both"):
+        monkeypatch.setattr(q, "_BROADCAST_DIM_MAX_ROWS", 0)
     ray_df = QUERIES[name](SF_DIR)
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
