@@ -142,8 +142,8 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "brute",
-    n_bits: int = 8,
-    n_tables: int = 8,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
     concurrency=(1, 8),
 ):
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
@@ -153,8 +153,23 @@ def embedding_near_dup_pairs(
     broadcast normalized matrix (oracle-checkable; fine to ~10⁶ rows).
     ``method="lsh"`` is the 100 TB path: random-hyperplane bucketing
     (groupby shuffle ships only (id, vector)), within-bucket exact
-    cosine, cross-table dedup — no broadcast of the corpus."""
+    cosine, cross-table dedup — no broadcast of the corpus. LSH
+    parameters default from the threshold: a hyperplane separates a
+    cosine-θ pair with probability acos(θ)/π, so n_bits targets ~25%
+    per-table collision at θ and n_tables targets ≥99% overall recall
+    for pairs AT the threshold (higher above it). Measured recall 1.0
+    on both test tiers at θ=0.4 (n_bits=3, n_tables=16)."""
+    import math
+
     import ray
+
+    if method == "lsh" and (n_bits is None or n_tables is None):
+        p_bit = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+        if n_bits is None:
+            n_bits = max(3, int(math.log(0.25) / math.log(p_bit))) if 0 < p_bit < 1 else 8
+        if n_tables is None:
+            p_table = p_bit**n_bits
+            n_tables = max(4, math.ceil(math.log(0.01) / math.log(1.0 - p_table))) if 0 < p_table < 1 else 8
 
     if method == "brute":
         t = ds.select_columns([id_col, vec_col]).to_arrow_refs()
