@@ -230,6 +230,8 @@ def read_bp_reconciled(root: str, files: list[str], n_leaves: int) -> pa.Table:
     newest mention is del-only has left this partition)."""
     import pyarrow.compute as pc
 
+    import numpy as np
+
     schema = _exploded_schema(n_leaves)
     if not files:
         return schema.empty_table()
@@ -238,19 +240,25 @@ def read_bp_reconciled(root: str, files: list[str], n_leaves: int) -> pa.Table:
         t = tables[0]
         keep = pc.equal(t["action"], "add")
         return t.filter(keep).select(schema.names).cast(schema)
-    newest: dict[str, int] = {}
-    for idx, t in enumerate(tables):
-        for u in set(t["uri"].to_pylist()):
-            newest[u] = idx
-    parts = []
-    for idx, t in enumerate(tables):
-        uris_here = t["uri"].to_pylist()
-        actions = t["action"].to_pylist()
-        mask = pa.array(
-            [a == "add" and newest[u] == idx for u, a in zip(uris_here, actions)], pa.bool_()
-        )
-        parts.append(t.filter(mask).select(schema.names).cast(schema))
-    return pa.concat_tables(parts)
+    # vectorized newest-file-wins (the reconcile_tables shape,
+    # merge.py): dictionary-encode uris across the chain, take the max
+    # file index per code, keep each file's 'add' rows only where that
+    # file is the uri's newest mention — no Python loop over uri lists
+    allt = pa.concat_tables(
+        [
+            t.append_column("_fidx", pa.array(np.full(t.num_rows, i, np.int32)))
+            for i, t in enumerate(tables)
+        ]
+    )
+    codes_arr = pc.dictionary_encode(allt["uri"].combine_chunks()).indices
+    codes = codes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    fidx = allt["_fidx"].to_numpy(zero_copy_only=False)
+    newest = np.full(int(codes.max()) + 1 if codes.size else 0, -1, np.int32)
+    np.maximum.at(newest, codes, fidx)
+    mask = (fidx == newest[codes]) & pc.equal(allt["action"], "add").to_numpy(
+        zero_copy_only=False
+    )
+    return allt.filter(pa.array(mask)).select(schema.names).cast(schema)
 
 
 def _consolidate_bundle(root: str, bps: list[int], shard_lists: list[list[str]], epoch: int):
