@@ -400,17 +400,19 @@ def _drop_dirty_files(root: str, files: list[str], uri_arr: pa.Array) -> pa.Tabl
 LINK_FILE_ROWS = 500_000  # target rows per manifest file
 
 
-def _write_links_bundle(root: str, dir_new: str, name: str, refs: list, epoch: int) -> list[dict]:
-    """Concat a bundle of link tables (object refs) and write
-    size-bounded manifest files (≤ ``LINK_FILE_ROWS`` rows each — an
-    oversized input file re-splits here, keeping per-epoch rewrite cost
-    bounded per file), returning their entries + this epoch's recomputed
-    counts (sketch computed here, not re-read driver-side). An empty
-    bundle writes nothing."""
-    import ray
+def _write_links_bundle(root: str, dir_new: str, name: str, epoch: int, *bundle) -> list[dict]:
+    """Concat a bundle of link tables and write size-bounded manifest
+    files (≤ ``LINK_FILE_ROWS`` rows each — an oversized input file
+    re-splits here, keeping per-epoch rewrite cost bounded per file),
+    returning their entries + this epoch's recomputed counts (sketch
+    computed here, not re-read driver-side). An empty bundle writes
+    nothing. The wave-1 outputs arrive as DIRECT ObjectRef args so
+    Ray's locality-aware scheduler runs each write task where most of
+    its bundle's bytes already live (multi-node: mostly node-local
+    reads, remainder via plasma transfer)."""
     import pyarrow.compute as pc
 
-    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    tables = [t for t in bundle if t.num_rows]
     if not tables:
         return []
     merged = pa.concat_tables(tables)
@@ -752,7 +754,7 @@ def update_links(
         n_out = min(n_link_blocks, len(refs))
         bundles = [refs[i::n_out] for i in range(n_out)]
         write_refs = [
-            write.remote(root, links_dir_new, f"part-{i:05d}", b, epoch)
+            write.remote(root, links_dir_new, f"part-{i:05d}", epoch, *b)
             for i, b in enumerate(bundles)
         ]
         # release the driver's pins on wave-1 outputs: each write task

@@ -523,12 +523,17 @@ def _read_split_task(src, lo: int, hi: int, num_partitions: int) -> dict:
     return {pid: ray.put(tbl) for pid, tbl in _split_by_pid(t, num_partitions).items()}
 
 
-def _merge_pid_task(merger, refs: list) -> dict:
-    """Exchange stage B: fetch this partition's shards and run the
-    merge body (``MergePartition.__call__``)."""
-    import ray
+def _merge_pid_task(merger, *shards) -> dict:
+    """Exchange stage B: run the merge body (``MergePartition.__call__``)
+    over this partition's shards.
 
-    tables = ray.get(list(refs))
+    Multi-node: the shards arrive as DIRECT ObjectRef args (not a list),
+    so Ray materializes them before the task body starts AND its
+    locality-aware scheduler places the task on the node already holding
+    the largest share of the shard bytes — the shuffle read is mostly
+    node-local; the remainder moves via plasma object transfer and
+    spills to disk under memory pressure rather than OOMing."""
+    tables = list(shards)
     group = tables[0] if len(tables) == 1 else pa.concat_tables(tables, promote_options="default")
     return merger(group).to_pylist()[0]
 
@@ -601,7 +606,7 @@ def run_epoch(
     t_exchange = time.perf_counter() - t0
     merger_ref = ray.put(merger)
     metrics_rows = ray.get(
-        [merge_task.remote(merger_ref, refs) for _, refs in sorted(by_pid.items())]
+        [merge_task.remote(merger_ref, *refs) for _, refs in sorted(by_pid.items())]
     )
     t_merge = time.perf_counter() - t0 - t_exchange
 
