@@ -802,8 +802,21 @@ class JaccardDistance(DistanceMeasure):
         return 1.0 - inter / (len(p1) + len(p2) - inter)
 
     def index(self, values, limit, source_or_target):
-        value_set = sorted(set(values))  # deterministic take-order
-        index_size = int(round(len(value_set) * limit + 0.5))
+        import math
+
+        # true prefix-filter bound (sorted global take-order): two sets
+        # with jaccard distance <= limit (similarity t = 1-limit) must
+        # share a value within their first n - ceil(t*n) + 1 elements.
+        # The reference's (n*limit + 0.5).toInt (JaccardDistance.scala:
+        # 41-47) is up to one element short at the boundary AND its
+        # Set.take order is arbitrary — this is strictly complete
+        # (property-tested in tests/test_properties.py).
+        value_set = sorted(set(values))
+        n = len(value_set)
+        # the 1e-9 guards against float ceil at exact boundaries
+        # (e.g. 3*0.8/1.2 = 2.0000000000000004) — it can only ENLARGE
+        # the prefix, preserving completeness
+        index_size = n - math.ceil((1.0 - min(limit, 1.0)) * n - 1e-9) + 1
         return Index.one_dim({stable_str_hash(v) for v in value_set[:index_size]})
 
 
@@ -888,8 +901,17 @@ class DiceCoefficient(DistanceMeasure):
         return 1.0 - 2.0 * len(set1 & set2) / total
 
     def index(self, values, limit, source_or_target):
+        import math
+
+        # prefix-filter bound for dice distance <= limit: the overlap
+        # satisfies i >= n*(1-limit)/(1+limit), so the first
+        # n - ceil(n*(1-limit)/(1+limit)) + 1 sorted values must hit
+        # (same correction as JaccardDistance.index vs the reference's
+        # half-element-short rounding, DiceCoefficient.scala)
         value_set = sorted(set(values))
-        index_size = int(round(2.0 * len(value_set) * limit / (1 + limit) + 0.5))
+        n = len(value_set)
+        # 1e-9: float-boundary ceil guard (see JaccardDistance.index)
+        index_size = n - math.ceil(n * (1.0 - min(limit, 1.0)) / (1.0 + limit) - 1e-9) + 1
         return Index.one_dim({stable_str_hash(v) for v in value_set[:index_size]})
 
 

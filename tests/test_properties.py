@@ -79,12 +79,33 @@ def test_levenshtein_index_matches_reference(s, theta):
 )
 def test_jaccard_blocking_complete(t1, t2, theta):
     """Token sets within the jaccard distance threshold must co-block:
-    our sorted take-order makes the index a true prefix filter (the
-    reference's Set.take order is arbitrary; sorted order strictly
-    strengthens the guarantee)."""
+    sorted take-order + the exact prefix-filter length make the index a
+    TRUE prefix filter (the reference's Set.take order is arbitrary and
+    its (n·θ+0.5).toInt length is up to one element short at the
+    boundary — hypothesis found d == θ counterexamples against that
+    formula)."""
     from silk_ray.kernel.distances import DISTANCE_MEASURES
 
     m = DISTANCE_MEASURES["jaccard"]()
+    if m.apply(t1, t2, theta) > theta:
+        return
+    i1 = m.index(t1, theta, True)
+    i2 = m.index(t2, theta, False)
+    assert i1.matches(i2), (t1, t2, theta)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(words, min_size=1, max_size=8),
+    st.lists(words, min_size=1, max_size=8),
+    st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_dice_blocking_complete(t1, t2, theta):
+    """Same completeness contract for the dice prefix index
+    (overlap >= n(1-θ)/(1+θ) within the threshold)."""
+    from silk_ray.kernel.distances import DISTANCE_MEASURES
+
+    m = DISTANCE_MEASURES["dice"]()
     if m.apply(t1, t2, theta) > theta:
         return
     i1 = m.index(t1, theta, True)
