@@ -211,56 +211,78 @@ def _salt_triangle(band_rows, id_col: str, carry: list[str], hot: dict[int, int]
 
 
 def _group_sides(group: pa.Table, id_col: str):
-    """Distinct rows of one (bucket, g_lo, g_hi) group → (left_indices,
-    right_indices) into the deduped arrays: triangular pairs for a
-    same-salt group, full cross for a mixed-salt group. Vectorized —
-    no Python pair loop."""
-    import pandas as pd
-
-    g_lo = group["g_lo"][0].as_py()
-    g_hi = group["g_hi"][0].as_py()
-    df = group.to_pandas()
-    df = df.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+    """Distinct rows of one (bucket, g_lo, g_hi) group → (row indices
+    into the group in ascending-id order, left positions, right
+    positions): triangular pairs for a same-salt group, full cross for
+    a mixed-salt group. Pure numpy — most groups are tiny (1-3 rows),
+    so no per-group pandas construction."""
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    if len(sids) > 1:
+        keep = np.empty(len(sids), np.bool_)
+        keep[0] = True
+        keep[1:] = sids[1:] != sids[:-1]
+        uniq_idx = order[keep]
+    else:
+        uniq_idx = order
+    n = uniq_idx.size
+    if "g_lo" in group.column_names:
+        g_lo = group["g_lo"][0].as_py()
+        g_hi = group["g_hi"][0].as_py()
+    else:  # unsalted plain bucket group
+        g_lo = g_hi = 0
     if g_lo == g_hi:
-        n = len(df)
         if n < 2:
-            return df, None, None
+            return uniq_idx, None, None
         li, ri = np.triu_indices(n, k=1)
-        return df, li, ri
-    salts = df["salt"].to_numpy()
+        return uniq_idx, li, ri
+    salts = group["salt"].to_numpy(zero_copy_only=False)[uniq_idx]
     a = np.flatnonzero(salts == g_lo)
     b = np.flatnonzero(salts == g_hi)
     if a.size == 0 or b.size == 0:
-        return df, None, None
+        return uniq_idx, None, None
     li = np.repeat(a, b.size)
     ri = np.tile(b, a.size)
-    # normalize to id order (ids are sorted, so index order == id order)
-    lo = np.minimum(li, ri)
-    hi = np.maximum(li, ri)
-    return df, lo, hi
+    # normalize to id order (positions are in ascending-id order)
+    return uniq_idx, np.minimum(li, ri), np.maximum(li, ri)
 
 
-def _candidate_pairs(band_rows, id_col: str, hot_cap: int = 4096, n_salt_max: int = 64):
+def _candidate_pairs(band_rows, id_col: str, hot_cap: int = 4096, n_salt_max: int = 64, n_rows: int | None = None):
     """(bucket, id) rows → distinct (left_id, right_id) candidate pairs
     with left < right. Only ids move through both shuffles. Buckets
     above ``hot_cap`` rows are triangle-salted (see :func:`_salt_triangle`)
     so one degenerate bucket (e.g. all-empty docs sharing MinHash
     signature 0) cannot become a single O(n²) straggler task; pair
-    emission is vectorized (np.triu_indices / repeat+tile)."""
-    hot = _find_hot_buckets(band_rows, hot_cap, n_salt_max)
-    salted = _salt_triangle(band_rows, id_col, [], hot)
+    emission is vectorized (np.triu_indices / repeat+tile).
+
+    The detection pre-pass is itself a shuffle, so it only runs when the
+    corpus is big enough for a degenerate bucket to hurt
+    (``n_rows > 2*hot_cap``): below that the worst possible bucket is
+    corpus-sized — ≤ 2·hot_cap² vectorized pair emissions in one task —
+    cheaper than paying an extra count shuffle on every call."""
+    if n_rows is not None and n_rows <= 2 * hot_cap:
+        hot: dict[int, int] = {}
+    else:
+        hot = _find_hot_buckets(band_rows, hot_cap, n_salt_max)
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         id_type = group[id_col].type
-        df, li, ri = _group_sides(group, id_col)
+        uniq_idx, li, ri = _group_sides(group, id_col)
         if li is None:
             return pa.schema([("left_id", id_type), ("right_id", id_type)]).empty_table()
-        ids = df[id_col].to_numpy()
+        ids = group[id_col].to_numpy(zero_copy_only=False)[uniq_idx]
         return pa.table(
             {"left_id": pa.array(ids[li], id_type), "right_id": pa.array(ids[ri], id_type)}
         )
 
-    pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(emit_pairs, batch_format="pyarrow")
+    if hot:
+        salted = _salt_triangle(band_rows, id_col, [], hot)
+        pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(
+            emit_pairs, batch_format="pyarrow"
+        )
+    else:  # no salting needed: single-key shuffle, no extra map stage
+        pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
     # same pair can surface from several buckets → distinct
     from ray.data.aggregate import Count
 
@@ -461,7 +483,9 @@ def minhash_lsh_pairs(
         return pa.table({"bucket": flat["bucket"], id_col: ids})
 
     band_rows = sketched.map_batches(explode_bands, batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows, id_col, hot_cap=hot_cap, n_salt_max=n_salt_max)
+    cand = _candidate_pairs(
+        band_rows, id_col, hot_cap=hot_cap, n_salt_max=n_salt_max, n_rows=sketched.count()
+    )
     return _verify_adaptive(cand, sketched, id_col, jaccard_threshold, "jaccard")
 
 
@@ -561,19 +585,25 @@ def simhash_near_dup_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    hot = _find_hot_buckets(banded.select_columns(["bucket"]), hot_cap, n_salt_max)
-    salted = _salt_triangle(banded, id_col, ["simhash"], hot)
+    # the pre-pass would re-execute the Bander pipeline just to count —
+    # gate it on the input row count (metadata-cheap for parquet reads);
+    # below the gate the worst bucket is corpus-sized and the vectorized
+    # verify handles it in one task
+    if ds.count() <= 2 * hot_cap:
+        hot: dict[int, int] = {}
+    else:
+        hot = _find_hot_buckets(banded.select_columns(["bucket"]), hot_cap, n_salt_max)
 
     def verify(group: pa.Table) -> pa.Table:
         id_type = group[id_col].type
         empty = pa.schema(
             [("left_id", id_type), ("right_id", id_type), ("hamming", pa.int64())]
         ).empty_table()
-        df, li, ri = _group_sides(group, id_col)
+        uniq_idx, li, ri = _group_sides(group, id_col)
         if li is None:
             return empty
-        ids = df[id_col].to_numpy()
-        hashes = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)[uniq_idx]
+        hashes = group["simhash"].to_numpy(zero_copy_only=False)[uniq_idx].astype(np.int64).view(np.uint64)
         ls, rs, hs = [], [], []
         # chunk the left side so the XOR matrix stays small
         for s in range(0, len(li), 1 << 20):
@@ -598,7 +628,11 @@ def simhash_near_dup_pairs(
 
     from ray.data.aggregate import Min
 
-    pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(verify, batch_format="pyarrow")
+    if hot:
+        salted = _salt_triangle(banded, id_col, ["simhash"], hot)
+        pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(verify, batch_format="pyarrow")
+    else:
+        pairs = banded.groupby("bucket").map_groups(verify, batch_format="pyarrow")
     return pairs.groupby(["left_id", "right_id"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -654,5 +688,7 @@ def ngram_jaccard_pairs(
         return pa.table({"bucket": flat["bucket"], id_col: batch[id_col].take(flat["_row"])})
 
     band_rows = sketched.map_batches(explode_prefix, batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows, id_col, hot_cap=hot_cap, n_salt_max=n_salt_max)
+    cand = _candidate_pairs(
+        band_rows, id_col, hot_cap=hot_cap, n_salt_max=n_salt_max, n_rows=sketched.count()
+    )
     return _verify_adaptive(cand, sketched, id_col, threshold, "jaccard")
