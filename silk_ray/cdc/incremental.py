@@ -116,6 +116,8 @@ class DeltaIndexStage:
     the ~K-fold exploded payload out of the object-store shuffle."""
 
     def __init__(self, rule_spec, n_block_partitions: int, shard_root: str | None = None, epoch: int = 0):
+        from silk_ray.linking.pipeline import _spec_symmetric
+
         self.rule = _compile_rule(rule_spec)
         self.nbp = n_block_partitions
         self.shard_root = shard_root
@@ -124,6 +126,10 @@ class DeltaIndexStage:
         base = _exploded_schema(self.n_leaves)
         fields = [pa.field("bp", pa.int32()), pa.field("action", pa.string())] + list(base)
         self.schema = pa.schema(fields)
+        # symmetric rules (every leaf's source == target spec): side-1
+        # and side-0 evaluations coincide, so transforms/index hashing
+        # run once per entity instead of per side
+        self.symmetric = isinstance(rule_spec, dict) and _spec_symmetric(rule_spec)
 
     def _payload_entity(self, row: dict, prefix: str) -> dict | None:
         ent = {"repo": [row["repo"]], "path": [row["path"]]}
@@ -145,10 +151,13 @@ class DeltaIndexStage:
             uri = make_uri(row["repo"], row["path"])
             old_ent = self._payload_entity(row, "old_")
             new_ent = self._payload_entity(row, "new_")
+            old_keys = new_keys = new_vals = None
             for side in (1, 0):
                 sot = side == 1
                 if old_ent is not None:
-                    for key in sorted(rule.index_keys(old_ent, sot)):
+                    if old_keys is None or not self.symmetric:
+                        old_keys = sorted(rule.index_keys(old_ent, sot))
+                    for key in old_keys:
                         out["bp"].append(key % self.nbp)
                         out["action"].append("del")
                         out["key"].append(key)
@@ -158,16 +167,17 @@ class DeltaIndexStage:
                         for i in range(self.n_leaves):
                             out[f"vals_{i}"].append(None)
                 if new_ent is not None:
-                    vals = rule.leaf_values(new_ent, sot)
-                    keys = sorted(rule.index_keys(new_ent, sot))
-                    for key in keys:
+                    if new_keys is None or not self.symmetric:
+                        new_vals = rule.leaf_values(new_ent, sot)
+                        new_keys = sorted(rule.index_keys(new_ent, sot))
+                    for key in new_keys:
                         out["bp"].append(key % self.nbp)
                         out["action"].append("add")
                         out["key"].append(key)
                         out["side"].append(side)
                         out["uri"].append(uri)
-                        out["keys"].append(keys)
-                        for i, v in enumerate(vals):
+                        out["keys"].append(new_keys)
+                        for i, v in enumerate(new_vals):
                             out[f"vals_{i}"].append(v)
         arrays = [pa.array(out[f.name], type=f.type) for f in self.schema]
         table = pa.Table.from_arrays(arrays, schema=self.schema)

@@ -88,6 +88,28 @@ def cached_stage(cls, **kwargs):
     return fn
 
 
+def _spec_symmetric(spec) -> bool:
+    """True when every leaf comparison's source and target input trees
+    are structurally identical (JSON equality) — then a self-link's
+    side-1 and side-0 index keys and leaf values coincide and the index
+    stage can evaluate transforms ONCE per row instead of per side."""
+    if not isinstance(spec, dict):
+        return False
+    op = spec.get("operator", spec)
+
+    def walk(node) -> bool:
+        if "metric" in node:
+            return node.get("source") == node.get("target")
+        if "aggregator" in node:
+            return all(walk(child) for child in node.get("operators", []))
+        return False
+
+    try:
+        return walk(op)
+    except Exception:
+        return False
+
+
 def add_uri_column(ds, cols=("repo", "path"), sep: str = "//", name: str = "uri"):
     """Append a composite natural-key URI column (Entity.uri equivalent;
     uri = repo + '//' + path per BASELINE.json input_hint)."""
@@ -165,11 +187,28 @@ class IndexStage:
         self.execution_method = execution_method
         self.n_leaves = len(self.rule.leaf_comparisons())
         self.schema = _exploded_schema(self.n_leaves)
+        # symmetric self-link fast path: side-1/side-0 evaluations
+        # coincide, so transforms/index hashing run once per row
+        self.symmetric = (
+            both_sides
+            and execution_method is None
+            and isinstance(rule_spec, dict)
+            and _spec_symmetric(rule_spec)
+        )
 
-    def _emit(self, ent, uri, side, out):
+    def _pre(self, ent):
+        """One shared (keys, vals) evaluation for a symmetric self-link
+        row (side-1 == side-0 by construction)."""
+        keys = self.rule.index_keys(ent, True, self.limit)
+        vals = None if self.keys_only else self.rule.leaf_values(ent, True)
+        return (keys, vals)
+
+    def _emit(self, ent, uri, side, out, pre=None):
         rule = self.rule
         source_or_target = side == 1
-        if self.execution_method is not None:
+        if pre is not None:
+            keys = pre[0]
+        elif self.execution_method is not None:
             keys = self.execution_method.index_keys(ent, source_or_target)
         else:
             keys = rule.index_keys(ent, source_or_target, self.limit)
@@ -179,7 +218,7 @@ class IndexStage:
             for key in keys:
                 out["key"].append(key)
             return
-        vals = rule.leaf_values(ent, source_or_target)
+        vals = pre[1] if pre is not None else rule.leaf_values(ent, source_or_target)
         emitted: list[int] = []
         for key in sorted(keys):
             if key in self.hot_keys:
@@ -214,16 +253,26 @@ class IndexStage:
             out: dict[str, list] = {"key": []}
             for uri, ent in zip(uris, entities):
                 if self.both_sides:
-                    self._emit(ent, uri, 1, out)
-                    self._emit(ent, uri, 0, out)
+                    if self.symmetric:
+                        pre = self._pre(ent)
+                        self._emit(ent, uri, 1, out, pre=pre)
+                        self._emit(ent, uri, 0, out, pre=pre)
+                    else:
+                        self._emit(ent, uri, 1, out)
+                        self._emit(ent, uri, 0, out)
                 else:
                     self._emit(ent, uri, self.side, out)
             return pa.table({"key": pa.array(out["key"], pa.int64())})
         out = {f.name: [] for f in self.schema}
         for uri, ent in zip(uris, entities):
             if self.both_sides:
-                self._emit(ent, uri, 1, out)
-                self._emit(ent, uri, 0, out)
+                if self.symmetric:
+                    pre = self._pre(ent)
+                    self._emit(ent, uri, 1, out, pre=pre)
+                    self._emit(ent, uri, 0, out, pre=pre)
+                else:
+                    self._emit(ent, uri, 1, out)
+                    self._emit(ent, uri, 0, out)
             else:
                 self._emit(ent, uri, self.side, out)
         arrays = [pa.array(out[f.name], type=f.type) for f in self.schema]
