@@ -1489,6 +1489,11 @@ def learn_linkage_rule(sf_dir: str):
     )
 
 
+# bump when make_changelog/base_from_documents semantics change — the
+# cached parquet must always equal what the generator produces today
+_CDC_ORACLE_V = 1
+
+
 def _cdc_changelog_path(sf_dir: str) -> str:
     """Deterministic on-disk location of the flagship's generated
     changelog for one sf tier — the handshake that lets the DuckDB
@@ -1496,7 +1501,7 @@ def _cdc_changelog_path(sf_dir: str) -> str:
     import hashlib
 
     h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/silkray_cdc_oracle/changelog_{h}.parquet"
+    return f"/tmp/silkray_cdc_oracle/changelog_{h}_v{_CDC_ORACLE_V}.parquet"
 
 
 def _ensure_cdc_changelog(sf_dir: str) -> tuple[pa.Table, int]:
