@@ -54,6 +54,7 @@ TIMED_QUERIES = [
     "knn_cosine",
     "label_stats",
     "dedup_minhash",
+    "dedup_clusters",
     "dedup_embedding",
     # dedup_ngram_jaccard excluded from the sf0.1 timing list: exact
     # prefix-filter blocking degenerates on the tiny-vocabulary

@@ -1148,6 +1148,79 @@ ORDER BY left_id, right_id
 """
 
 
+def dedup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS over the MinHash-LSH pair graph: every doc in
+    at least one near-dup pair, labeled with the min doc_id of its
+    connected component (distributed min-label propagation + pointer
+    jumping, silk_ray/functions/graph.py — the grouping step the
+    reference's pair-emitting linkage pipeline stops short of)."""
+    from silk_ray.functions.dedup import minhash_lsh_pairs
+    from silk_ray.functions.graph import connected_components
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    cc = connected_components(
+        pairs, "left_id", "right_id", node_col="doc_id", label_col="cluster_id"
+    )
+    return cc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_survivors(sf_dir: str):
+    """The deduplicated corpus: doc ids surviving "keep one
+    representative (min id) per duplicate cluster" — cluster members
+    anti-joined out of the corpus (broadcast below the gate, hash
+    shuffle above; graph.cluster_survivors)."""
+    from silk_ray.functions.dedup import minhash_lsh_pairs
+    from silk_ray.functions.graph import cluster_survivors, connected_components
+
+    pairs = minhash_lsh_pairs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    cc = connected_components(
+        pairs, "left_id", "right_id", node_col="doc_id", label_col="cluster_id"
+    )
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    out = cluster_survivors(docs, cc, id_col="doc_id", node_col="doc_id", label_col="cluster_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# connected components as SQL: reachability closure (recursive CTE,
+# UNION-deduped so it terminates) + min reachable node per node. The
+# walk is O(sum of component sizes squared) — an oracle for test-scale
+# components, not a scale plan (the engine's pointer-jumped propagation
+# is the scale plan).
+_CC_ORACLE_TAIL = r"""
+edges AS (
+  SELECT left_id AS u, right_id AS v FROM pairs
+  UNION
+  SELECT right_id, left_id FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+"""
+
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (\n"
+    + DEDUP_MINHASH_SQL
+    + "\n),\n"
+    + _CC_ORACLE_TAIL.strip()
+    + "\nSELECT node AS doc_id, cluster_id FROM cc ORDER BY doc_id"
+)
+
+DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE pairs AS (\n"
+    + DEDUP_MINHASH_SQL
+    + "\n),\n"
+    + _CC_ORACLE_TAIL.strip()
+    + "\nSELECT d.doc_id FROM documents d LEFT JOIN cc ON d.doc_id = cc.node\n"
+    + "WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id ORDER BY doc_id"
+)
+
+
 # exact oracle: the per-token hash is md5-lower-64 (== DuckDB
 # md5_number_lower), so signature computation (term-frequency-weighted
 # bit majority), 4x16-bit banding AND the hamming<=4 verify are all
@@ -1633,6 +1706,8 @@ def build_queries():
         "link_names": link_names,
         "dedup_simhash": dedup_simhash,
         "dedup_minhash": dedup_minhash,
+        "dedup_clusters": dedup_clusters,
+        "dedup_survivors": dedup_survivors,
         "lang_id": lang_id,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
@@ -1668,6 +1743,8 @@ def build_oracle_sql():
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
         "lang_id": _lang_id_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,

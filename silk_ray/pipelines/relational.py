@@ -31,6 +31,25 @@ def broadcast_semi_filter(ds, key_col: str, keys):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def broadcast_anti_filter(ds, key_col: str, keys):
+    """Anti-join: drop rows whose key is in the broadcast key set (the
+    complement of :func:`broadcast_semi_filter`, same sorted-array
+    membership kernel)."""
+    import ray
+
+    ref = ray.put(np.asarray(sorted(keys)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sorted_keys = ray.get(ref)
+        if len(sorted_keys) == 0:
+            return batch
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        hit, _ = lookup_sorted(sorted_keys, sorted_keys, vals)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def broadcast_lookup(ds, key_col: str, mapping: dict, out_col: str, drop_missing: bool = True):
     """Dimension join: map key → value via a broadcast dict (pandas map)."""
     import ray
@@ -173,6 +192,51 @@ def shuffle_semi_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
         num_partitions=num_partitions,
     )
     return out.drop_columns(["__semi_hit"])
+
+
+def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions: int = 64):
+    """Hash-shuffle anti-join: drop ``ds`` rows whose key appears in
+    ``keys_ds`` — the scale fallback when the drop set exceeds
+    :func:`broadcast_anti_filter`'s driver-side array (e.g. the
+    non-representative members of duplicate clusters at corpus scale).
+    Same tagged-union plan as :func:`shuffle_lookup`, but the partition
+    join KEEPS the misses and drops the hits (an inner join cannot
+    express this, hence the dedicated group kernel)."""
+    base = ds.schema().base_schema
+    key_type = base.field(key_col).type
+    fact_names = list(base.names)
+
+    def tag_fact(b: pa.Table) -> pa.Table:
+        cols = {f.name: b[f.name] for f in base}
+        cols["_dside"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["_dpart"] = pa.array(_hash_part(b[key_col], num_partitions), pa.int64())
+        return pa.table(cols)
+
+    def tag_dim(b: pa.Table) -> pa.Table:
+        keys = b[keys_col].cast(key_type)
+        cols = {}
+        for f in base:
+            cols[f.name] = keys if f.name == key_col else pa.nulls(b.num_rows, f.type)
+        cols["_dside"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["_dpart"] = pa.array(_hash_part(keys, num_partitions), pa.int64())
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_fact, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_dim, batch_format="pyarrow")
+    )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g["_dside"].to_numpy(zero_copy_only=False)
+        fact_rows = np.flatnonzero(side == 1)
+        fsub = g.take(pa.array(fact_rows)).select(fact_names)
+        dim_rows = np.flatnonzero(side == 0)
+        if dim_rows.size == 0 or fact_rows.size == 0:
+            return fsub
+        skeys = np.sort(g.take(pa.array(dim_rows))[key_col].to_numpy(zero_copy_only=False))
+        hit, _ = lookup_sorted(skeys, skeys, fsub[key_col].to_numpy(zero_copy_only=False))
+        return fsub.filter(pa.array(~hit))
+
+    return tagged.groupby("_dpart").map_groups(join_group, batch_format="pyarrow")
 
 
 def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):

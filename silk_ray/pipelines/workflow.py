@@ -19,6 +19,10 @@ Spec (JSON)::
        "rule": {...}, "link_limit": 1000000},
       {"id": "parsed", "type": "parse_json" | "parse_xml", "input": "docs",
        "input_col": "body", "base_path": "/a/b"},
+      {"id": "cc",    "type": "cluster", "input": "links",   # pairs → components
+       "left_col": "source", "right_col": "target", "node_col": "uri"},
+      {"id": "kept",  "type": "survivors", "input": "docs", "clusters": "cc",
+       "id_col": "uri"},                   # drop non-representative members
       {"id": "out",   "type": "sink", "input": "links", "path": "...",
        "format": "parquet" | "csv" | "json" | "ntriples" | "alignment"}
     ]}
@@ -46,6 +50,14 @@ _NODE_KEYS = {
     "parse_json": {"id", "type", "input", "input_col", "base_path", "parent_col"},
     "parse_xml": {"id", "type", "input", "input_col", "base_path", "parent_col"},
     "workflow": {"id", "type", "nodes", "config", "inputs", "output"},
+    "cluster": {
+        "id", "type", "input", "left_col", "right_col", "node_col",
+        "label_col", "num_partitions", "max_rounds",
+    },
+    "survivors": {
+        "id", "type", "input", "clusters", "id_col", "node_col",
+        "label_col", "broadcast_max", "num_partitions",
+    },
     "sink": {"id", "type", "input", "path", "format"},
 }
 _NODE_KEYS["JsonParserOperator"] = _NODE_KEYS["parse_json"]
@@ -71,7 +83,7 @@ def _check_node_keys(n: dict) -> None:
 def _consumers(nodes: list[dict]) -> dict[str, int]:
     count: dict[str, int] = {}
     for n in nodes:
-        for key in ("input", "source", "target"):
+        for key in ("input", "source", "target", "clusters"):
             ref = n.get(key)
             if isinstance(ref, str):
                 count[ref] = count.get(ref, 0) + 1
@@ -204,6 +216,36 @@ def execute_workflow(spec: dict[str, Any], bindings: dict[str, Any] | None = Non
                 built[node_id] = sub_built
                 return sub_built
             ds = sub_built[out_id]
+        elif t == "cluster":
+            # connected components over a pair-producing node (a `link`
+            # node's (source, target) links by default): entity-
+            # resolution clustering, the canonical consumer of Silk's
+            # link output (the reference stops at pairs)
+            from silk_ray.functions.graph import connected_components
+
+            ds = connected_components(
+                build(n["input"]),
+                left_col=n.get("left_col", "source"),
+                right_col=n.get("right_col", "target"),
+                node_col=n.get("node_col", "node"),
+                label_col=n.get("label_col", "cluster_id"),
+                num_partitions=n.get("num_partitions", 64),
+                max_rounds=n.get("max_rounds", 64),
+            )
+        elif t == "survivors":
+            # keep one representative (min id) per duplicate cluster:
+            # anti-join the non-representative members out of `input`
+            from silk_ray.functions.graph import cluster_survivors
+
+            ds = cluster_survivors(
+                build(n["input"]),
+                build(n["clusters"]),
+                id_col=n.get("id_col", "doc_id"),
+                node_col=n.get("node_col", "node"),
+                label_col=n.get("label_col", "cluster_id"),
+                broadcast_max=n.get("broadcast_max", 4_000_000),
+                num_partitions=n.get("num_partitions", 64),
+            )
         elif t == "sink":
             from silk_ray.sources.registry import write_links
 

@@ -116,3 +116,36 @@ def test_nested_workflow_with_variable_binding(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="not bound"):
         execute_workflow(child)
+
+
+def test_workflow_cluster_and_survivors_nodes(ray_session):
+    """link-shaped pairs → cluster (connected components) → survivors
+    (one representative per cluster anti-joined against the corpus)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from silk_ray.pipelines.workflow import execute_workflow
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([1, 2, 10], pa.int64()),
+                "target": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    docs = rd.from_arrow(pa.table({"uri": pa.array(range(1, 13), pa.int64())}))
+    spec = {
+        "nodes": [
+            {"id": "pairs", "type": "variable"},
+            {"id": "docs", "type": "variable"},
+            {"id": "cc", "type": "cluster", "input": "pairs", "node_col": "uri",
+             "num_partitions": 8},
+            {"id": "kept", "type": "survivors", "input": "docs", "clusters": "cc",
+             "id_col": "uri", "node_col": "uri", "num_partitions": 8},
+        ]
+    }
+    built = execute_workflow(spec, bindings={"pairs": pairs, "docs": docs})
+    cc = built["cc"].to_pandas()
+    assert dict(zip(cc["uri"], cc["cluster_id"])) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert sorted(built["kept"].to_pandas()["uri"]) == [1, 4, 5, 6, 7, 8, 9, 10, 12]
