@@ -45,6 +45,10 @@ class EngineConfig:
     # Without it a continuously-tailing engine grows storage without
     # bound. Disable to inspect every intermediate file in tests.
     gc: bool = True
+    # maintain the materialized duplicate-cluster table over the link
+    # store (cdc/clusters.py): per epoch only the components touched by
+    # the delta are rebuilt
+    maintain_clusters: bool = False
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -64,6 +68,12 @@ def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
                 n_block_partitions=config.n_block_partitions,
             )
         )
+    if config.maintain_clusters and merge_epoch > 0:
+        # crash window between link commit and cluster commit: replay is
+        # a no-op when already committed; a >1-epoch lag full-rebuilds
+        from silk_ray.cdc.clusters import update_clusters
+
+        update_clusters(root, merge_epoch)
     return out
 
 
@@ -96,6 +106,10 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 n_block_partitions=config.n_block_partitions,
             )
             m = {**m, "links": link_metrics}
+            if config.maintain_clusters:
+                from silk_ray.cdc.clusters import update_clusters
+
+                m["clusters"] = update_clusters(root, m["epoch"])
         if config.gc:
             # post-commit storage GC: every rule below deletes only
             # files the committed manifests can no longer reference
@@ -104,6 +118,10 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 state = read_linkstate(root)
                 n_gc += gc_blockmap(root, state)
                 n_gc += gc_link_inputs(root, int(state["epoch"]))
+                if config.maintain_clusters:
+                    from silk_ray.cdc.clusters import gc_clusters
+
+                    n_gc += gc_clusters(root)
             m["gc_files"] = n_gc
         # per-epoch wall time: epochs are identical in shape, so the
         # best epoch is a throttling-robust throughput estimator on

@@ -1617,6 +1617,120 @@ def cdc_flagship(sf_dir: str):
     return state.reset_index(drop=True)
 
 
+def cdc_clusters(sf_dir: str):
+    """The maintained duplicate-cluster table after the full CDC run:
+    merge-apply + incremental re-linking + per-epoch incremental
+    cluster maintenance (cdc/clusters.py), over the same seeded
+    changelog as ``cdc_flagship`` (3 epochs — epochs 2-3 take the
+    delta path). Rule = CDC_CLUSTER_RULE (rules.py): lang equality +
+    KMV-token Jaccard with LSH-band-only blocking, so the WHOLE
+    pipeline (last-writer-wins state → banded linkage → connected
+    components) has an exact SQL oracle."""
+    import tempfile
+
+    from silk_ray.cdc.clusters import clusters_table
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.pipelines.rules import CDC_CLUSTER_RULE
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_cc_")
+    run(
+        root,
+        log,
+        EngineConfig(
+            epoch_size=max(250, n_base), num_partitions=8, n_block_partitions=16,
+            rule_spec=CDC_CLUSTER_RULE, maintain_clusters=True,
+        ),
+    )
+    t = clusters_table(root).to_pandas()
+    return t.sort_values("uri").reset_index(drop=True)
+
+
+def cdc_clusters_sql_for(sf_dir: str) -> str:
+    """End-to-end SQL oracle for the maintained cluster table: the
+    last-writer-wins state reduction (as in ``cdc_flagship_sql_for``)
+    feeds the LINK_DOCUMENTS_SQL machinery retargeted to
+    CDC_CLUSTER_RULE (uri = repo || '//' || path; 18×2 banding over the
+    same 36 md5-derived permutations; θ=1.0 so d ≤ 2θ always — no
+    cutoff branch), and the kept pairs close under the recursive-CTE
+    reachability walk — min reachable uri per uri."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return rf"""
+WITH RECURSIVE state AS (
+  SELECT repo, path, lang, content
+  FROM (
+    SELECT repo, path, lang, content, op,
+           row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+    FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+  ) WHERE rn = 1 AND op <> 'D'
+),
+d AS (
+  SELECT repo || '//' || path AS uri, lang,
+         string_split_regex(content, '\s') AS w
+  FROM state WHERE content IS NOT NULL
+),
+sh AS (
+  SELECT uri, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       ELSE list_transform(generate_series(1, len(w) - 2),
+                           i -> array_to_string(w[i:i+2], ' ')) END) AS s
+  FROM d
+),
+kmv AS (
+  SELECT uri, s FROM (SELECT DISTINCT uri, s FROM sh)
+  QUALIFY row_number() OVER (PARTITION BY uri ORDER BY md5_number_lower(s), s) <= 32
+),
+perms AS (
+  SELECT i, 1 + (md5_number_lower('mhlsh-97-a-' || i) % 4294967295) AS a,
+         md5_number_lower('mhlsh-97-b-' || i) % 4294967296 AS b
+  FROM (SELECT unnest(generate_series(0, 35)) AS i)
+),
+sigs AS (
+  SELECT uri, i // 2 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS tup
+  FROM (
+    SELECT uri, i,
+           min((CAST(a AS HUGEINT) * (md5_number_lower(s) % 4294967296) + b)
+               % 2305843009213693951) AS v
+    FROM kmv CROSS JOIN perms GROUP BY uri, i
+  ) GROUP BY uri, band
+),
+cand AS (
+  SELECT DISTINCT l.uri AS lid, r.uri AS rid
+  FROM sigs l JOIN sigs r ON l.band = r.band AND l.tup = r.tup AND l.uri < r.uri
+),
+ks AS (SELECT uri, list(s) AS ss FROM kmv GROUP BY uri),
+scored AS (
+  SELECT c.lid AS source, c.rid AS target,
+         (CASE WHEN dl.lang = dr.lang THEN 1.0 ELSE -1.0 END
+          + 2.0 * (1.0 - (1.0 - CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                   / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))) / 1.0)
+         ) / 3.0 AS confidence
+  FROM cand c
+  JOIN ks a ON a.uri = c.lid JOIN ks b ON b.uri = c.rid
+  JOIN d dl ON dl.uri = c.lid JOIN d dr ON dr.uri = c.rid
+  WHERE dl.lang IS NOT NULL AND dr.lang IS NOT NULL
+),
+pairs AS (SELECT source, target FROM scored WHERE confidence >= 0.0),
+edges AS (
+  SELECT source AS u, target AS v FROM pairs
+  UNION
+  SELECT target, source FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w2.lbl FROM walk w2 JOIN edges e ON e.u = w2.node
+)
+SELECT node AS uri, min(lbl) AS cluster_id FROM walk GROUP BY node ORDER BY uri
+"""
+
+
+def _cdc_clusters_sql() -> str:
+    # the driver runs correctness at sf0.01 (the registry is static SQL)
+    return cdc_clusters_sql_for("/root/testdata/sf0.01")
+
+
 def cdc_flagship_sql_for(sf_dir: str) -> str:
     """Last-writer-wins SQL oracle over the persisted changelog: the
     generator appends ``dup_frac`` verbatim duplicate events (same
@@ -1717,6 +1831,7 @@ def build_queries():
         "knn_ivf": knn_ivf_q,
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
+        "cdc_clusters": cdc_clusters,
     }
 
 
@@ -1751,4 +1866,5 @@ def build_oracle_sql():
         "link_names": LINK_NAMES_SQL,
         "link_documents": LINK_DOCUMENTS_SQL,
         "cdc_flagship": _cdc_flagship_sql(),
+        "cdc_clusters": _cdc_clusters_sql(),
     }

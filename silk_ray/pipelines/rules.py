@@ -110,3 +110,40 @@ BENCH_RULE = {
     },
     "filter_limit": 1,
 }
+
+
+# Rule for the maintained-clusters query (cdc_clusters): lang equality
+# (non-indexing) + KMV-token Jaccard — the link_documents shape over
+# lake state, so the only blocking is the LSH band join and the whole
+# pipeline (LWW merge → banded linkage → connected components) has an
+# exact SQL oracle. Tuned to the flagship corpus: U events EDIT content
+# (Zipf-hot keys drift their planted near-dups apart), so banding is
+# widened to 18×2 (same 36 md5-derived permutations) and θ=1.0 — links
+# require same-lang + sketch-sim ≥ 0.25 or sketch-sim ≥ 0.5 outright,
+# which yields multi-member clusters at the test tiers instead of a
+# vacuous empty table (BENCH_RULE's strict θ keeps the flagship's link
+# set near-empty on this corpus by design — links_recomputed is a
+# delta metric there, not a clustering corpus).
+CDC_CLUSTER_RULE = {
+    "operator": {
+        "aggregator": "average",
+        "operators": [
+            {
+                "metric": "equality",
+                "threshold": 0.0,
+                "weight": 1,
+                "indexing": False,
+                "source": {"path": "lang"},
+                "target": {"path": "lang"},
+            },
+            {
+                "metric": "jaccardMinhashLSH",
+                "params": {"bands": 18, "rows": 2},
+                "threshold": 1.0,
+                "weight": 2,
+                "source": KMV_TOKENS,
+                "target": KMV_TOKENS,
+            },
+        ],
+    },
+}
