@@ -281,6 +281,52 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _probe_worker(wall: float, q) -> None:
+    t_end = time.perf_counter() + wall
+    x, n = 1469598103934665603, 0
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = (x * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 33
+        n += 10000
+    q.put(n)
+
+
+def host_cycle_efficiency(wall: float = 15.0) -> dict:
+    """Control experiment for the scaling criterion: how much aggregate
+    CPU the HOST actually grants going 8 → 32 worker processes, measured
+    with a pure-ALU loop (no Ray, no engine code). On healthy dedicated
+    32-vCPU hardware this is ~1.0; this sandbox VM throttles under
+    saturation, so any program's measured 8-vs-32 efficiency — including
+    a perfectly scaling one — is capped at this number. Reported next to
+    the engine's efficiency so draws are interpretable (best-of-2
+    interleaved pairs, same estimator as the engine samples)."""
+    import multiprocessing as mp
+
+    def run_level(nproc: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_probe_worker, args=(wall, q)) for _ in range(nproc)]
+        t0 = time.perf_counter()
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / (time.perf_counter() - t0)
+
+    rates = {8: [], 32: []}
+    for _ in range(2):
+        for n in (8, 32):
+            rates[n].append(run_level(n))
+            time.sleep(5)
+    best8, best32 = max(rates[8]), max(rates[32])
+    return {
+        "host_iters_per_sec_8": round(best8),
+        "host_iters_per_sec_32": round(best32),
+        "host_cycle_efficiency": round((best32 / best8) / 4.0, 3),
+    }
+
+
 def scaling() -> None:
     import subprocess
 
@@ -312,6 +358,9 @@ def scaling() -> None:
     # BASELINE.md acceptance number (0.833) was produced with — the
     # default must reproduce the documented result
     n_samples = int(os.environ.get("SILKRAY_SCALE_SAMPLES", "2"))
+    # control experiment first (host is coolest here): what 8→32
+    # efficiency the host itself delivers to a pure-CPU loop right now
+    probe = host_cycle_efficiency()
     # build the changelog cache outside the timed samples
     os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "4800000")
     os.environ["SILKRAY_SCALE_CORPUS"] = os.environ.get("SILKRAY_SCALE_CORPUS", "12")
@@ -348,6 +397,12 @@ def scaling() -> None:
                 "events": lo["events_applied"],
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_best_epoch": round(eff_best, 3),
+                **probe,
+                # engine efficiency normalized by what the host actually
+                # grants a pure-CPU control at 32 vs 8 workers
+                "scaling_efficiency_host_normalized": round(
+                    eff_best / probe["host_cycle_efficiency"], 3
+                ),
             }
         )
     )
