@@ -146,6 +146,7 @@ def cmd_cdc(args) -> int:
         n_block_partitions=args.block_partitions,
         rule_spec=rule_spec,
         max_epochs=args.max_epochs,
+        maintain_clusters=bool(args.maintain_clusters and rule_spec is not None),
     )
     t0 = time.perf_counter()
     metrics = run(args.root, args.changelog, cfg)
@@ -203,6 +204,10 @@ def main(argv=None) -> int:
     pc.add_argument("--num-partitions", type=int, default=64)
     pc.add_argument("--block-partitions", type=int, default=64)
     pc.add_argument("--max-epochs", type=int, default=None)
+    pc.add_argument(
+        "--maintain-clusters", action="store_true",
+        help="also maintain the duplicate-cluster table per epoch (needs --rule)",
+    )
     pc.set_defaults(fn=cmd_cdc)
 
     args = p.parse_args(argv)

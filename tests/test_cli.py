@@ -44,3 +44,35 @@ def test_cli_link_transform_cdc(ray_session, tmp_path, capsys):
                  "--epoch-size", "100", "--num-partitions", "2", "--block-partitions", "4"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["events_applied"] == 200
+
+
+def test_cli_cdc_maintain_clusters(ray_session, tmp_path, capsys):
+    """--maintain-clusters drives cdc/clusters.py through the CLI; the
+    final maintained table equals batch CC over the final link store."""
+    import json
+
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.clusters import clusters_table, read_clusterstate
+    from silk_ray.cdc.generator import (
+        make_base_table,
+        make_changelog,
+        write_changelog_segments,
+    )
+    from silk_ray.cdc.incremental import links_table
+    from silk_ray.pipelines.rules import BENCH_RULE
+    from tests.test_clusters import _batch_cc
+
+    rule = {k: v for k, v in BENCH_RULE.items() if k != "filter_limit"}
+    (tmp_path / "rule.json").write_text(json.dumps(rule))
+    base = make_base_table(50, seed=5, near_dup_frac=0.3)
+    log = make_changelog(base, 200, seed=6)
+    write_changelog_segments(log, str(tmp_path / "cl"), segment_size=100)
+    root = str(tmp_path / "lake")
+    assert main(["cdc", "--root", root, "--changelog", str(tmp_path / "cl"),
+                 "--epoch-size", "100", "--num-partitions", "2", "--block-partitions", "4",
+                 "--rule", str(tmp_path / "rule.json"), "--maintain-clusters"]) == 0
+    capsys.readouterr()
+    assert read_clusterstate(root)["epoch"] == 2
+    t = clusters_table(root)
+    maintained = dict(zip(t["uri"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert maintained == _batch_cc(links_table(root))
