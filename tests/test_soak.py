@@ -1,0 +1,90 @@
+"""Randomized CDC soak: seeded random event streams driven through
+randomized epoching / partitioning / compaction, with a mid-stream
+crash-resume and a redelivered window, must converge to the sequential
+oracle and to a byte-identical sha256 across epoch shapes (north_rule:
+"full replay from any checkpoint converges to byte-identical table
+state").
+
+Complements the scenario tests in test_cdc_merge.py: here every knob
+(stream shape, epoch size, partition count, compaction trigger, crash
+point, replayed window) is drawn from a seeded RNG so each seed is a
+different interleaving of insert/update/delete, duplicate offsets and
+(for half the seeds) schema evolution.
+"""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from silk_ray.cdc.generator import make_base_table, make_changelog, sequential_apply
+from silk_ray.cdc.merge import (
+    run_epoch,
+    run_to_completion,
+    state_sha256,
+    state_table,
+)
+
+KEYS = ("repo", "path", "commit", "lang", "content", "branch")
+
+
+def _oracle_rows(changelog):
+    state = sequential_apply(changelog)
+    return [
+        {k: state[key].get(k) for k in KEYS} for key in sorted(state.keys())
+    ]
+
+
+def _engine_rows(root):
+    rows = state_table(root).to_pylist()
+    return [{k: r.get(k) for k in KEYS} for r in rows]
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_randomized_stream_soak(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n_base = int(rng.integers(40, 160))
+    n_events = int(rng.integers(500, 1100))
+    dup_frac = float(rng.uniform(0.0, 0.12))
+    evolve_at = int(rng.integers(n_events // 3, n_events)) if seed % 2 else None
+
+    base = make_base_table(n_base, seed=seed)
+    log = make_changelog(
+        base, n_events, seed=seed + 1, dup_frac=dup_frac, evolve_at=evolve_at
+    )
+
+    epoch_a = int(rng.integers(80, 400))
+    epoch_b = int(rng.integers(80, 400))
+    parts = int(rng.integers(2, 9))
+    compact_at = int(rng.integers(2, 7))
+
+    # run A: straight through
+    root_a = str(tmp_path / "a")
+    run_to_completion(
+        root_a, log, epoch_size=epoch_a, num_partitions=parts, compact_at=compact_at
+    )
+
+    # run B: different epoching, crash-resume at a random committed epoch,
+    # then a redelivery of an already-committed window before finishing
+    root_b = str(tmp_path / "b")
+    crash_after = int(rng.integers(1, max(2, n_events // epoch_b)))
+    for _ in range(crash_after):
+        run_epoch(root_b, log, epoch_size=epoch_b, num_partitions=parts,
+                  compact_at=compact_at)
+    # redeliver a window that is fully below the committed HWM: no-op
+    sha_mid = state_sha256(root_b)
+    lo = int(rng.integers(0, max(1, crash_after * epoch_b - 1)))
+    redelivered = log.filter(pc.less(log["offset"], lo))
+    if redelivered.num_rows:
+        m = run_epoch(root_b, redelivered, epoch_size=epoch_b,
+                      num_partitions=parts, compact_at=compact_at)
+        if m is not None:
+            assert m["events_applied"] == 0
+    assert state_sha256(root_b) == sha_mid
+    # resume to completion from the committed manifest
+    run_to_completion(root_b, log, epoch_size=epoch_b, num_partitions=parts,
+                      compact_at=compact_at)
+
+    # 1) engine state equals the sequential oracle
+    assert _engine_rows(root_a) == _oracle_rows(log)
+    # 2) byte-identical across epoch shapes + crash/replay history
+    assert state_sha256(root_a) == state_sha256(root_b)
