@@ -106,6 +106,36 @@ def commit_manifest(root: str, manifest: Manifest, window: tuple[int, int]) -> N
         json.dump(log_entry, f, sort_keys=True)
     os.replace(log_tmp, os.path.join(ckpt_dir, f"offsets-{manifest.epoch:06d}.json"))
 
+    # per-epoch manifest snapshot: enables as-of-epoch (time-travel)
+    # reads within the GC retention window. Delta-sized metadata (a few
+    # KB of file names per epoch); gc_lake trims snapshots outside the
+    # retention window together with the chain files they reference.
+    snap_dir = os.path.join(root, "_manifests")
+    os.makedirs(snap_dir, exist_ok=True)
+    snap_tmp = os.path.join(snap_dir, f"manifest-{manifest.epoch:06d}.json.tmp")
+    with open(snap_tmp, "w") as f:
+        json.dump(manifest.to_dict(), f, sort_keys=True)
+    os.replace(snap_tmp, os.path.join(snap_dir, f"manifest-{manifest.epoch:06d}.json"))
+
+
+def read_manifest_at(root: str, epoch: int) -> Manifest:
+    """The manifest as committed at ``epoch`` (time-travel read).
+
+    Raises a loud error when the snapshot is gone — either the epoch
+    never committed or it fell out of the GC retention window
+    (``gc_lake(retain_epochs=K)`` keeps the last K+1 snapshots)."""
+    p = os.path.join(root, "_manifests", f"manifest-{epoch:06d}.json")
+    if not os.path.exists(p):
+        current = read_manifest(root).epoch
+        raise FileNotFoundError(
+            f"no manifest snapshot for epoch {epoch} under {root!r} "
+            f"(current epoch {current}): the epoch never committed or its "
+            "snapshot was GC'd outside the retention window "
+            "(EngineConfig.retain_epochs / gc_lake(retain_epochs=...))"
+        )
+    with open(p) as f:
+        return Manifest.from_dict(json.load(f))
+
 
 def write_metrics(root: str, epoch: int, metrics: dict) -> None:
     d = os.path.join(root, "_metrics")

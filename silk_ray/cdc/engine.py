@@ -45,6 +45,11 @@ class EngineConfig:
     # Without it a continuously-tailing engine grows storage without
     # bound. Disable to inspect every intermediate file in tests.
     gc: bool = True
+    # as-of-epoch (time-travel) read depth: GC keeps the last
+    # `retain_epochs` committed manifests before the current one
+    # readable via snapshot_dataset(root, at_epoch=...). 1 = just the
+    # engine's one-epoch rollback window (no extra storage).
+    retain_epochs: int = 1
     # maintain the materialized duplicate-cluster table over the link
     # store (cdc/clusters.py): per epoch only the components touched by
     # the delta are rebuilt
@@ -113,7 +118,7 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
         if config.gc:
             # post-commit storage GC: every rule below deletes only
             # files the committed manifests can no longer reference
-            n_gc = gc_lake(root)
+            n_gc = gc_lake(root, retain_epochs=config.retain_epochs)
             if config.rule_spec is not None:
                 state = read_linkstate(root)
                 n_gc += gc_blockmap(root, state)

@@ -661,34 +661,59 @@ def _file_epoch(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def gc_lake(root: str) -> int:
-    """Delete lake partition files neither the current manifest nor the
-    previous one (``prev_files``: the one-epoch rollback/crash window)
-    references — pre-compaction chain members two commits back, partial
+def gc_lake(root: str, retain_epochs: int = 1) -> int:
+    """Delete lake partition files no retained manifest references —
+    pre-compaction chain members past the retention window, partial
     files of a crashed in-flight epoch (harmless, replay rewrites them
     byte-identically). Run only AFTER a manifest commit; a crash mid-GC
     leaves only unreferenced garbage. Returns files removed.
+
+    ``retain_epochs`` is the as-of-epoch (time-travel) depth: the last
+    ``retain_epochs`` committed manifests BEFORE the current one stay
+    readable via ``snapshot_dataset(root, at_epoch=...)``; their
+    snapshots and chain files survive GC. The default (1) is the
+    engine's one-epoch rollback/crash window. ``prev_files`` of the
+    current manifest is always retained regardless (crash-replay
+    correctness does not depend on the time-travel setting).
 
     Without this, a continuously-tailing engine grows storage without
     bound: every compaction supersedes a chain but the old delta files
     stay on disk forever."""
     manifest = ckpt.read_manifest(root)
     live = {os.path.normpath(f) for f in manifest.chain_files() + manifest.prev_files}
-    base = os.path.join(root, "partitions")
-    if not os.path.isdir(base):
-        return 0
-    removed = 0
-    for d in os.listdir(base):
-        full = os.path.join(base, d)
-        if not os.path.isdir(full):
+    floor = manifest.epoch - max(1, retain_epochs) - 1
+    for e in range(max(1, floor + 1), manifest.epoch):
+        try:
+            m = ckpt.read_manifest_at(root, e)
+        except FileNotFoundError:  # pre-snapshot lake or already trimmed
             continue
-        for f in os.listdir(full):
-            if not f.endswith(".parquet"):
+        live.update(os.path.normpath(f) for f in m.chain_files())
+    base = os.path.join(root, "partitions")
+    removed = 0
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if not os.path.isdir(full):
                 continue
-            rel = os.path.normpath(os.path.join("partitions", d, f))
-            if rel not in live:
+            for f in os.listdir(full):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.normpath(os.path.join("partitions", d, f))
+                if rel not in live:
+                    try:
+                        os.remove(os.path.join(root, rel))
+                        removed += 1
+                    except OSError:
+                        pass
+    # trim manifest snapshots outside the retention window so a
+    # time-travel read can never resolve a manifest whose files are gone
+    snap_dir = os.path.join(root, "_manifests")
+    if os.path.isdir(snap_dir):
+        for f in os.listdir(snap_dir):
+            e = _file_epoch(f.replace("manifest-", "epoch-"))
+            if f.endswith(".json") and e is not None and e <= floor:
                 try:
-                    os.remove(os.path.join(root, rel))
+                    os.remove(os.path.join(snap_dir, f))
                     removed += 1
                 except OSError:
                     pass
@@ -737,9 +762,17 @@ def run_to_completion(root: str, changelog, epoch_size: int = 100_000, **kw) -> 
 # ---------------------------------------------------------------------------
 
 
-def partition_chains(root: str) -> dict[int, list[str]]:
-    """pid → ordered delta-chain file paths (absolute)."""
-    manifest = ckpt.read_manifest(root)
+def partition_chains(root: str, at_epoch: int | None = None) -> dict[int, list[str]]:
+    """pid → ordered delta-chain file paths (absolute).
+
+    ``at_epoch`` reads the manifest snapshot committed at that epoch
+    (time-travel within the GC retention window) instead of the
+    current one."""
+    manifest = (
+        ckpt.read_manifest(root)
+        if at_epoch is None
+        else ckpt.read_manifest_at(root, at_epoch)
+    )
     return {
         pid: [os.path.join(root, f) for f in info.get("files", [])]
         for pid, info in sorted(manifest.partitions.items())
@@ -754,12 +787,13 @@ def _load_partition(files: list[str], drop_internal: bool = True) -> pa.Table:
     return t
 
 
-def snapshot_dataset(root: str):
-    """The lake's current state as a Ray Dataset: one reconcile task per
-    partition chain (streaming; never materializes the lake)."""
+def snapshot_dataset(root: str, at_epoch: int | None = None):
+    """The lake's state as a Ray Dataset: one reconcile task per
+    partition chain (streaming; never materializes the lake).
+    ``at_epoch`` time-travels to a retained earlier commit."""
     import ray.data as rd
 
-    chains = partition_chains(root)
+    chains = partition_chains(root, at_epoch=at_epoch)
     if not chains:
         import pandas as pd
 
@@ -774,10 +808,13 @@ def snapshot_dataset(root: str):
     ).map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
-def state_table(root: str, drop_offset: bool = True) -> pa.Table:
+def state_table(
+    root: str, drop_offset: bool = True, at_epoch: int | None = None
+) -> pa.Table:
     """Driver-side full state (tests / small lakes only), sorted by key;
-    chain schemas unified (evolution-added columns null-padded)."""
-    chains = partition_chains(root)
+    chain schemas unified (evolution-added columns null-padded).
+    ``at_epoch`` time-travels to a retained earlier commit."""
+    chains = partition_chains(root, at_epoch=at_epoch)
     if not chains:
         return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
     tables = [_load_partition(files) for files in chains.values()]
@@ -794,12 +831,12 @@ def state_table(root: str, drop_offset: bool = True) -> pa.Table:
     return out
 
 
-def state_sha256(root: str) -> str:
+def state_sha256(root: str, at_epoch: int | None = None) -> str:
     """Digest over the sorted state's per-row (repo, path, content sha256)
     — the replay-equality invariant (BASELINE.json input_hint)."""
     import hashlib
 
-    t = state_table(root)
+    t = state_table(root, at_epoch=at_epoch)
     h = hashlib.sha256()
     contents = t["content"].to_pylist() if "content" in t.column_names else [None] * t.num_rows
     for repo, path, content in zip(t["repo"].to_pylist(), t["path"].to_pylist(), contents):

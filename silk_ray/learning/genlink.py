@@ -47,9 +47,15 @@ import copy
 import json
 import random as _random
 from dataclasses import dataclass, field
+from typing import Any
 
 from silk_ray.kernel.evaluation import EvaluationResult
-from silk_ray.kernel.rule import Entity, entity_from_row, rule_from_dict
+from silk_ray.kernel.rule import (
+    Entity,
+    entity_from_row,
+    operator_from_dict,
+    rule_from_dict,
+)
 
 Pair = tuple[Entity, Entity]
 
@@ -90,6 +96,26 @@ class ReferenceEntities:
     def target_paths(self) -> list[str]:
         return sorted({p for _, t in self.positive for p in t})
 
+    @property
+    def fingerprint(self) -> str:
+        """Content hash namespacing the per-process score memo (a
+        long-lived Ray worker may evaluate several learning runs).
+        Cached in the instance so it pickles with the broadcast."""
+        fp = self.__dict__.get("_fp")
+        if fp is None:
+            import hashlib
+
+            h = hashlib.sha256()
+            for kind, pairs in (("p", self.positive), ("n", self.negative)):
+                for s, t in pairs:
+                    h.update(
+                        json.dumps(
+                            [kind, sorted(s.items()), sorted(t.items())]
+                        ).encode()
+                    )
+            fp = self.__dict__["_fp"] = h.hexdigest()[:16]
+        return fp
+
 
 @dataclass
 class LearningConfig:
@@ -125,26 +151,91 @@ class LearningResult:
 # ---------------------------------------------------------------------------
 
 
+# Per-process caches for GA fitness evaluation. Crossover offspring
+# share comparison subtrees verbatim (CrossoverFunction recombines
+# whole operators) and the elite re-scores every iteration, so most
+# (comparison, pair) scores repeat — across the population AND across
+# iterations. The memo walks the SAME kernel objects as the direct
+# path (Comparison.apply / Aggregator.evaluate at limit=0), so scores
+# are bit-identical; keys exclude `weight` (read only by the parent
+# aggregation) and include the reference-set fingerprint so a
+# long-lived worker never mixes runs.
+_COMP_CACHE: dict[str, Any] = {}
+_AGG_CACHE: dict[str, Any] = {}
+_SCORE_MEMO: dict[tuple, float | None] = {}
+_SCORE_MEMO_MAX = 2_000_000
+_MISS = object()
+
+
+def _comp_key(spec: dict) -> str:
+    return json.dumps({k: v for k, v in spec.items() if k != "weight"}, sort_keys=True)
+
+
+def _eval_op_memo(spec: dict, s: Entity, t: Entity, pair_key: tuple) -> float | None:
+    """``SimilarityOperator.apply`` at ``limit=0`` with a comparison-
+    level score memo; identical output to the compiled-rule path
+    (property-tested in tests/test_learning.py)."""
+    if "metric" in spec:
+        ck = _comp_key(spec)
+        sk = (ck, pair_key)
+        hit = _SCORE_MEMO.get(sk, _MISS)
+        if hit is not _MISS:
+            return hit
+        comp = _COMP_CACHE.get(ck)
+        if comp is None:
+            comp = _COMP_CACHE[ck] = operator_from_dict(spec)
+        v = comp.apply(s, t, 0.0)
+        if len(_SCORE_MEMO) >= _SCORE_MEMO_MAX:
+            _SCORE_MEMO.clear()
+        _SCORE_MEMO[sk] = v
+        return v
+    ak = json.dumps(
+        {"aggregator": spec["aggregator"], "params": spec.get("params", {})},
+        sort_keys=True,
+    )
+    agg = _AGG_CACHE.get(ak)
+    if agg is None:
+        from silk_ray.kernel.aggregators import get_aggregator
+
+        agg = _AGG_CACHE[ak] = get_aggregator(
+            spec["aggregator"], **spec.get("params", {})
+        )
+    weighted = [
+        (_eval_op_memo(o, s, t, pair_key), o.get("weight", 1))
+        for o in spec.get("operators", [])
+    ]
+    return agg.evaluate(weighted, 0.0)
+
+
 def evaluate_rule(spec: dict, ref: ReferenceEntities, threshold: float = 0.0) -> EvaluationResult:
     """LinkageRuleEvaluator.scala:11-64: positives should score ≥
     threshold, negatives below; a rule that cannot score (missing
-    values → None) behaves like the reference's ``getOrElse(-1)``."""
-    rule = rule_from_dict({"operator": spec["operator"]})
+    values → None) behaves like the reference's ``getOrElse(-1)``.
+
+    At ``threshold=0`` (the learner's setting) evaluation goes through
+    the memoized per-comparison path — same kernel calls, cached
+    across the population and iterations."""
+    memo = threshold == 0.0
+    rule = None if memo else rule_from_dict({"operator": spec["operator"]})
+    fprint = ref.fingerprint if memo else None
     tp = tn = fp = fn = 0
-    for s, t in ref.positive:
-        conf = rule.apply(s, t, limit=threshold)
-        conf = -1.0 if conf is None else conf
-        if conf >= threshold:
-            tp += 1
-        else:
-            fn += 1
-    for s, t in ref.negative:
-        conf = rule.apply(s, t, limit=threshold)
-        conf = -1.0 if conf is None else conf
-        if conf >= threshold:
-            fp += 1
-        else:
-            tn += 1
+    for kind, pairs in (("p", ref.positive), ("n", ref.negative)):
+        for i, (s, t) in enumerate(pairs):
+            if memo:
+                conf = _eval_op_memo(spec["operator"], s, t, (fprint, kind, i))
+            else:
+                conf = rule.apply(s, t, limit=threshold)
+            conf = -1.0 if conf is None else conf
+            if kind == "p":
+                if conf >= threshold:
+                    tp += 1
+                else:
+                    fn += 1
+            else:
+                if conf >= threshold:
+                    fp += 1
+                else:
+                    tn += 1
     return EvaluationResult(tp, tn, fp, fn)
 
 
@@ -176,6 +267,7 @@ def _evaluate_population(specs: list[dict], ref, config) -> list[float]:
 
     import ray
 
+    ref.fingerprint  # compute once driver-side; ships inside the broadcast
     ref_obj = ray.put(ref)
     n_chunks = min(16, len(specs))
     chunk = (len(specs) + n_chunks - 1) // n_chunks

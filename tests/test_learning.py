@@ -259,3 +259,25 @@ def test_pool_from_datasets(ray_session):
     # payload entities survive the distributed round-trip
     c = next(iter(pool))
     assert isinstance(c.source, dict) and isinstance(c.target, dict)
+
+
+def test_memoized_evaluation_equals_compiled(name_ref):
+    """The comparison-level score memo (_eval_op_memo) must be
+    bit-identical to the direct compiled-rule path on random generated
+    rules — including crossover offspring, which share subtrees and so
+    exercise memo hits."""
+    from silk_ray.learning.genlink import _eval_op_memo
+
+    gen = RuleGenerator(name_ref)
+    rng = random.Random(99)
+    specs = [gen.rule(rng) for _ in range(20)]
+    specs += [_crossover(rng.choice(specs), rng.choice(specs), rng) for _ in range(20)]
+    fprint = name_ref.fingerprint
+    pairs = [("p", i, s, t) for i, (s, t) in enumerate(name_ref.positive)]
+    pairs += [("n", i, s, t) for i, (s, t) in enumerate(name_ref.negative)]
+    for spec in specs:
+        rule = rule_from_dict({"operator": spec["operator"]})
+        for kind, i, s, t in pairs:
+            direct = rule.apply(s, t, limit=0.0)
+            memo = _eval_op_memo(spec["operator"], s, t, (fprint, kind, i))
+            assert memo == direct, (spec, kind, i, memo, direct)
