@@ -74,6 +74,30 @@ def commit_clusterstate(root: str, state: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _state_path(root))
+    # per-epoch snapshot for as-of-epoch reads (same idiom as the lake
+    # manifests and linkstates); gc_clusters trims with the dirs
+    snap_dir = os.path.join(root, "_clusterstates")
+    os.makedirs(snap_dir, exist_ok=True)
+    snap = os.path.join(snap_dir, f"state-{int(state.get('epoch', 0)):06d}.json")
+    with open(snap + ".tmp", "w") as f:
+        json.dump(state, f, sort_keys=True)
+    os.replace(snap + ".tmp", snap)
+
+
+def read_clusterstate_at(root: str, epoch: int) -> dict:
+    """The cluster state as committed at ``epoch`` (time-travel read);
+    loud error outside the retention window."""
+    p = os.path.join(root, "_clusterstates", f"state-{epoch:06d}.json")
+    if not os.path.exists(p):
+        current = read_clusterstate(root)["epoch"]
+        raise FileNotFoundError(
+            f"no cluster-state snapshot for epoch {epoch} under {root!r} "
+            f"(current cluster epoch {current}): the epoch never committed "
+            "or its snapshot was GC'd outside the retention window "
+            "(EngineConfig.retain_epochs)"
+        )
+    with open(p) as f:
+        return json.load(f)
 
 
 def _epoch_summary_files(root: str, epoch: int) -> list[str]:
@@ -93,11 +117,14 @@ def _empty_clusters() -> pa.Table:
     )
 
 
-def clusters_table(root: str) -> pa.Table:
-    """Driver-side snapshot of the current cluster state (test/small-lake
+def clusters_table(root: str, at_epoch: int | None = None) -> pa.Table:
+    """Driver-side snapshot of the cluster state (test/small-lake
     helper, like ``links_table``; the streaming path is
-    ``read_parquet`` over the state dir)."""
-    state = read_clusterstate(root)
+    ``read_parquet`` over the state dir). ``at_epoch`` time-travels to
+    a retained earlier commit."""
+    state = (
+        read_clusterstate(root) if at_epoch is None else read_clusterstate_at(root, at_epoch)
+    )
     if not state.get("dir"):
         return _empty_clusters()
     d = os.path.join(root, state["dir"])
@@ -299,15 +326,37 @@ def _commit(root, state, epoch, rel_dir, mode, affected, seeds, rows=None) -> di
     }
 
 
-def gc_clusters(root: str) -> int:
-    """Delete cluster epoch dirs outside the pointer + one-epoch
-    rollback window (``dir`` / ``dir_prev``)."""
+def gc_clusters(root: str, retain_epochs: int = 1) -> int:
+    """Delete cluster epoch dirs outside the pointer + retention window
+    (``dir`` / ``dir_prev`` always survive; ``retain_epochs`` past
+    snapshots stay readable via ``clusters_table(at_epoch=)``)."""
     state = read_clusterstate(root)
     live = {state.get("dir"), state.get("dir_prev")} - {None}
+    epoch = int(state.get("epoch", 0))
+    floor = epoch - max(1, retain_epochs) - 1
+    for e in range(max(1, floor + 1), epoch):
+        try:
+            live.add(read_clusterstate_at(root, e).get("dir"))
+        except FileNotFoundError:
+            continue
+    live -= {None}
+    n = 0
+    snap_dir = os.path.join(root, "_clusterstates")
+    if os.path.isdir(snap_dir):
+        for f in os.listdir(snap_dir):
+            if f.startswith("state-") and f.endswith(".json"):
+                try:
+                    e = int(f[len("state-") : -len(".json")])
+                except ValueError:
+                    continue
+                if e <= floor:
+                    try:
+                        os.remove(os.path.join(snap_dir, f))
+                    except OSError:
+                        pass
     base = os.path.join(root, "clusters")
     if not os.path.isdir(base):
         return 0
-    n = 0
     for d in os.listdir(base):
         rel = os.path.join("clusters", d)
         if rel not in live:

@@ -71,6 +71,7 @@ def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
                 e,
                 limit=config.limit,
                 n_block_partitions=config.n_block_partitions,
+                retain_epochs=config.retain_epochs,
             )
         )
     if config.maintain_clusters and merge_epoch > 0:
@@ -109,6 +110,7 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 m["epoch"],
                 limit=config.limit,
                 n_block_partitions=config.n_block_partitions,
+                retain_epochs=config.retain_epochs,
             )
             m = {**m, "links": link_metrics}
             if config.maintain_clusters:
@@ -126,7 +128,7 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 if config.maintain_clusters:
                     from silk_ray.cdc.clusters import gc_clusters
 
-                    n_gc += gc_clusters(root)
+                    n_gc += gc_clusters(root, retain_epochs=config.retain_epochs)
             m["gc_files"] = n_gc
         # per-epoch wall time: epochs are identical in shape, so the
         # best epoch is a throttling-robust throughput estimator on

@@ -96,6 +96,31 @@ def commit_linkstate(root: str, state: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _linkstate_path(root))
+    # per-epoch snapshot for as-of-epoch (time-travel) reads — the same
+    # idiom as the lake's manifest snapshots (checkpoint.commit_manifest);
+    # _gc_links trims snapshots with the files they reference
+    snap_dir = os.path.join(root, "_linkstates")
+    os.makedirs(snap_dir, exist_ok=True)
+    snap = os.path.join(snap_dir, f"state-{int(state.get('epoch', 0)):06d}.json")
+    with open(snap + ".tmp", "w") as f:
+        json.dump(state, f, sort_keys=True)
+    os.replace(snap + ".tmp", snap)
+
+
+def read_linkstate_at(root: str, epoch: int) -> dict:
+    """The link state as committed at ``epoch`` (time-travel read);
+    loud error outside the retention window."""
+    p = os.path.join(root, "_linkstates", f"state-{epoch:06d}.json")
+    if not os.path.exists(p):
+        current = read_linkstate(root)["epoch"]
+        raise FileNotFoundError(
+            f"no linkstate snapshot for epoch {epoch} under {root!r} "
+            f"(current link epoch {current}): the epoch never committed or "
+            "its snapshot was GC'd outside the retention window "
+            "(EngineConfig.retain_epochs)"
+        )
+    with open(p) as f:
+        return json.load(f)
 
 
 # ---------------------------------------------------------------------------
@@ -476,10 +501,14 @@ def update_links(
     *,
     limit: float = 0.0,
     n_block_partitions: int = DEFAULT_BLOCK_PARTITIONS,
+    retain_epochs: int = 1,
 ) -> dict:
     """Process merge epoch ``epoch``'s dirty deltas into the link state.
 
     Returns link metrics (links_recomputed, links_removed, ...).
+    ``retain_epochs`` = as-of-epoch read depth for the link store
+    (``links_table(at_epoch=)``); the replaced-file GC keeps that many
+    past manifests' files.
     """
     import ray
     import ray.data as rd
@@ -802,7 +831,7 @@ def update_links(
     }
     _mark("manifest_post")
     commit_linkstate(root, state)
-    _gc_links(root, state)
+    _gc_links(root, state, retain_epochs=retain_epochs)
     _mark("commit_gc")
 
     metrics = {
@@ -880,14 +909,40 @@ def _links_manifest(state: dict, root: str | None = None) -> list[dict]:
     return out
 
 
-def _gc_links(root: str, state: dict) -> None:
-    """Delete link files no manifest references (files replaced by a
-    rewrite). Runs after the commit point, so a crash mid-GC leaves
-    only unreferenced garbage."""
+def _gc_links(root: str, state: dict, retain_epochs: int = 1) -> None:
+    """Delete link files no retained manifest references (files replaced
+    by a rewrite). Runs after the commit point, so a crash mid-GC leaves
+    only unreferenced garbage. ``retain_epochs`` = as-of-epoch read
+    depth (``links_table(at_epoch=)``); the default keeps exactly the
+    crash-replay window (``links_files_prev``), identical to the
+    pre-time-travel behavior."""
     live = {
         os.path.normpath(e["file"])
         for e in state.get("links_files", []) + state.get("links_files_prev", [])
     }
+    epoch = int(state.get("epoch", 0))
+    floor = epoch - max(1, retain_epochs) - 1
+    for e in range(max(1, floor + 1), epoch):
+        try:
+            snap = read_linkstate_at(root, e)
+        except FileNotFoundError:  # pre-snapshot state or already trimmed
+            continue
+        live.update(
+            os.path.normpath(entry["file"]) for entry in _links_manifest(snap, root)
+        )
+    snap_dir = os.path.join(root, "_linkstates")
+    if os.path.isdir(snap_dir):
+        for f in os.listdir(snap_dir):
+            if f.startswith("state-") and f.endswith(".json"):
+                try:
+                    e = int(f[len("state-") : -len(".json")])
+                except ValueError:
+                    continue
+                if e <= floor:
+                    try:
+                        os.remove(os.path.join(snap_dir, f))
+                    except OSError:
+                        pass
     base = os.path.join(root, "links")
     if not os.path.isdir(base):
         return
@@ -981,13 +1036,14 @@ def _append_link_metrics(root: str, epoch: int, metrics: dict) -> None:
 # ---------------------------------------------------------------------------
 
 
-def links_table(root: str) -> pa.Table:
+def links_table(root: str, at_epoch: int | None = None) -> pa.Table:
     """The maintained unfiltered link set, sorted (driver-side;
     test/small-lake helper — distributed consumers read the manifest
-    files as a Dataset)."""
+    files as a Dataset). ``at_epoch`` time-travels to a retained
+    earlier link commit."""
     empty = pa.table({"source": pa.array([], pa.string()), "target": pa.array([], pa.string()),
                       "confidence": pa.array([], pa.float64())})
-    state = read_linkstate(root)
+    state = read_linkstate(root) if at_epoch is None else read_linkstate_at(root, at_epoch)
     entries = _links_manifest(state, root)
     tables = []
     for e in entries:
