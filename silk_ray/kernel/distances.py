@@ -1040,6 +1040,15 @@ class NumMetric(SimpleDistanceMeasure):
 def _parse_date(s: str):
     import datetime as _dt
 
+    # exact-subset fast rejection: every accepted format starts with a
+    # digit year and is at most 26 chars (4+1+2+1+2 + 1+2+1+2+1+2 +
+    # 1+6 with microseconds), so longer or non-digit-leading values can
+    # never parse. Matters because rules apply `date` comparisons to
+    # arbitrary values (e.g. the GA's measure menu over document text):
+    # a failing strptime costs ~30 µs × 4 formats PER VALUE, and was
+    # 94% of GA fitness evaluation before this gate.
+    if len(s) > 26 or not s[:1].isdigit():
+        return None
     for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
         try:
             return _dt.datetime.strptime(s, fmt)

@@ -271,7 +271,10 @@ def _evaluate_population(specs: list[dict], ref, config) -> list[float]:
 
     ref.fingerprint  # compute once driver-side; ships inside the broadcast
     ref_obj = ray.put(ref)
-    n_chunks = min(16, len(specs))
+    # fine-grained chunks: spec cost is heterogeneous (a levenshtein rule
+    # over KB documents costs ~100x an equality rule), so coarse chunks
+    # straggle — 1-2 specs per task lets the scheduler pack them
+    n_chunks = min(64, len(specs))
     chunk = (len(specs) + n_chunks - 1) // n_chunks
 
     @ray.remote
