@@ -314,3 +314,36 @@ def test_tokenwise_distance_params():
     assert idx1.index(["Hotel Hilton Manhattan"], 0.1, True).matches(
         m_idx.index(["hilton hotel"], 0.1, False)
     )
+
+
+def test_parse_date_gate_is_exact_subset():
+    """The fast-rejection gate in _parse_date must reject exactly the
+    strings that would fail every accepted format anyway — including
+    boundary cases (26-char microsecond timestamps, short years, digit-
+    leading non-dates, document-sized text)."""
+    import datetime as dt
+    import random
+
+    from silk_ray.kernel.distances import _parse_date
+
+    def reference(s):
+        for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
+            try:
+                return dt.datetime.strptime(s, fmt)
+            except ValueError:
+                continue
+        return None
+
+    cases = [
+        "2026-08-19", "2026-08-19T12:34:56", "2026-08-19T12:34:56.123456",
+        "2026-08-19 12:34:56", "500-01-01", "0001-01-01", "1-2-3",
+        "not a date", "x" * 1000, "2026-08-19T12:34:56.1234567",  # 27 chars
+        "9999-12-31T23:59:59.999999",  # exactly 26
+        "1234 widgets and more text that is long", "", "20260819",
+        "2026-08", "-2026-08-19",
+    ]
+    rng = random.Random(0)
+    alphabet = "0123456789-T:. abcdef"
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40))) for _ in range(500)]
+    for s in cases:
+        assert _parse_date(s) == reference(s), repr(s)
