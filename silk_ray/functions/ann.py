@@ -231,13 +231,36 @@ def embedding_near_dup_pairs(
 
 
 class HyperplaneHasher:
-    def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 4, seed: int = 77):
-        rng = np.random.default_rng(seed)
-        self.planes = [rng.standard_normal((n_bits, dim)).astype(np.float32) for _ in range(n_tables)]
+    """Sign-random-projection hasher with md5-derived ±1 plane entries:
+    ``plane[t][b][d] = +1 iff md5_lower64(f"lsh-{t}:{b}:{d}")`` is even
+    (== DuckDB ``md5_number_lower(...) % 2 = 0``), projections in
+    float64 — the whole bucketing is reproducible in SQL, which gives
+    ``knn_lsh`` an exact DuckDB oracle (queries.KNN_LSH_SQL). Rademacher
+    (±1) projections have the same sign-LSH collision behavior as
+    Gaussian ones at these dimensions; the recall floors are re-pinned
+    in tests/test_queries.py."""
+
+    def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 4):
+        from silk_ray.kernel.index import md5_lower64
+
+        self.planes = [
+            np.array(
+                [
+                    [
+                        1.0 if md5_lower64(f"lsh-{t}:{b}:{d}") % 2 == 0 else -1.0
+                        for d in range(dim)
+                    ]
+                    for b in range(n_bits)
+                ],
+                dtype=np.float64,
+            )
+            for t in range(n_tables)
+        ]
         self.n_tables = n_tables
 
     def buckets(self, m: np.ndarray) -> np.ndarray:
         """(N, n_tables) int64 bucket ids."""
+        m = np.asarray(m, dtype=np.float64)
         out = np.empty((m.shape[0], self.n_tables), dtype=np.int64)
         for t, p in enumerate(self.planes):
             bits = (m @ p.T) > 0  # (N, n_bits)

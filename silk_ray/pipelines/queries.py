@@ -1355,6 +1355,55 @@ def knn_lsh_q(sf_dir: str):
     return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+# Exact SQL oracle for knn_lsh: the hasher's ±1 plane entries derive
+# from md5-lower-64 (HyperplaneHasher: +1 iff md5_lower64("lsh-t:b:d")
+# is even == DuckDB md5_number_lower(...) % 2 = 0), projections are
+# float64 on exactly-representable float32 embeddings, so DuckDB
+# rebuilds every bucket (bit b is the (n_bits-1-b)-th binary digit,
+# table id in bits 48+). The pipeline's per-bucket top-(k+1) pruning is
+# lossless w.r.t. the global candidate top-k: any bucket member ranked
+# above a true global-top-k candidate is itself a candidate with higher
+# cosine (≤ k-1 of those exist) or the query itself (≤ 1), so the
+# candidate survives every shared bucket — the oracle can therefore
+# score ALL bucket-sharing candidates and take the global top-k.
+# Parameters pinned to knn_lsh_q: dim=64, n_bits=3, n_tables=32, k=5.
+KNN_LSH_SQL = """
+WITH dims AS (SELECT unnest(range(64)) AS d),
+     bits AS (SELECT unnest(range(3)) AS b),
+     tabs AS (SELECT unnest(range(32)) AS t),
+     signs AS (
+       SELECT t, b,
+              list(CAST(CASE WHEN md5_number_lower('lsh-' || t || ':' || b || ':' || d) % 2 = 0
+                             THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY d) AS sv
+       FROM tabs CROSS JOIN bits CROSS JOIN dims
+       GROUP BY t, b),
+     vb AS (
+       SELECT v.vec_id,
+              (s.t::BIGINT << 48) | CAST(sum(
+                CASE WHEN list_dot_product(CAST(v.embedding AS DOUBLE[]), s.sv) > 0
+                     THEN (1::BIGINT << CAST(2 - s.b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       FROM embeddings v CROSS JOIN signs s
+       GROUP BY v.vec_id, s.t),
+     cand AS (
+       SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+       FROM vb q JOIN vb e ON e.bucket = q.bucket
+       WHERE q.vec_id < 10 AND e.vec_id != q.vec_id)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                    c.neighbor_id
+         ) AS rn
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+) WHERE rn <= 5
+ORDER BY query_id, cosine DESC, neighbor_id
+"""
+
+
 def knn_ivf_q(sf_dir: str):
     from silk_ray.functions.ann import knn_ivf
 
@@ -1855,6 +1904,7 @@ def build_oracle_sql():
         "doc_quality": DOC_QUALITY_SQL,
         "transform_normalize": TRANSFORM_NORMALIZE_SQL,
         "knn_cosine": KNN_COSINE_SQL,
+        "knn_lsh": KNN_LSH_SQL,
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
