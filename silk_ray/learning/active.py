@@ -66,8 +66,12 @@ class LinkCandidate:
 # ---------------------------------------------------------------------------
 
 
-def _trimmed_values(entity: Entity, path: str) -> set[str]:
-    return {v.strip() for v in entity.get(path, []) if v and v.strip()}
+def _trimmed_values(entity: Entity, path: str) -> list[str]:
+    """Distinct trimmed values in sorted order — NOT a set: pool
+    construction iterates these, and set order varies with the
+    interpreter's hash seed, which would make a seeded pool (and the
+    whole active-learning trajectory) irreproducible across processes."""
+    return sorted({v.strip() for v in entity.get(path, []) if v and v.strip()})
 
 
 def pool_from_entities(

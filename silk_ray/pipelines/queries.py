@@ -1404,6 +1404,26 @@ ORDER BY query_id, cosine DESC, neighbor_id
 """
 
 
+def _ivf_seed_centroids(sf_dir: str, n_cells: int = 16) -> np.ndarray:
+    """Deterministic, SQL-reproducible IVF centroids: the normalized
+    embeddings of the ``n_cells`` corpus vectors with the smallest
+    ``md5_lower64(str(vec_id))`` (== DuckDB ``md5_number_lower``), cell
+    index = ascending md5 order. Used by the oracle-facing query so
+    DuckDB can rebuild the cells; the k-means path
+    (``train_ivf_centroids``) stays the default for ``centroids=None``
+    and has its own recall test."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.functions.ann import _normalize
+    from silk_ray.kernel.index import md5_lower64
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: (md5_lower64(str(ids[i])), ids[i]))[:n_cells]
+    vecs = t["embedding"].to_pylist()
+    return _normalize(np.asarray([vecs[i] for i in order], dtype=np.float64))
+
+
 def knn_ivf_q(sf_dir: str):
     from silk_ray.functions.ann import knn_ivf
 
@@ -1411,10 +1431,69 @@ def knn_ivf_q(sf_dir: str):
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     # weakly-clustered synthetic embeddings: probe most cells for high
     # recall (a real clustered corpus probes a small fraction; measured
-    # 1.0/0.98 at the test tiers — tests pin a >= 0.9 floor)
-    out = knn_ivf(ds, qids, qm, k=5, n_cells=16, n_probe=14).to_pandas()
+    # >= 0.9 floor pinned by tests). Centroids are the md5-seeded
+    # deterministic set so the DuckDB oracle can rebuild every cell.
+    cents = _ivf_seed_centroids(sf_dir, n_cells=16)
+    out = knn_ivf(ds, qids, qm, k=5, n_cells=16, n_probe=14, centroids=cents).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+# Exact SQL oracle for knn_ivf: centroids are the 16 corpus vectors with
+# the smallest md5_number_lower(vec_id) (cell = ascending-md5 rank),
+# normalized — so cell assignment (argmax of normalized-dot == argmax of
+# cosine, ties to the lowest cell, matching np.argmax) and query probing
+# (top-14 cells by the same ranking, matching the stable argsort
+# tie-break) are pure SQL. Cells are disjoint (each vector lives in ONE
+# cell), and the pipeline's per-cell top-(k+1) pruning is lossless
+# w.r.t. the global top-k by the same argument as KNN_LSH_SQL — at most
+# k-1 better candidates plus the query itself can outrank a true top-k
+# member inside its cell — so the oracle scores all probed-cell members
+# and takes the global top-k. Parameters pinned to knn_ivf_q: dim=64,
+# n_cells=16, n_probe=14, k=5.
+KNN_IVF_SQL = """
+WITH ranked AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+         row_number() OVER (ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings),
+cents AS (SELECT rn - 1 AS cell, cv FROM ranked WHERE rn <= 16),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv) DESC, c.cell
+           ) AS arn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE arn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv) DESC, c.cell
+           ) AS prn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 10
+  ) WHERE prn <= 14),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                    c.neighbor_id
+         ) AS rn
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+) WHERE rn <= 5
+ORDER BY query_id, cosine DESC, neighbor_id
+"""
 
 
 def link_names(sf_dir: str):
@@ -1905,6 +1984,7 @@ def build_oracle_sql():
         "transform_normalize": TRANSFORM_NORMALIZE_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "knn_lsh": KNN_LSH_SQL,
+        "knn_ivf": KNN_IVF_SQL,
         "label_stats": LABEL_STATS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,

@@ -181,6 +181,16 @@ def _active_fixture():
     return source, target, truth
 
 
+def test_trimmed_values_sorted_not_set_order():
+    """Pool construction iterates these values: they must come back in a
+    hash-seed-independent order (a set here made the seeded active-
+    learning trajectory irreproducible across interpreter processes)."""
+    from silk_ray.learning.active import _trimmed_values
+
+    vals = _trimmed_values({"p": [" b ", "a", "b", "c ", "", "  "]}, "p")
+    assert vals == ["a", "b", "c"]
+
+
 def test_pool_from_entities_and_selectors():
     from silk_ray.learning.active import (
         pool_from_entities,
