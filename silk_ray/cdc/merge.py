@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import time
 import zlib
 
@@ -508,10 +509,93 @@ def _split_by_pid(t: pa.Table, num_partitions: int) -> dict[int, pa.Table]:
     }
 
 
-def _read_split_task(src, lo: int, hi: int, num_partitions: int) -> dict:
-    """Exchange stage A: read one window fragment, split by pid, put
-    each shard into the object store; only (pid -> ref) maps travel to
-    the driver."""
+_VALID_OPS = ("I", "U", "D")
+
+
+def _validate_events(t: pa.Table) -> tuple[pa.Table, pa.Table | None]:
+    """Split a changelog window into (valid, dead-lettered) events.
+
+    Structural validation: an unknown op code or a null/empty repo/path
+    cannot be merge-applied (the partition key hash is undefined, and
+    pre-DLQ an unknown op was silently treated as an upsert) — such
+    events are quarantined with a ``reason`` column instead of crashing
+    the epoch or poisoning the lake. Null *offsets* need no rule here:
+    the window filter (``offset >= lo AND offset < hi``) is the
+    delivery contract, and a null offset never satisfies it.
+
+    Returns ``(valid, dead)`` with ``dead=None`` when every event is
+    well-formed (the overwhelmingly common case — one boolean reduction,
+    no copies)."""
+    op_ok = pc.fill_null(pc.is_in(t["op"], value_set=pa.array(list(_VALID_OPS))), False)
+
+    def _key_ok(name: str):
+        lens = pc.utf8_length(pc.cast(t[name], pa.string()))
+        return pc.fill_null(pc.greater(lens, 0), False)
+
+    valid = pc.and_(op_ok, pc.and_(_key_ok("repo"), _key_ok("path")))
+    if t.num_rows == 0 or pc.all(valid).as_py():
+        return t, None
+    dead_mask = pc.invert(valid)
+    dead = t.filter(dead_mask)
+    reason = pc.if_else(op_ok.filter(dead_mask), "null_key", "unknown_op")
+    return t.filter(valid), dead.append_column("reason", pc.cast(reason, pa.string()))
+
+
+def _dlq_dir(root: str, epoch: int) -> str:
+    return os.path.join(root, "deadletter", f"epoch-{epoch:06d}")
+
+
+def _write_dead_shard(root: str, epoch: int, frag_idx: int, dead: pa.Table) -> dict:
+    """Persist one fragment's quarantined events to
+    ``deadletter/epoch-NNNNNN/part-NNNN.parquet`` (atomic tmp+rename)
+    from inside the read task — the dead rows (which carry full
+    payloads) never travel to the driver; only this summary does. The
+    epoch dir is cleared by the driver before dispatch, so a
+    crash-replay of the window rewrites identical shards. The DLQ is
+    exempt from lake GC — quarantine is an operator-facing audit
+    surface."""
+    dead = dead.sort_by([("offset", "ascending"), ("op", "ascending"), ("repo", "ascending")])
+    d = _dlq_dir(root, epoch)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"part-{frag_idx:04d}.parquet")
+    tmp = f"{final}.tmp-{os.getpid()}"
+    pq.write_table(dead, tmp)
+    os.replace(tmp, final)
+    vc = pc.value_counts(dead["reason"])
+    return {
+        "count": dead.num_rows,
+        "max_offset": int(pc.max(dead["offset"]).as_py()),
+        "reasons": {s["values"]: int(s["counts"]) for s in vc.to_pylist()},
+    }
+
+
+def dead_letters_table(root: str) -> pa.Table:
+    """All quarantined events across epochs (driver-side audit helper;
+    distributed consumers ``read_parquet`` the ``deadletter/`` dir)."""
+    base = os.path.join(root, "deadletter")
+    files = []
+    if os.path.isdir(base):
+        for ep in sorted(os.listdir(base)):
+            d = os.path.join(base, ep)
+            if os.path.isdir(d):
+                files += [
+                    os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                ]
+    if not files:
+        return pa.table(
+            {"offset": pa.array([], pa.int64()), "reason": pa.array([], pa.string())}
+        )
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
+def _read_split_task(
+    src, lo: int, hi: int, num_partitions: int, root: str, epoch: int, frag_idx: int
+) -> tuple[dict, dict | None]:
+    """Exchange stage A: read one window fragment, validate, split the
+    valid events by pid, put each shard into the object store. Only
+    (pid -> ref) maps and a dead-letter count summary travel to the
+    driver; quarantined rows are written to the DLQ from here (they can
+    be window-sized under an adversarial stream)."""
     import ray
 
     if isinstance(src, pa.Table):
@@ -519,8 +603,12 @@ def _read_split_task(src, lo: int, hi: int, num_partitions: int) -> dict:
     else:
         t = pq.read_table(src, filters=[("offset", ">=", lo), ("offset", "<", hi)])
     if t.num_rows == 0:
-        return {}
-    return {pid: ray.put(tbl) for pid, tbl in _split_by_pid(t, num_partitions).items()}
+        return {}, None
+    t, dead = _validate_events(t)
+    summary = _write_dead_shard(root, epoch, frag_idx, dead) if dead is not None else None
+    if t.num_rows == 0:
+        return {}, summary
+    return {pid: ray.put(tbl) for pid, tbl in _split_by_pid(t, num_partitions).items()}, summary
 
 
 def _merge_pid_task(merger, *shards) -> dict:
@@ -592,26 +680,46 @@ def run_epoch(
     )
 
     t0 = time.perf_counter()
+    # a crashed attempt may have left DLQ shards for this epoch; clear
+    # so the replay's shard set is exactly this window's (idempotent —
+    # the quarantine is written pre-commit, from the read tasks)
+    if os.path.isdir(_dlq_dir(root, epoch)):
+        shutil.rmtree(_dlq_dir(root, epoch))
     read_task = ray.remote(_read_split_task)
     merge_task = ray.remote(_merge_pid_task)
-    shard_maps = ray.get(
-        [read_task.remote(f, lo, hi, num_partitions) for f in fragments]
+    results = ray.get(
+        [
+            read_task.remote(f, lo, hi, num_partitions, root, epoch, i)
+            for i, f in enumerate(fragments)
+        ]
     )
     by_pid: dict[int, list] = {}
-    for m in shard_maps:
+    dead_count, dead_max, dead_reasons = 0, None, {}
+    for m, dead in results:
         for pid, ref in m.items():
             by_pid.setdefault(pid, []).append(ref)
-    if not by_pid:
+        if dead is not None:
+            dead_count += dead["count"]
+            dead_max = dead["max_offset"] if dead_max is None else max(dead_max, dead["max_offset"])
+            for k, v in dead["reasons"].items():
+                dead_reasons[k] = dead_reasons.get(k, 0) + v
+    if not by_pid and not dead_count:
         return None
     t_exchange = time.perf_counter() - t0
-    merger_ref = ray.put(merger)
-    metrics_rows = ray.get(
-        [merge_task.remote(merger_ref, *refs) for _, refs in sorted(by_pid.items())]
-    )
+    metrics_rows = []
+    if by_pid:
+        merger_ref = ray.put(merger)
+        metrics_rows = ray.get(
+            [merge_task.remote(merger_ref, *refs) for _, refs in sorted(by_pid.items())]
+        )
     t_merge = time.perf_counter() - t0 - t_exchange
 
     # ---- commit ----
-    max_off = max(r["hwm"] for r in metrics_rows)
+    # dead-lettered offsets advance the window too: a trailing malformed
+    # event must not pin next_offset (the engine would re-read it forever)
+    max_off = max(
+        [r["hwm"] for r in metrics_rows] + ([dead_max] if dead_max is not None else [])
+    )
     new_partitions = dict(manifest.partitions)
     for r in metrics_rows:
         new_partitions[int(r["pid"])] = {
@@ -633,7 +741,7 @@ def run_epoch(
         for r in metrics_rows
     }
     events_per_part = [r["events_in"] for r in metrics_rows]
-    mean_ev = sum(events_per_part) / len(events_per_part)
+    mean_ev = sum(events_per_part) / len(events_per_part) if events_per_part else 0.0
     metrics = {
         "epoch": epoch,
         "window": [lo, hi],
@@ -645,6 +753,8 @@ def run_epoch(
         "dirty_total": int(sum(r["dirty"] for r in metrics_rows)),
         "partitions_touched": len(metrics_rows),
         "skew_ratio": (max(events_per_part) / mean_ev) if mean_ev else 0.0,
+        "dead_lettered": int(dead_count),
+        "dead_reasons": dead_reasons,
         "exchange_seconds": round(t_exchange, 3),
         "merge_seconds": round(t_merge, 3),
         "per_partition": per_part,

@@ -1,0 +1,157 @@
+"""Dead-letter quarantine for malformed changelog events.
+
+A 10^10-event binlog WILL carry garbage (producer bugs, unknown op
+codes, null keys). Pre-DLQ the engine either crashed the epoch (null
+key -> undefined partition hash) or silently upserted an unknown op.
+Now structurally-invalid events are diverted to
+``deadletter/epoch-NNNNNN.parquet`` with a ``reason``, the lake applies
+exactly the valid subset, window offsets still advance past trailing
+garbage (no re-read loop), and replay rewrites identical quarantine
+files (exactly-once still holds).
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from silk_ray.cdc.engine import EngineConfig, run
+from silk_ray.cdc.generator import make_base_table, make_changelog, sequential_apply
+from silk_ray.cdc.merge import (
+    dead_letters_table,
+    run_to_completion,
+    state_sha256,
+    state_table,
+)
+
+KEYS = ("repo", "path", "commit", "lang", "content", "branch")
+
+
+def _corrupt(log: pa.Table, every: int = 17) -> tuple[pa.Table, dict[int, str]]:
+    """Inject one of four malformations at every ``every``-th row.
+    Returns (corrupted log, offset -> expected reason)."""
+    rows = log.to_pylist()
+    expected: dict[int, str] = {}
+    for i in range(0, len(rows), every):
+        r = rows[i]
+        kind = (i // every) % 4
+        if kind == 0:
+            r["op"] = "X"
+            expected[r["offset"]] = "unknown_op"
+        elif kind == 1:
+            r["op"] = None
+            expected[r["offset"]] = "unknown_op"
+        elif kind == 2:
+            r["repo"] = ""
+            expected[r["offset"]] = "null_key"
+        else:
+            r["path"] = None
+            expected[r["offset"]] = "null_key"
+    return pa.Table.from_pylist(rows, schema=log.schema), expected
+
+
+def _valid_subset(log: pa.Table, bad_offsets) -> pa.Table:
+    mask = pc.invert(pc.is_in(log["offset"], value_set=pa.array(sorted(bad_offsets))))
+    return log.filter(mask)
+
+
+def _oracle_rows(changelog):
+    state = sequential_apply(changelog)
+    return [{k: state[key].get(k) for k in KEYS} for key in sorted(state.keys())]
+
+
+def _engine_rows(root):
+    return [{k: r.get(k) for k in KEYS} for r in state_table(root).to_pylist()]
+
+
+def test_dead_letters_quarantined_valid_subset_applied(ray_session, tmp_path):
+    base = make_base_table(60, seed=71)
+    log, expected = _corrupt(make_changelog(base, 400, seed=72, dup_frac=0.05))
+    root = str(tmp_path / "lake")
+    metrics = run_to_completion(root, log, epoch_size=150, num_partitions=4)
+
+    dlq = dead_letters_table(root)
+    got = {r["offset"]: r["reason"] for r in dlq.to_pylist()}
+    assert got == expected
+    assert sum(m["dead_lettered"] for m in metrics) == len(expected)
+    reason_totals: dict[str, int] = {}
+    for m in metrics:
+        for k, v in m["dead_reasons"].items():
+            reason_totals[k] = reason_totals.get(k, 0) + v
+    assert reason_totals == {
+        "unknown_op": sum(1 for v in expected.values() if v == "unknown_op"),
+        "null_key": sum(1 for v in expected.values() if v == "null_key"),
+    }
+    # the lake state is exactly the sequential oracle over the valid subset
+    assert _engine_rows(root) == _oracle_rows(_valid_subset(log, expected))
+
+
+def test_trailing_garbage_does_not_pin_the_window(ray_session, tmp_path):
+    base = make_base_table(30, seed=73)
+    log = make_changelog(base, 120, seed=74, dup_frac=0.0)
+    rows = log.to_pylist()
+    rows[-1]["op"] = "Z"  # highest offset in the stream is malformed
+    log = pa.Table.from_pylist(rows, schema=log.schema)
+    root = str(tmp_path / "lake")
+    metrics = run_to_completion(root, log, epoch_size=50, num_partitions=2)
+    assert metrics[-1]["dead_lettered"] == 1
+    # the offset advanced past the garbage: a re-tail finds nothing new
+    assert run_to_completion(root, log, epoch_size=50, num_partitions=2) == []
+
+
+def test_all_malformed_window_advances_with_empty_state(ray_session, tmp_path):
+    base = make_base_table(20, seed=75)
+    log = make_changelog(base, 60, seed=76, dup_frac=0.0)
+    rows = log.to_pylist()
+    for r in rows:
+        r["op"] = "?"
+    log = pa.Table.from_pylist(rows, schema=log.schema)
+    root = str(tmp_path / "lake")
+    metrics = run_to_completion(root, log, epoch_size=25, num_partitions=2)
+    # every received row is quarantined (a redelivered duplicate would
+    # be quarantined twice — the DLQ audits what arrived, not a dedup)
+    assert sum(m["dead_lettered"] for m in metrics) == log.num_rows
+    assert all(m["events_applied"] == 0 for m in metrics)
+    assert state_table(root).num_rows == 0
+    assert run_to_completion(root, log, epoch_size=25, num_partitions=2) == []
+
+
+def test_replay_rewrites_identical_quarantine_and_state(ray_session, tmp_path):
+    base = make_base_table(40, seed=77)
+    log, expected = _corrupt(make_changelog(base, 300, seed=78, dup_frac=0.08), every=23)
+
+    shas, dlqs = [], []
+    for run_dir, epoch_size in (("a", 120), ("b", 80)):  # different epoching
+        root = str(tmp_path / run_dir)
+        run(root, log, EngineConfig(epoch_size=epoch_size, num_partitions=3))
+        shas.append(state_sha256(root))
+        dlqs.append(
+            sorted(
+                (r["offset"], r["reason"], r.get("repo"), r.get("path"))
+                for r in dead_letters_table(root).to_pylist()
+            )
+        )
+    assert shas[0] == shas[1]
+    assert dlqs[0] == dlqs[1]
+    assert {o: r for o, r, _, _ in dlqs[0]} == expected
+
+
+def test_engine_with_linking_survives_garbage(ray_session, tmp_path):
+    """Malformed events must not disturb downstream link maintenance."""
+    import copy
+
+    from silk_ray.pipelines.rules import BENCH_RULE
+
+    rule = copy.deepcopy(BENCH_RULE)
+    rule.pop("filter_limit", None)
+    base = make_base_table(50, seed=79, near_dup_frac=0.3)
+    log, expected = _corrupt(make_changelog(base, 200, seed=80), every=19)
+    root = str(tmp_path / "lake")
+    metrics = run(
+        root,
+        log,
+        EngineConfig(epoch_size=100, num_partitions=3, n_block_partitions=8, rule_spec=rule),
+    )
+    assert sum(m["dead_lettered"] for m in metrics) == len(expected)
+    assert {r["offset"] for r in dead_letters_table(root).to_pylist()} == set(expected)
+    # state equals the valid-subset oracle even with linking enabled
+    assert _engine_rows(root) == _oracle_rows(_valid_subset(log, expected))
