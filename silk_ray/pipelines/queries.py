@@ -1886,6 +1886,92 @@ def _cdc_flagship_sql() -> str:
     return cdc_flagship_sql_for("/root/testdata/sf0.01")
 
 
+# bump when the corruption recipe changes (same contract as _CDC_ORACLE_V)
+_CDC_DLQ_V = 1
+
+
+def _cdc_dlq_changelog_path(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/silkray_cdc_oracle/changelog_dlq_{h}_v{_CDC_DLQ_V}.parquet"
+
+
+def _ensure_cdc_dlq_changelog(sf_dir: str) -> tuple[pa.Table, int]:
+    """The flagship changelog with deterministic malformations injected
+    — every 13th row cycles op='X' / op=NULL / repo='' / path=NULL —
+    persisted so the DuckDB oracle can filter the SAME physical rows by
+    the structural-validity predicate the engine's read-split stage
+    applies (cdc/merge.py `_validate_events`). Driver-side row loop is
+    oracle-tier generation only (≤ sf0.1), not an engine path."""
+    import pyarrow.parquet as pq
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    rows = log.to_pylist()
+    for i in range(0, len(rows), 13):
+        kind = (i // 13) % 4
+        if kind == 0:
+            rows[i]["op"] = "X"
+        elif kind == 1:
+            rows[i]["op"] = None
+        elif kind == 2:
+            rows[i]["repo"] = ""
+        else:
+            rows[i]["path"] = None
+    bad = pa.Table.from_pylist(rows, schema=log.schema)
+    path = _cdc_dlq_changelog_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(bad, tmp)
+        os.replace(tmp, path)  # atomic: concurrent writers both win
+    return bad, n_base
+
+
+def cdc_deadletter(sf_dir: str):
+    """Dead-letter quarantine surface: the engine tails the flagship
+    changelog with injected malformed events (unknown/null op, empty
+    repo, null path) and quarantines them to the DLQ instead of
+    crashing or mis-applying; returns the quarantined rows. Exact SQL
+    oracle: the same persisted parquet filtered by the identical
+    structural predicate. State correctness on the valid subset is
+    pinned by tests/test_deadletter.py."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import dead_letters_table
+
+    log, n_base = _ensure_cdc_dlq_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_dlq_")
+    run(root, log, EngineConfig(epoch_size=max(250, n_base), num_partitions=8))
+    t = dead_letters_table(root).select(["offset", "op", "repo", "path", "reason"])
+    out = t.to_pandas()
+    return out.sort_values(["offset", "reason"]).reset_index(drop=True)
+
+
+def cdc_deadletter_sql_for(sf_dir: str) -> str:
+    """The structural-validity predicate of `_validate_events` in SQL,
+    over the persisted corrupted changelog (reason priority matches:
+    bad op wins over bad key)."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_dlq_changelog(sf_dir)
+    return f"""
+SELECT "offset", op, repo, path,
+       CASE WHEN op IS NULL OR op NOT IN ('I', 'U', 'D')
+            THEN 'unknown_op' ELSE 'null_key' END AS reason
+FROM read_parquet('{_cdc_dlq_changelog_path(sf_dir)}')
+WHERE (op IS NULL OR op NOT IN ('I', 'U', 'D'))
+   OR (repo IS NULL OR len(repo) = 0)
+   OR (path IS NULL OR len(path) = 0)
+ORDER BY "offset", reason
+"""
+
+
+def _cdc_deadletter_sql() -> str:
+    # the driver runs correctness at sf0.01 (the registry is static SQL)
+    return cdc_deadletter_sql_for("/root/testdata/sf0.01")
+
+
 def base_from_documents(sf_dir: str) -> pa.Table:
     """Adapt the documents table into the input_hint repo-file shape."""
     import pyarrow.parquet as pq
@@ -1960,6 +2046,7 @@ def build_queries():
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
         "cdc_clusters": cdc_clusters,
+        "cdc_deadletter": cdc_deadletter,
     }
 
 
@@ -1997,4 +2084,5 @@ def build_oracle_sql():
         "link_documents": LINK_DOCUMENTS_SQL,
         "cdc_flagship": _cdc_flagship_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
+        "cdc_deadletter": _cdc_deadletter_sql(),
     }
