@@ -52,6 +52,34 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
         base, n_events, seed=seed + 1, dup_frac=dup_frac, evolve_at=evolve_at
     )
 
+    # even seeds: inject malformed events at random ROW positions — the
+    # DLQ must interact cleanly with crash-resume, redelivery and (seed
+    # 404) schema evolution. Tracked by row index, not offset: a
+    # corrupted copy of a duplicate-offset pair leaves its valid twin
+    # applicable, and the oracle must see exactly the valid rows.
+    valid_log = log
+    n_corrupt = 0
+    if seed % 2 == 0:
+        import pyarrow as pa
+
+        rows = log.to_pylist()
+        idxs = {int(x) for x in rng.choice(len(rows), size=max(3, len(rows) // 40), replace=False)}
+        for j, i in enumerate(sorted(idxs)):
+            kind = j % 4
+            if kind == 0:
+                rows[i]["op"] = "X"
+            elif kind == 1:
+                rows[i]["op"] = None
+            elif kind == 2:
+                rows[i]["repo"] = ""
+            else:
+                rows[i]["path"] = None
+        n_corrupt = len(idxs)
+        log = pa.Table.from_pylist(rows, schema=log.schema)
+        valid_log = pa.Table.from_pylist(
+            [r for k, r in enumerate(rows) if k not in idxs], schema=log.schema
+        )
+
     epoch_a = int(rng.integers(80, 400))
     epoch_b = int(rng.integers(80, 400))
     parts = int(rng.integers(2, 9))
@@ -84,7 +112,21 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     run_to_completion(root_b, log, epoch_size=epoch_b, num_partitions=parts,
                       compact_at=compact_at)
 
-    # 1) engine state equals the sequential oracle
-    assert _engine_rows(root_a) == _oracle_rows(log)
+    # 1) engine state equals the sequential oracle over the valid rows
+    assert _engine_rows(root_a) == _oracle_rows(valid_log)
     # 2) byte-identical across epoch shapes + crash/replay history
     assert state_sha256(root_a) == state_sha256(root_b)
+    # 3) quarantine content identical across epoch shapes, covers every
+    #    corrupted row exactly once
+    if n_corrupt:
+        from silk_ray.cdc.merge import dead_letters_table
+
+        def dlq_rows(root):
+            return sorted(
+                (r["offset"], r["reason"], r.get("repo"), r.get("path"))
+                for r in dead_letters_table(root).to_pylist()
+            )
+
+        a, b = dlq_rows(root_a), dlq_rows(root_b)
+        assert a == b
+        assert len(a) == n_corrupt
