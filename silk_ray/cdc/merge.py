@@ -493,6 +493,47 @@ def _window_fragments(changelog, lo: int, hi: int) -> list:
     return out
 
 
+# per-file max-offset cache: changelog segment files are immutable, so
+# a footer read per file happens once per process, not once per epoch
+_MAX_OFF_CACHE: dict[str, int | None] = {}
+_MISSING = object()
+
+
+def _changelog_max_offset(changelog) -> int | None:
+    """Highest offset present in the changelog — the lag reference
+    point. Footer row-group statistics only (cached per immutable
+    file); a file without stats falls back to one offset-column read."""
+    if isinstance(changelog, pa.Table):
+        v = pc.max(changelog["offset"]).as_py()
+        return int(v) if v is not None else None
+
+    import pyarrow.dataset as pads
+
+    out: int | None = None
+    for frag in pads.dataset(changelog, format="parquet").get_fragments():
+        m = _MAX_OFF_CACHE.get(frag.path, _MISSING)
+        if m is _MISSING:
+            m = None
+            try:
+                frag.ensure_complete_metadata()
+                stats = [
+                    rg.statistics.get("offset") if rg.statistics else None
+                    for rg in frag.row_groups
+                ]
+                if stats and all(s is not None for s in stats):
+                    m = max(int(s["max"]) for s in stats)
+            except Exception:
+                pass
+            if m is None:
+                col = pq.read_table(frag.path, columns=["offset"])["offset"]
+                v = pc.max(col).as_py()
+                m = int(v) if v is not None else None
+            _MAX_OFF_CACHE[frag.path] = m
+        if m is not None:
+            out = m if out is None else max(out, m)
+    return out
+
+
 def _split_by_pid(t: pa.Table, num_partitions: int) -> dict[int, pa.Table]:
     """Sort by pid once, slice contiguous runs (combine_chunks so each
     shard serializes only its own rows into the object store)."""
@@ -753,6 +794,11 @@ def run_epoch(
         "dirty_total": int(sum(r["dirty"] for r in metrics_rows)),
         "partitions_touched": len(metrics_rows),
         "skew_ratio": (max(events_per_part) / mean_ev) if mean_ev else 0.0,
+        # tailing lag: offsets still unconsumed after this commit (an
+        # operator's "is the engine keeping up with the binlog" gauge)
+        "lag_offsets": max(
+            0, (_changelog_max_offset(changelog) or 0) - (new_manifest.next_offset - 1)
+        ),
         "dead_lettered": int(dead_count),
         "dead_reasons": dead_reasons,
         "exchange_seconds": round(t_exchange, 3),

@@ -150,3 +150,23 @@ def test_schema_evolution(ray_session, tmp_path):
     # rows updated after the evolution point carry a branch
     post_rows = [r for r in got.to_pylist() if r["branch"] is not None]
     assert post_rows
+
+
+def test_lag_offsets_metric_drains_to_zero(ray_session, tmp_path):
+    """Tailing-lag gauge: offsets still unconsumed after each commit —
+    strictly decreasing across epochs and exactly 0 once caught up,
+    for both in-memory and on-disk (footer-stats) changelogs."""
+    from silk_ray.cdc.generator import write_changelog_segments
+    from silk_ray.cdc.merge import run_to_completion
+
+    base = make_base_table(30, seed=11)
+    log = make_changelog(base, 100, seed=12, dup_frac=0.0)
+
+    ms = run_to_completion(str(tmp_path / "mem"), log, epoch_size=40, num_partitions=2)
+    lags = [m["lag_offsets"] for m in ms]
+    assert lags == sorted(lags, reverse=True) and lags[-1] == 0 and lags[0] > 0
+
+    seg_dir = str(tmp_path / "segments")
+    write_changelog_segments(log, seg_dir, segment_size=30)
+    ms2 = run_to_completion(str(tmp_path / "disk"), seg_dir, epoch_size=40, num_partitions=2)
+    assert [m["lag_offsets"] for m in ms2] == lags
