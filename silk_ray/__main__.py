@@ -154,7 +154,9 @@ def cmd_cdc(args) -> int:
         json.dumps(
             {"command": "cdc", "seconds": round(time.perf_counter() - t0, 3),
              "epochs": len(metrics),
-             "events_applied": sum(m["events_applied"] for m in metrics)}
+             "events_applied": sum(m["events_applied"] for m in metrics),
+             "dead_lettered": sum(m.get("dead_lettered", 0) for m in metrics),
+             "lag_offsets": metrics[-1]["lag_offsets"] if metrics else 0}
         )
     )
     return 0

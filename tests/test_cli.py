@@ -44,6 +44,8 @@ def test_cli_link_transform_cdc(ray_session, tmp_path, capsys):
                  "--epoch-size", "100", "--num-partitions", "2", "--block-partitions", "4"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["events_applied"] == 200
+    assert out["dead_lettered"] == 0
+    assert out["lag_offsets"] == 0
 
 
 def test_cli_cdc_maintain_clusters(ray_session, tmp_path, capsys):
