@@ -8,12 +8,15 @@ Decode / resize / feature-extract / frame-sample are **actor-pool**
 
 Codec reality in this container: WAV audio decode is REAL (stdlib
 ``wave`` → PCM → per-frame RMS, exercised in tests on synthesized
-tones). Imaging/video libraries are not available, so those codec
-calls are STUBBED behind ``import``-guards: when the lib is missing
-each stage applies a clearly-marked deterministic fake so the Ray-side
-plumbing (schemas, batch sizing for large payloads, actor signatures,
-output layout) is real and tested. Swap ``_decode_impl`` for a real
-decoder in production.
+tones), and PNG image decode is REAL (pure stdlib ``zlib``/``struct``
+codec below: 8-bit gray/RGB/RGBA/gray-alpha, all five row filters,
+non-interlaced — round-trip- and cross-filter-tested). Other image
+formats and video codecs are not available, so those calls are STUBBED
+behind ``import``-guards: when neither PIL nor the PNG path applies,
+each stage falls back to a clearly-marked deterministic fake so the
+Ray-side plumbing (schemas, batch sizing for large payloads, actor
+signatures, output layout) is still exercised. Swap ``_decode_impl``
+for a full decoder in production.
 """
 
 from __future__ import annotations
@@ -53,24 +56,185 @@ def synth_wav(duration_ms: int, freq_hz: float = 440.0, rate: int = 8000) -> byt
 
 
 def synth_media_table(n: int, seed: int = 9) -> pa.Table:
-    """Deterministic fake media rows for tests: audio rows carry real
-    (decodable) WAV payloads, image/video rows opaque random bytes."""
+    """Deterministic media rows for tests: audio rows carry real
+    (decodable) WAV payloads, image rows real PNG payloads (gradient +
+    noise, gray or RGB, true width/height metadata), video rows opaque
+    random bytes (no video codec in this container)."""
     rng = np.random.default_rng(seed)
     types = ["image/png", "audio/wav", "video/mp4"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         t = types[i % 3]
+        w = h = 0
         if t == "audio/wav":
             payload = synth_wav(int(rng.integers(20, 200)), freq_hz=float(rng.integers(100, 2000)))
+        elif t == "image/png":
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            grad = np.add.outer(np.arange(h), np.arange(w)) * 3
+            img = ((grad + rng.integers(0, 64, size=(h, w))) % 256).astype(np.uint8)
+            if i % 2:  # alternate gray / RGB
+                img = np.stack([img, np.flipud(img), np.fliplr(img)], axis=2)
+            payload = encode_png(img)
         else:
             payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["media_type"].append(t)
         rows["payload"].append(payload)
-        rows["width"].append(int(rng.integers(64, 1024)) if t.startswith("image") else 0)
-        rows["height"].append(int(rng.integers(64, 1024)) if t.startswith("image") else 0)
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["duration_ms"].append(int(rng.integers(1000, 60000)) if not t.startswith("image") else 0)
     return pa.table({k: pa.array(v, MEDIA_SCHEMA.field(k).type) for k, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG codec (zlib + struct; no imaging libraries)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (RFC 2083 §6.6)."""
+    a16, b16, c16 = a.astype(np.int16), b.astype(np.int16), c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa_, pb, pc_ = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a16, np.where(pb <= pc_, b16, c16))
+
+
+def encode_png(arr, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder: 8-bit grayscale (H×W) or RGB (H×W×3),
+    one filter type applied to every row. Filter 0 is the production
+    shape; types 1-4 exist so tests can exercise the decoder's
+    de-filtering against independently generated streams."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+    else:
+        raise ValueError("expected HxW grayscale or HxWx3 RGB uint8")
+    h, w = a.shape[:2]
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    zeros = np.zeros(ch, dtype=np.uint8)
+    for r in range(h):
+        row = a[r].reshape(-1)
+        left = np.concatenate([zeros, row[:-ch]]) if stride > ch else np.zeros(stride, np.uint8)
+        ul = np.concatenate([zeros, prev[:-ch]]) if stride > ch else np.zeros(stride, np.uint8)
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:
+            out = (row.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:
+            out = (row.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:
+            out = (
+                row.astype(np.int16) - ((left.astype(np.int16) + prev.astype(np.int16)) >> 1)
+            ).astype(np.uint8)
+        elif filter_type == 4:
+            out = (row.astype(np.int16) - _paeth_vec(left, prev, ul)).astype(np.uint8)
+        else:
+            raise ValueError("filter_type must be 0-4")
+        raw.append(filter_type)
+        raw += out.tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Minimal PNG decoder (stdlib ``zlib`` + numpy): 8-bit depth,
+    color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), all five row
+    filters, non-interlaced. Returns H×W (gray) or H×W×C uint8, or
+    None when the payload is not a PNG this codec handles — callers
+    fall back to PIL (if present) or the deterministic fake. Filters
+    None/Up are vectorized; Sub is a per-channel-lane cumulative sum;
+    Average/Paeth reconstruct left-to-right (rare in our streams —
+    the encoder above emits filter 0)."""
+    import struct
+    import zlib
+
+    try:
+        if not payload.startswith(_PNG_SIG):
+            return None
+        pos, idat, meta = len(_PNG_SIG), [], None
+        while pos + 8 <= len(payload):
+            ln, tag = struct.unpack(">I4s", payload[pos : pos + 8])
+            data = payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                meta = struct.unpack(">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+        if meta is None or not idat:
+            return None
+        w, h, depth, color, _comp, _filt, interlace = meta
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if ch is None or depth != 8 or interlace != 0 or w == 0 or h == 0:
+            return None
+        stride = w * ch
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            f = int(rows[r, 0])
+            cur = rows[r, 1:]
+            if f == 0:
+                rec = cur.copy()
+            elif f == 1:  # Sub: per-channel-lane prefix sum mod 256
+                lanes = cur.reshape(w, ch).astype(np.uint64)
+                rec = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(-1)
+            elif f == 2:  # Up
+                rec = (cur.astype(np.int16) + prev).astype(np.uint8)
+            elif f == 3:  # Average (left-recursive)
+                rec = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    left = int(rec[i - ch]) if i >= ch else 0
+                    rec[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth (left-recursive)
+                rec = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    left = int(rec[i - ch]) if i >= ch else 0
+                    ul = int(prev[i - ch]) if i >= ch else 0
+                    up = int(prev[i])
+                    p = left + up - ul
+                    pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
+                    rec[i] = (int(cur[i]) + pred) & 0xFF
+            else:
+                return None
+            out[r] = rec
+            prev = rec
+        return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    except Exception:
+        return None
 
 
 def _have_pil() -> bool:
@@ -84,22 +248,40 @@ def _have_pil() -> bool:
 
 class ImageDecodeResize:
     """Actor-pool stage: decode + resize images to (size × size) float
-    arrays. Without PIL, applies a DETERMINISTIC FAKE (payload-hash-
-    seeded pixels) so downstream plumbing is exercised; the real decode
-    path is the ``PIL.Image.open`` branch."""
+    grayscale arrays. Decode order: PIL (any format, if installed) →
+    the pure-stdlib PNG codec above (REAL in this container) → a
+    DETERMINISTIC FAKE (payload-hash-seeded pixels) for payloads no
+    decoder handles, so downstream plumbing is always exercised."""
 
     def __init__(self, size: int = 32):
         self.size = size
-        self.real = _have_pil()
+        self.pil = _have_pil()
+
+    def _gray_resize(self, arr: np.ndarray) -> np.ndarray:
+        if arr.ndim == 3:
+            if arr.shape[2] >= 3:  # RGB / RGBA → ITU-R 601 luma
+                g = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
+            else:  # gray+alpha
+                g = arr[..., 0].astype(np.float32)
+        else:
+            g = arr.astype(np.float32)
+        g = np.asarray(g, dtype=np.float32) / 255.0
+        h, w = g.shape
+        yi = np.minimum(np.arange(self.size) * h // self.size, h - 1)
+        xi = np.minimum(np.arange(self.size) * w // self.size, w - 1)
+        return g[np.ix_(yi, xi)].astype(np.float32)
 
     def _decode_impl(self, payload: bytes) -> np.ndarray:
-        if self.real:
+        if self.pil:
             import io
 
             from PIL import Image
 
             img = Image.open(io.BytesIO(payload)).convert("L").resize((self.size, self.size))
             return np.asarray(img, dtype=np.float32) / 255.0
+        arr = decode_png(payload)
+        if arr is not None:  # REAL stdlib decode
+            return self._gray_resize(arr)
         # STUB: deterministic fake pixels from the payload hash
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)

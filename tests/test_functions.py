@@ -272,3 +272,93 @@ def test_freetext_extractors(ray_session, tmp_path):
     nums = rd.from_items([{"v": "3.6"}, {"v": "-2.2"}, {"v": "x1"}])
     rounded = round_numeric_strings(nums, "v").to_pandas()
     assert sorted(rounded["v"]) == ["-2", "4", "x1"]
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: filter-0 round-trip is exact, and streams
+    encoded with each of the five row filters decode to the same image
+    (de-filtering correctness), for gray and RGB."""
+    import numpy as np
+
+    from silk_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(11, 29, 3), dtype=np.uint8)
+    for img in (gray, rgb):
+        base = decode_png(encode_png(img, filter_type=0))
+        assert base is not None and np.array_equal(base, img)
+        for f in (1, 2, 3, 4):
+            got = decode_png(encode_png(img, filter_type=f))
+            assert got is not None and np.array_equal(got, img), f"filter {f}"
+    # non-PNG / truncated / unsupported payloads return None, not raise
+    assert decode_png(b"not a png") is None
+    assert decode_png(encode_png(gray)[:30]) is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+
+
+def test_image_decode_is_real_for_png(ray_session):
+    """The decode stage output for a PNG payload equals the luma +
+    nearest-neighbor downsample computed independently here — i.e. the
+    pipeline ran the REAL codec, not the hash-seeded fake."""
+    import numpy as np
+    import ray.data as rd
+
+    from silk_ray.functions.multimodal import (
+        ImageDecodeResize,
+        decode_pipeline,
+        encode_png,
+        synth_media_table,
+    )
+
+    size = 8
+    media = synth_media_table(12)
+    out = decode_pipeline(rd.from_arrow(media), size=size).to_pandas().set_index("media_id")
+    rows = media.to_pylist()
+    checked = 0
+    for r in rows:
+        if r["media_type"] != "image/png":
+            continue
+        from silk_ray.functions.multimodal import decode_png
+
+        arr = decode_png(r["payload"])
+        assert arr is not None
+        if arr.ndim == 3:
+            g = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
+        else:
+            g = arr.astype(np.float32)
+        g = np.asarray(g, dtype=np.float32) / 255.0
+        h, w = g.shape
+        yi = np.minimum(np.arange(size) * h // size, h - 1)
+        xi = np.minimum(np.arange(size) * w // size, w - 1)
+        expect = g[np.ix_(yi, xi)].astype(np.float32).flatten()
+        got = np.asarray(out.loc[r["media_id"], "pixels"], dtype=np.float32)
+        assert np.allclose(got, expect, atol=1e-6)
+        checked += 1
+    assert checked == 4
+
+
+def test_png_decode_alpha_color_types():
+    """Color types 4 (gray+alpha) and 6 (RGBA) decode; the resize stage
+    drops alpha (luma from RGB / channel 0 for gray+alpha)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from silk_ray.functions.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    rng = np.random.default_rng(5)
+    for color, ch in ((4, 2), (6, 4)):
+        h, w = 6, 5
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png(payload)
+        assert got is not None and got.shape == (h, w, ch)
+        assert np.array_equal(got, img)
