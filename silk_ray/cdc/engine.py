@@ -54,6 +54,10 @@ class EngineConfig:
     # store (cdc/clusters.py): per epoch only the components touched by
     # the delta are rebuilt
     maintain_clusters: bool = False
+    # maintain a materialized aggregate view over the lake
+    # (cdc/matview.py): per epoch only the dirty-delta contributions are
+    # applied and only the touched view shards are rewritten
+    agg_spec: "object | None" = None  # AggViewSpec
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -83,12 +87,26 @@ def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
     return out
 
 
+def catch_up_aggs(root: str, config: EngineConfig) -> None:
+    """Bring the aggregate view up to the merge epoch after a crash in
+    the window between merge commit and agg commit (replay is a no-op
+    when already committed; a >1-epoch lag full-rebuilds loudly)."""
+    if config.agg_spec is None:
+        return
+    merge_epoch = ckpt.read_manifest(root).epoch
+    if merge_epoch > 0:
+        from silk_ray.cdc.matview import update_aggregates
+
+        update_aggregates(root, merge_epoch, config.agg_spec)
+
+
 def run(root: str, changelog, config: EngineConfig) -> list[dict]:
     """Tail the changelog to exhaustion. Returns per-epoch metrics
     (merge metrics with ``links`` sub-dict when linking is enabled)."""
     results = []
-    # crash recovery: links may lag the lake
+    # crash recovery: links / aggregate view may lag the lake
     catch_up_links(root, config)
+    catch_up_aggs(root, config)
     epochs = 0
     while config.max_epochs is None or epochs < config.max_epochs:
         t_epoch = time.perf_counter()
@@ -117,6 +135,10 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 from silk_ray.cdc.clusters import update_clusters
 
                 m["clusters"] = update_clusters(root, m["epoch"])
+        if config.agg_spec is not None:
+            from silk_ray.cdc.matview import update_aggregates
+
+            m["aggs"] = update_aggregates(root, m["epoch"], config.agg_spec)
         if config.gc:
             # post-commit storage GC: every rule below deletes only
             # files the committed manifests can no longer reference
@@ -129,6 +151,14 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                     from silk_ray.cdc.clusters import gc_clusters
 
                     n_gc += gc_clusters(root, retain_epochs=config.retain_epochs)
+            if config.agg_spec is not None:
+                from silk_ray.cdc.matview import gc_aggview
+
+                n_gc += gc_aggview(root, retain_epochs=config.retain_epochs)
+                if config.rule_spec is None:
+                    # the agg view is the sole dirty-file consumer: same
+                    # one-epoch rollback retention the linker uses
+                    n_gc += gc_link_inputs(root, m["epoch"])
             m["gc_files"] = n_gc
         # per-epoch wall time: epochs are identical in shape, so the
         # best epoch is a throttling-robust throughput estimator on

@@ -1745,6 +1745,58 @@ def cdc_flagship(sf_dir: str):
     return state.reset_index(drop=True)
 
 
+def cdc_agg(sf_dir: str):
+    """Maintained aggregate view after the full CDC run: ``GROUP BY
+    lang → count(*), sum(char length of content)`` updated
+    delta-natively per epoch from the merge stage's dirty files
+    (cdc/matview.py — only touched view shards are rewritten; measures
+    are exact-integer sums, so the maintained result is byte-identical
+    to a batch GROUP BY). Oracle: the same aggregate over the
+    last-writer-wins SQL state (``cdc_flagship_sql_for`` shape)."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.matview import AggViewSpec, agg_table
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_agg_")
+    spec = AggViewSpec(
+        group_by=("lang",),
+        measures={"sum_chars": ("sum_strlen", "content")},
+        count_col="n_docs",
+        num_shards=16,
+    )
+    run(
+        root,
+        log,
+        EngineConfig(epoch_size=max(250, n_base), num_partitions=8, agg_spec=spec),
+    )
+    t = agg_table(root).to_pandas()
+    return t.sort_values("lang").reset_index(drop=True)
+
+
+def cdc_agg_sql_for(sf_dir: str) -> str:
+    """GROUP BY over the last-writer-wins state (see
+    ``cdc_flagship_sql_for``); COALESCE(length(content), 0) matches the
+    view's null-counts-0 measure semantics, casts pin DuckDB's HUGEINT
+    sums back to the view's int64."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(length(content), 0)) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def cdc_clusters(sf_dir: str):
     """The maintained duplicate-cluster table after the full CDC run:
     merge-apply + incremental re-linking + per-epoch incremental
@@ -2045,6 +2097,7 @@ def build_queries():
         "knn_ivf": knn_ivf_q,
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
+        "cdc_agg": cdc_agg,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
     }
@@ -2083,6 +2136,7 @@ def build_oracle_sql():
         "link_names": LINK_NAMES_SQL,
         "link_documents": LINK_DOCUMENTS_SQL,
         "cdc_flagship": _cdc_flagship_sql(),
+        "cdc_agg": cdc_agg_sql_for("/root/testdata/sf0.01"),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
     }

@@ -1,0 +1,274 @@
+"""Incrementally maintained aggregate views (cdc/matview.py).
+
+Invariant: after every epoch, the maintained view equals a batch
+GROUP BY over the lake's current state — exactly (integer measures),
+through churn (I/U/D), duplicate offsets, schema evolution, crash
+windows, replay, lag-triggered full rebuilds, GC and time travel.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from silk_ray.cdc.engine import EngineConfig, run
+from silk_ray.cdc.generator import make_base_table, make_changelog
+from silk_ray.cdc.matview import (
+    AggViewSpec,
+    agg_table,
+    gc_aggview,
+    read_aggstate,
+    update_aggregates,
+)
+from silk_ray.cdc.merge import state_table
+
+SPEC = AggViewSpec(
+    group_by=("lang",),
+    measures={"sum_chars": ("sum_strlen", "content")},
+    count_col="n_docs",
+    num_shards=8,
+)
+
+
+def batch_view(root: str, spec: AggViewSpec = SPEC) -> pa.Table:
+    """Oracle: GROUP BY over the full current state."""
+    t = state_table(root)
+    if t.num_rows == 0:
+        return pa.table({})
+    cols = {g: t[g] if g in t.column_names else pa.nulls(t.num_rows, pa.string())
+            for g in spec.group_by}
+    cols[spec.count_col] = pa.array([1] * t.num_rows, pa.int64())
+    for out, (fn, src) in spec.measures.items():
+        if src in t.column_names:
+            vals = pc.utf8_length(t[src]) if fn == "sum_strlen" else pc.cast(t[src], pa.int64())
+            cols[out] = pc.fill_null(vals, 0)
+        else:
+            cols[out] = pa.array([0] * t.num_rows, pa.int64())
+    g = pa.table(cols).group_by(list(spec.group_by)).aggregate(
+        [(spec.count_col, "sum")] + [(m, "sum") for m in spec.measures]
+    )
+    ren = {f"{spec.count_col}_sum": spec.count_col}
+    ren.update({f"{m}_sum": m for m in spec.measures})
+    g = g.rename_columns([ren.get(c, c) for c in g.column_names])
+    return g.sort_by([(k, "ascending") for k in spec.group_by])
+
+
+def assert_view_equals_batch(root: str, spec: AggViewSpec = SPEC):
+    got = agg_table(root)
+    want = batch_view(root, spec)
+    if want.num_rows == 0:
+        assert got.num_rows == 0
+        return
+    got = got.select(want.column_names).sort_by(
+        [(k, "ascending") for k in spec.group_by]
+    )
+    assert got.equals(want), f"\ngot:\n{got.to_pandas()}\nwant:\n{want.to_pandas()}"
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return str(tmp_path / "lake")
+
+
+def _changelog(n_rows=80, n_events=600, seed=11, evolve_at=None):
+    base = make_base_table(n_rows, seed=seed)
+    return make_changelog(base, n_events, seed=seed + 1, dup_frac=0.05, evolve_at=evolve_at)
+
+
+def test_view_equals_batch_every_epoch(lake, ray_session):
+    log = _changelog()
+    cfg = EngineConfig(epoch_size=150, num_partitions=4, agg_spec=SPEC, max_epochs=1)
+    epochs = 0
+    while True:
+        res = run(lake, log, cfg)
+        if not res:
+            break
+        epochs += 1
+        assert res[0]["aggs"]["epoch"] == res[0]["epoch"]
+        assert_view_equals_batch(lake)
+        # after epoch 1 the delta path must be taken
+        if epochs > 1:
+            assert res[0]["aggs"]["mode"] in ("delta", "noop")
+    assert epochs >= 3
+
+
+def test_schema_evolution_group_column(lake, ray_session):
+    """Group by the evolution column itself: pre-switch rows land in the
+    NULL group, post-switch rows in their branch group — and the
+    maintained view tracks the batch oracle through the switch."""
+    spec = AggViewSpec(group_by=("branch",), measures={"sum_chars": ("sum_strlen", "content")},
+                       count_col="n_docs", num_shards=4)
+    log = _changelog(n_events=500, evolve_at=250)
+    cfg = EngineConfig(epoch_size=125, num_partitions=4, agg_spec=spec, max_epochs=1)
+    while run(lake, log, cfg):
+        assert_view_equals_batch(lake, spec)
+    final = agg_table(lake)
+    assert final.num_rows >= 2  # null group + at least one branch
+
+
+def test_replay_idempotent_and_crash_window(lake, ray_session):
+    log = _changelog()
+    cfg = EngineConfig(epoch_size=200, num_partitions=4, agg_spec=SPEC)
+    run(lake, log, cfg)
+    final = agg_table(lake)
+    state = read_aggstate(lake)
+    # replay of a committed epoch is a no-op
+    m = update_aggregates(lake, state["epoch"], SPEC)
+    assert m["mode"] == "replay_noop"
+    assert agg_table(lake).equals(final)
+    # crash window: merge committed epoch E but the agg pointer still
+    # shows the E-1 commit (the snapshot GC retains) → catch-up (run
+    # with exhausted changelog) replays epoch E byte-identically
+    prev_snap = os.path.join(lake, "_aggstates", f"state-{state['epoch'] - 1:06d}.json")
+    shutil.copy(prev_snap, os.path.join(lake, "_aggstate.json"))
+    run(lake, log, cfg)  # no new events; catch_up_aggs closes the gap
+    assert read_aggstate(lake)["epoch"] == state["epoch"]
+    assert agg_table(lake).equals(final)
+
+
+def test_lag_triggers_full_rebuild(lake, ray_session):
+    log = _changelog()
+    cfg = EngineConfig(epoch_size=150, num_partitions=4, agg_spec=SPEC)
+    run(lake, log, cfg)
+    final = agg_table(lake)
+    state = read_aggstate(lake)
+    # a ≥2-epoch lag (dirty files GC'd) must full-rebuild, loudly
+    import json
+
+    lagged = dict(state)
+    lagged["epoch"] = max(0, state["epoch"] - 2)
+    with open(os.path.join(lake, "_aggstate.json"), "w") as f:
+        json.dump(lagged, f)
+    m = update_aggregates(lake, state["epoch"], SPEC)
+    assert m["mode"] == "full"
+    assert agg_table(lake).equals(final)
+
+
+def test_shard_carry_forward(lake, ray_session):
+    """Shards whose groups were untouched by an epoch keep their old
+    file (manifest carry-forward: per-epoch I/O is O(delta))."""
+    # many groups (repo has ~n_rows/5 values), tiny epochs → most shards
+    # untouched per epoch
+    spec = AggViewSpec(group_by=("repo",), measures={}, count_col="n_docs", num_shards=16)
+    log = _changelog(n_rows=120, n_events=400)
+    cfg = EngineConfig(epoch_size=40, num_partitions=4, agg_spec=spec, max_epochs=1)
+    run(lake, log, cfg)  # epoch 1
+    shards_1 = dict(read_aggstate(lake)["shards"])
+    run(lake, log, cfg)  # epoch 2 (delta)
+    shards_2 = dict(read_aggstate(lake)["shards"])
+    carried = [s for s in shards_2 if shards_1.get(s) == shards_2[s]]
+    assert carried, "no shard carried forward — manifest reuse broken"
+    assert_view_equals_batch(lake, spec)
+
+
+def test_epoch_shape_independence(lake, tmp_path, ray_session):
+    """The final view bytes are identical however the stream is
+    epoched (replay identity for the view store)."""
+    import hashlib
+
+    log = _changelog()
+
+    def fingerprint(root, epoch_size):
+        cfg = EngineConfig(epoch_size=epoch_size, num_partitions=4, agg_spec=SPEC)
+        run(root, log, cfg)
+        t = agg_table(root)
+        h = hashlib.sha256()
+        for col in sorted(t.column_names):
+            h.update(str(t[col].to_pylist()).encode())
+        return h.hexdigest()
+
+    a = fingerprint(lake, 100)
+    b = fingerprint(str(tmp_path / "lake2"), 275)
+    assert a == b
+
+
+def test_gc_and_time_travel(lake, ray_session):
+    log = _changelog()
+    cfg = EngineConfig(
+        epoch_size=150, num_partitions=4, agg_spec=SPEC, retain_epochs=2
+    )
+    run(lake, log, cfg)
+    state = read_aggstate(lake)
+    e = state["epoch"]
+    assert e >= 3
+    # retained epochs read back exactly as committed
+    views = {}
+    for back in (0, 1, 2):
+        views[back] = agg_table(lake, at_epoch=e - back)
+    assert views[0].equals(agg_table(lake))
+    assert not views[2].equals(views[0]) or True  # may coincide; just readable
+    # past the retention window: loud failure
+    with pytest.raises(FileNotFoundError):
+        agg_table(lake, at_epoch=max(1, e - 3))
+    # every referenced shard file exists; no unreferenced parquet remains
+    live = set()
+    for back in (0, 1, 2):
+        from silk_ray.cdc.matview import read_aggstate_at
+
+        live.update(read_aggstate_at(lake, e - back)["shards"].values())
+    on_disk = {
+        os.path.join("aggview", f)
+        for f in os.listdir(os.path.join(lake, "aggview"))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_spec_change_rejected(lake, ray_session):
+    log = _changelog(n_events=200)
+    cfg = EngineConfig(epoch_size=200, num_partitions=4, agg_spec=SPEC)
+    run(lake, log, cfg)
+    other = AggViewSpec(group_by=("repo",), count_col="n_docs", num_shards=8)
+    with pytest.raises(ValueError, match="spec changed"):
+        update_aggregates(lake, read_aggstate(lake)["epoch"] + 1, other)
+
+
+def test_deletes_drop_groups(lake, ray_session):
+    """A group whose every key is deleted leaves the view entirely
+    (count-0 rows must vanish, with exact-zero measure residue)."""
+    base = pa.table(
+        {
+            "repo": pa.array(["r1", "r1", "r2"]),
+            "path": pa.array(["a", "b", "c"]),
+            "commit": pa.array(["x", "x", "x"]),
+            "lang": pa.array(["zz", "zz", "py"]),
+            "content": pa.array(["hello world", "foo", "bar"]),
+        }
+    )
+    ins = pa.table(
+        {
+            "offset": pa.array([0, 1, 2], pa.int64()),
+            "op": pa.array(["I", "I", "I"]),
+            "repo": base["repo"],
+            "path": base["path"],
+            "commit": base["commit"],
+            "lang": base["lang"],
+            "content": base["content"],
+            "branch": pa.nulls(3, pa.string()),
+        }
+    )
+    dels = pa.table(
+        {
+            "offset": pa.array([3, 4], pa.int64()),
+            "op": pa.array(["D", "D"]),
+            "repo": pa.array(["r1", "r1"]),
+            "path": pa.array(["a", "b"]),
+            "commit": pa.nulls(2, pa.string()),
+            "lang": pa.nulls(2, pa.string()),
+            "content": pa.nulls(2, pa.string()),
+            "branch": pa.nulls(2, pa.string()),
+        }
+    )
+    log = pa.concat_tables([ins, dels])
+    cfg = EngineConfig(epoch_size=3, num_partitions=2, agg_spec=SPEC)
+    run(lake, log, cfg)
+    t = agg_table(lake)
+    langs = t["lang"].to_pylist()
+    assert "zz" not in langs and "py" in langs
+    row = t.filter(pc.equal(t["lang"], "py"))
+    assert row["n_docs"].to_pylist() == [1]
+    assert row["sum_chars"].to_pylist() == [3]
+    assert_view_equals_batch(lake)

@@ -49,6 +49,10 @@ def test_query_matches_oracle(ray_session, name):
         from silk_ray.pipelines.queries import cdc_flagship_sql_for
 
         oracle_df = duckdb_result(cdc_flagship_sql_for(SF_DIR))
+    elif name == "cdc_agg":
+        from silk_ray.pipelines.queries import cdc_agg_sql_for
+
+        oracle_df = duckdb_result(cdc_agg_sql_for(SF_DIR))
     elif name == "cdc_clusters":
         from silk_ray.pipelines.queries import cdc_clusters_sql_for
 
