@@ -135,11 +135,45 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def _agg_spec_from_file(path: str):
+    """JSON agg-view spec → AggViewSpec. Shape:
+    {"group_by": [...], "measures": {"out": ["sum"|"sum_strlen", "col"]},
+     "count_col": "n", "num_shards": 32}"""
+    from silk_ray.cdc.matview import AggViewSpec
+
+    raw = json.load(open(path))
+    return AggViewSpec(
+        group_by=tuple(raw["group_by"]),
+        measures={k: (v[0], v[1]) for k, v in (raw.get("measures") or {}).items()},
+        count_col=raw.get("count_col", "n"),
+        num_shards=int(raw.get("num_shards", 32)),
+    )
+
+
 def cmd_cdc(args) -> int:
     _init_ray(args.num_cpus)
     from silk_ray.cdc.engine import EngineConfig, run
 
     rule_spec = json.load(open(args.rule)) if args.rule else None
+    agg_spec = _agg_spec_from_file(args.agg_view) if args.agg_view else None
+    t0 = time.perf_counter()
+    boot = None
+    if args.from_snapshot:
+        if args.snapshot_offset is None:
+            raise SystemExit(
+                "--from-snapshot requires --snapshot-offset (the changelog "
+                "offset the snapshot is consistent as of)"
+            )
+        from silk_ray.cdc.bootstrap import bootstrap_lake
+
+        boot = bootstrap_lake(
+            args.root,
+            args.from_snapshot,
+            as_of_offset=args.snapshot_offset,
+            num_partitions=args.num_partitions,
+            link_spec=rule_spec,
+            n_block_partitions=args.block_partitions,
+        )
     cfg = EngineConfig(
         epoch_size=args.epoch_size,
         num_partitions=args.num_partitions,
@@ -147,18 +181,25 @@ def cmd_cdc(args) -> int:
         rule_spec=rule_spec,
         max_epochs=args.max_epochs,
         maintain_clusters=bool(args.maintain_clusters and rule_spec is not None),
+        agg_spec=agg_spec,
     )
-    t0 = time.perf_counter()
     metrics = run(args.root, args.changelog, cfg)
-    print(
-        json.dumps(
-            {"command": "cdc", "seconds": round(time.perf_counter() - t0, 3),
-             "epochs": len(metrics),
-             "events_applied": sum(m["events_applied"] for m in metrics),
-             "dead_lettered": sum(m.get("dead_lettered", 0) for m in metrics),
-             "lag_offsets": metrics[-1]["lag_offsets"] if metrics else 0}
-        )
-    )
+    out = {
+        "command": "cdc", "seconds": round(time.perf_counter() - t0, 3),
+        "epochs": len(metrics),
+        "events_applied": sum(m["events_applied"] for m in metrics),
+        "dead_lettered": sum(m.get("dead_lettered", 0) for m in metrics),
+        "lag_offsets": metrics[-1]["lag_offsets"] if metrics else 0,
+    }
+    if boot is not None:
+        out["bootstrap"] = {
+            "rows": boot["events_applied"], "as_of_offset": boot["as_of_offset"],
+        }
+    if agg_spec is not None:
+        from silk_ray.cdc.matview import agg_table
+
+        out["agg_groups"] = agg_table(args.root).num_rows
+    print(json.dumps(out))
     return 0
 
 
@@ -209,6 +250,19 @@ def main(argv=None) -> int:
     pc.add_argument(
         "--maintain-clusters", action="store_true",
         help="also maintain the duplicate-cluster table per epoch (needs --rule)",
+    )
+    pc.add_argument(
+        "--agg-view", default=None, metavar="SPEC.json",
+        help="maintain a materialized aggregate view per epoch (cdc/matview.py spec)",
+    )
+    pc.add_argument(
+        "--from-snapshot", default=None, metavar="PARQUET",
+        help="bootstrap a FRESH lake from a parquet snapshot (file or dir) "
+             "before tailing; needs --snapshot-offset",
+    )
+    pc.add_argument(
+        "--snapshot-offset", type=int, default=None,
+        help="changelog offset the snapshot is consistent as of; tailing resumes at offset+1",
     )
     pc.set_defaults(fn=cmd_cdc)
 

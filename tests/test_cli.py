@@ -48,6 +48,52 @@ def test_cli_link_transform_cdc(ray_session, tmp_path, capsys):
     assert out["lag_offsets"] == 0
 
 
+def test_cli_cdc_bootstrap_and_agg_view(ray_session, tmp_path, capsys):
+    """--from-snapshot/--snapshot-offset bootstrap a fresh lake and tail
+    only offsets > S; --agg-view maintains the materialized view. End
+    state must equal a plain full tail from offset 0."""
+    import pytest
+
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.generator import make_base_table, make_changelog, write_changelog_segments
+    from silk_ray.cdc.matview import agg_table
+    from silk_ray.cdc.merge import state_sha256
+    from tests.test_bootstrap import _snapshot_at
+
+    base = make_base_table(50, seed=7)
+    log = make_changelog(base, 300, seed=8)
+    write_changelog_segments(log, str(tmp_path / "cl"), segment_size=100)
+    s = 149
+    snap = _snapshot_at(log, s)
+    pq.write_table(snap, str(tmp_path / "snap.parquet"))
+    (tmp_path / "agg.json").write_text(json.dumps(
+        {"group_by": ["lang"],
+         "measures": {"sum_chars": ["sum_strlen", "content"]},
+         "count_col": "n_docs", "num_shards": 4}))
+
+    boot = str(tmp_path / "boot")
+    common = ["--epoch-size", "100", "--num-partitions", "2", "--block-partitions", "4",
+              "--agg-view", str(tmp_path / "agg.json")]
+    assert main(["cdc", "--root", boot, "--changelog", str(tmp_path / "cl"),
+                 "--from-snapshot", str(tmp_path / "snap.parquet"),
+                 "--snapshot-offset", str(s)] + common) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrap"] == {"rows": snap.num_rows, "as_of_offset": s}
+    assert out["events_applied"] == 150  # only offsets > s were tailed
+    assert out["agg_groups"] == agg_table(boot).num_rows > 0
+
+    full = str(tmp_path / "full")
+    assert main(["cdc", "--root", full, "--changelog", str(tmp_path / "cl")] + common) == 0
+    capsys.readouterr()
+    assert state_sha256(boot) == state_sha256(full)
+    a, b = agg_table(boot), agg_table(full)
+    assert a.select(sorted(a.column_names)).equals(b.select(sorted(b.column_names)))
+
+    with pytest.raises(SystemExit, match="snapshot-offset"):
+        main(["cdc", "--root", str(tmp_path / "x"), "--changelog", str(tmp_path / "cl"),
+              "--from-snapshot", str(tmp_path / "snap.parquet")] + common)
+
+
 def test_cli_cdc_maintain_clusters(ray_session, tmp_path, capsys):
     """--maintain-clusters drives cdc/clusters.py through the CLI; the
     final maintained table equals batch CC over the final link store."""
