@@ -5,13 +5,17 @@ commit point that
 
 - the maintained link set equals a from-scratch `generate_links` pass
   over the current lake state (incremental == batch, the core
-  north_rule invariant), and
+  north_rule invariant),
 - the maintained cluster table equals batch connected components over
-  the current link store,
+  the current link store, and
+- the maintained aggregate view equals a batch GROUP BY over the
+  current lake state,
 
 then replaying the whole stream into a fresh root with different
 epoching and asserting byte-identical lake sha256 plus identical final
-link and cluster sets.
+link, cluster and view tables, and finally bootstrapping a THIRD root
+from a mid-stream snapshot (cdc/bootstrap.py) and tailing the rest —
+all three engines must converge to the same state.
 
 Complements test_clusters.py (one fixed scenario) and test_soak.py
 (merge-apply only): here the stream shape, epoch size, partition
@@ -26,8 +30,21 @@ from silk_ray.cdc.clusters import clusters_table
 from silk_ray.cdc.engine import EngineConfig, run
 from silk_ray.cdc.generator import make_base_table, make_changelog
 from silk_ray.cdc.incremental import links_table
+from silk_ray.cdc.matview import AggViewSpec, agg_table
 from silk_ray.cdc.merge import state_sha256
 from silk_ray.pipelines.rules import BENCH_RULE
+
+AGG = AggViewSpec(
+    group_by=("lang",),
+    measures={"sum_chars": ("sum_strlen", "content")},
+    count_col="n_docs",
+    num_shards=8,
+)
+
+
+def _view_fingerprint(t):
+    cols = sorted(t.column_names)
+    return sorted(zip(*(t[c].to_pylist() for c in cols))) if t.num_rows else []
 
 
 def _batch_links(root, rule_spec):
@@ -85,6 +102,7 @@ def test_linked_engine_randomized_soak(ray_session, tmp_path, seed):
         n_block_partitions=int(rng.integers(8, 24)),
         rule_spec=rule,
         maintain_clusters=True,
+        agg_spec=AGG,
         max_epochs=1,
     )
     root_a = str(tmp_path / "a")
@@ -101,6 +119,12 @@ def test_linked_engine_randomized_soak(ray_session, tmp_path, seed):
         # maintained clusters == batch CC over the link store
         ct = clusters_table(root_a)
         assert sorted(zip(ct["uri"].to_pylist(), ct["cluster_id"].to_pylist())) == _batch_cc(lt)
+        # maintained aggregate view == batch GROUP BY over the lake state
+        from tests.test_matview import batch_view
+
+        assert _view_fingerprint(agg_table(root_a)) == _view_fingerprint(
+            batch_view(root_a, AGG)
+        ), f"seed {seed} epoch {epochs}"
     assert epochs >= 2
 
     # full replay, different epoching: byte-identical lake, identical stores
@@ -118,3 +142,34 @@ def test_linked_engine_randomized_soak(ray_session, tmp_path, seed):
     assert sorted(zip(ca["uri"].to_pylist(), ca["cluster_id"].to_pylist())) == sorted(
         zip(cb["uri"].to_pylist(), cb["cluster_id"].to_pylist())
     )
+    assert _view_fingerprint(agg_table(root_b)) == _view_fingerprint(agg_table(root_a))
+
+    # bootstrap leg: snapshot mid-stream, tail the rest — converges to
+    # the same lake/links/clusters/view as the full tails
+    from silk_ray.cdc.bootstrap import bootstrap_lake
+    from tests.test_bootstrap import _snapshot_at
+
+    import pyarrow.compute as pc
+
+    s = int(pc.max(log["offset"]).as_py() * rng.uniform(0.35, 0.7))
+    snap = _snapshot_at(log, s)
+    cfg_c = copy.deepcopy(cfg)
+    cfg_c.epoch_size = int(rng.integers(150, 350))
+    cfg_c.max_epochs = None
+    root_c = str(tmp_path / "c")
+    bootstrap_lake(
+        root_c, snap, as_of_offset=s,
+        num_partitions=cfg.num_partitions, link_spec=rule,
+        n_block_partitions=cfg.n_block_partitions,
+    )
+    run(root_c, log, cfg_c)
+    assert state_sha256(root_c) == state_sha256(root_a)
+    lc = links_table(root_c)
+    assert sorted(zip(lc["source"].to_pylist(), lc["target"].to_pylist())) == sorted(
+        zip(la["source"].to_pylist(), la["target"].to_pylist())
+    )
+    cc = clusters_table(root_c)
+    assert sorted(zip(cc["uri"].to_pylist(), cc["cluster_id"].to_pylist())) == sorted(
+        zip(ca["uri"].to_pylist(), ca["cluster_id"].to_pylist())
+    )
+    assert _view_fingerprint(agg_table(root_c)) == _view_fingerprint(agg_table(root_a))
