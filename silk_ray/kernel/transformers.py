@@ -405,13 +405,44 @@ class Tokenizer(Transformer):
 
 @register_transformer
 class CamelCaseTokenizer(Transformer):
-    """Split on camelCase boundaries (CamelCaseTokenizer.scala)."""
+    """Split on camelCase boundaries (CamelCaseTokenizer.scala),
+    regex variant: also opens a boundary after a digit (``a9X`` →
+    ``a9``/``X``). The exact reference rule is ``camelcasetokenizer``
+    below."""
 
     id = "camelCaseTokenizer"
     _pattern = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
 
     def apply(self, values):
         return [tok for vs in values for v in vs for tok in self._pattern.split(v)]
+
+
+@register_transformer
+class CamelCaseRefTokenizer(Transformer):
+    """Exact reference split rule (CamelCaseTokenizer.scala:39-62):
+    split strictly between a lowercase letter and an uppercase letter
+    (unicode-aware ``isLower``/``isUpper``; digits never open a
+    boundary). Reference @TransformExamples ported."""
+
+    id = "camelcasetokenizer"
+
+    @staticmethod
+    def _split(value: str) -> list[str]:
+        toks: list[str] = []
+        sb: list[str] = []
+        last_lower = False
+        for c in value:
+            if c.isupper() and last_lower:
+                toks.append("".join(sb))
+                sb = []
+            sb.append(c)
+            last_lower = c.islower()
+        if sb:
+            toks.append("".join(sb))
+        return toks
+
+    def apply(self, values):
+        return [tok for vs in values for v in vs for tok in self._split(v)]
 
 
 # ---------------------------------------------------------------------------
@@ -952,6 +983,102 @@ class TimestampToDateTransformer(SimpleTransformer):
         return dt.datetime.fromtimestamp(d, tz=dt.timezone.utc).strftime("%Y-%m-%d")
 
 
+def _epoch_delta_int(delta, unit: str) -> int:
+    """Exact-integer time since epoch in ``unit``, truncated toward zero
+    (java.time ``Temporal.until`` semantics). Unit names are the
+    reference's DateUnit values; month/year are rejected exactly as
+    ``Instant.until(_, MONTHS/YEARS)`` throws in the reference."""
+    us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    div = {"milliseconds": 1_000, "seconds": 1_000_000, "day": 86_400_000_000}.get(unit)
+    if div is None:
+        raise ValueError(
+            f"unsupported DateUnit {unit!r} on an epoch timeline "
+            "(reference Instant.until supports up to days)"
+        )
+    return us // div if us >= 0 else -((-us) // div)
+
+
+@register_transformer
+class XsdDateTimeToTimestampTransformer(SimpleTransformer):
+    """The reference's ``datetoTimestamp``
+    (date/DateToTimestampTransformer.scala:44-66): full xsd:dateTime
+    WITH timezone — or, backward-compat, a bare xsd:date assumed UTC
+    midnight — to integer time since the Unix epoch in ``unit``
+    (default milliseconds). Reference @TransformExamples ported in
+    tests/test_transformers.py; invalid values raise (the reference's
+    ValidationException)."""
+
+    id = "datetoTimestamp"
+
+    def __init__(self, unit: str = "milliseconds"):
+        if unit not in ("milliseconds", "seconds", "day"):
+            raise ValueError(f"unsupported DateUnit {unit!r} for datetoTimestamp")
+        self.unit = unit
+
+    def evaluate(self, value):
+        import datetime as dt
+
+        d = None
+        try:
+            d = dt.datetime.fromisoformat(value)
+        except ValueError:
+            d = None
+        if d is None or d.tzinfo is None:
+            # ZonedDateTime.parse failed / zone missing: the documented
+            # fallback accepts a pure date, assumed UTC
+            try:
+                d = dt.datetime.strptime(value, "%Y-%m-%d").replace(tzinfo=dt.timezone.utc)
+            except ValueError:
+                raise ValueError(
+                    f"invalid date {value!r}: expects an xsd:dateTime including "
+                    "a timezone (e.g. 2017-07-03T21:32:52+01:00) or an xsd:date"
+                )
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return str(_epoch_delta_int(d - epoch, self.unit))
+
+
+@register_transformer
+class TimestampToXsdDateTransformer(SimpleTransformer):
+    """The reference's ``timeToDate``
+    (date/TimestampToDateTransformer.scala:31-62): integer time since
+    the Unix epoch in ``unit`` (default milliseconds) to a date string —
+    a java-pattern ``format`` when given, else the full ISO instant
+    (UTC, ``Instant.toString`` shape: seconds precision, fractional part
+    only when nonzero). Reference @TransformExamples ported."""
+
+    id = "timeToDate"
+
+    _MULT_US = {"milliseconds": 1_000, "seconds": 1_000_000, "day": 86_400_000_000}
+
+    def __init__(self, format: str = "", unit: str = "milliseconds"):
+        if unit not in self._MULT_US:
+            raise ValueError(f"unsupported DateUnit {unit!r} for timeToDate")
+        self.unit = unit
+        py = format.strip()
+        for j, p in ParseDateTransformer._JAVA_TO_PY:
+            py = py.replace(j, p)
+        self.py_format = py or None
+
+    def evaluate(self, value):
+        import datetime as dt
+
+        n = int(value.strip())
+        d = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            microseconds=n * self._MULT_US[self.unit]
+        )
+        if self.py_format:
+            return d.strftime(self.py_format)
+        s = d.strftime("%Y-%m-%dT%H:%M:%S")
+        if d.microsecond:
+            frac = (
+                f".{d.microsecond // 1000:03d}"
+                if d.microsecond % 1000 == 0
+                else f".{d.microsecond:06d}"
+            )
+            s += frac
+        return s + "Z"
+
+
 @register_transformer
 class DurationInDaysTransformer(Transformer):
     """Days between two date inputs (DurationInDaysTransformer.scala)."""
@@ -1201,22 +1328,39 @@ class SoundexTransformer(SimpleTransformer):
 
 @register_transformer
 class NysiisTransformer(SimpleTransformer):
-    """NYSIIS phonetic encoding (NysiisTransformer.scala), standard algorithm."""
+    """NYSIIS phonetic encoding (NysiisTransformer.scala — the reference
+    delegates to the StringMetric library's Nysiis/RefinedNysiis, not in
+    this environment). ``refined=False`` is the canonical Taft (1970)
+    algorithm (hand-traced vectors match the widely published ones:
+    KNIGHT→NAGT, MITCHELL→MATCAL, MACINTOSH→MCANT). ``refined=True``
+    (the reference default) applies the published Lynch–Arends
+    modified-NYSIIS deltas: trailing S/Z stripped up front, initial
+    MAC→MC and PF→F (other initials untouched), extra IX→IC / EX→EC /
+    YE→Y endings, EV→EF in the scan. Exact edge-case behavior of the
+    third-party library may differ; there are no reference vectors."""
 
     id = "nysiis"
+
+    _INIT_STD = (("MAC", "MCC"), ("KN", "NN"), ("K", "C"), ("PH", "FF"), ("PF", "FF"), ("SCH", "SSS"))
+    _INIT_REF = (("MAC", "MC"), ("PF", "F"))
+    _END_STD = (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"), ("RD", "D"), ("NT", "D"), ("ND", "D"))
+    _END_REF = (("IX", "IC"), ("EX", "EC"), ("YE", "Y")) + _END_STD
 
     def __init__(self, refined: bool = True):
         self.refined = refined
 
     def evaluate(self, value):
         w = "".join(c for c in value.upper() if c.isalpha())
+        if self.refined:
+            while len(w) > 1 and w[-1] in "SZ":
+                w = w[:-1]
         if not w:
             return ""
-        for old, new in (("MAC", "MCC"), ("KN", "NN"), ("K", "C"), ("PH", "FF"), ("PF", "FF"), ("SCH", "SSS")):
+        for old, new in (self._INIT_REF if self.refined else self._INIT_STD):
             if w.startswith(old):
                 w = new + w[len(old):]
                 break
-        for old, new in (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"), ("RD", "D"), ("NT", "D"), ("ND", "D")):
+        for old, new in (self._END_REF if self.refined else self._END_STD):
             if w.endswith(old):
                 w = w[: -len(old)] + new
                 break
@@ -1227,7 +1371,7 @@ class NysiisTransformer(SimpleTransformer):
             c = w[i]
             seg = c
             if w[i : i + 2] == "EV":
-                seg, step = "AF", 2
+                seg, step = ("EF", 2) if self.refined else ("AF", 2)
             elif c in "AEIOU":
                 seg, step = "A", 1
             elif c == "Q":
@@ -1522,6 +1666,99 @@ class ConstantTransformer(Transformer):
 
     def __init__(self, value: str = ""):
         self.value = value
+
+    def apply(self, values):
+        return [self.value]
+
+
+def _load_java_properties(path: str) -> dict[str, str]:
+    """Minimal java.util.Properties reader (ISO-8859-1, ``#``/``!``
+    comments, ``=``/``:``/whitespace separators, backslash line
+    continuation, ``\\uXXXX`` and single-char escapes)."""
+    props: dict[str, str] = {}
+    with open(path, encoding="iso-8859-1") as f:
+        logical: list[str] = []
+        for raw in f:
+            line = raw.rstrip("\n").rstrip("\r")
+            stripped = line.lstrip()
+            if not logical:
+                if not stripped or stripped[0] in "#!":
+                    continue
+            # java.util.Properties discards leading whitespace on every
+            # physical line, including continuations
+            line = stripped
+            # odd number of trailing backslashes → continuation
+            n_bs = len(line) - len(line.rstrip("\\"))
+            if n_bs % 2 == 1:
+                logical.append(line[:-1])
+                continue
+            logical.append(line)
+            full = "".join(logical)
+            logical = []
+            # find the first unescaped separator
+            key_end, sep_end = len(full), len(full)
+            i = 0
+            while i < len(full):
+                c = full[i]
+                if c == "\\":
+                    i += 2
+                    continue
+                if c in "=:" or c.isspace():
+                    key_end = i
+                    j = i
+                    while j < len(full) and full[j].isspace():
+                        j += 1
+                    if j < len(full) and full[j] in "=:":
+                        j += 1
+                        while j < len(full) and full[j].isspace():
+                            j += 1
+                    sep_end = j
+                    break
+                i += 1
+            key = _unescape_java(full[:key_end])
+            props[key] = _unescape_java(full[sep_end:])
+    return props
+
+
+def _unescape_java(s: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt == "u" and i + 5 < len(s):
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            out.append({"t": "\t", "n": "\n", "r": "\r", "f": "\f"}.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+@register_transformer
+class ReadParameterTransformer(Transformer):
+    """Read a named parameter from a local Java ``.properties`` file
+    (silk-workspace/.../plugins/transformer/value/ReadParameter.scala:
+    ignores its inputs, emits the parameter's value; a missing
+    parameter raises, mirroring the reference's ValidationException).
+    The reference re-reads the resource when its modification time
+    advances; batch stages construct transformers once per actor in
+    ``__init__``, so a bounded run observes one consistent value —
+    the same guarantee the reference gives within one execution."""
+
+    id = "readParameter"
+
+    def __init__(self, resource: str = "", parameter: str = ""):
+        props = _load_java_properties(resource)
+        if parameter not in props:
+            raise ValueError(
+                f"resource {resource!r} does not provide a parameter {parameter!r}"
+            )
+        self.value = props[parameter]
 
     def apply(self, values):
         return [self.value]
@@ -1832,10 +2069,9 @@ class PhysicalQuantityExtractor(Transformer):
 
 for _ref_id, _cls in {
     "NYSIIS": NysiisTransformer,                # NysiisTransformer.scala
-    "camelcasetokenizer": CamelCaseTokenizer,   # CamelCaseTokenizer.scala
-    "datetoTimestamp": DateToTimestampTransformer,   # DateToTimestampTransformer.scala
     "negateTransformer": NegateTransformer,     # conditional/Negate.scala
-    "timeToDate": TimestampToDateTransformer,   # TimestampToDateTransformer.scala
     "toSequenceIndex": ValuesToIndexes,         # ValuesToIndexesTransformer.scala
+    # camelcasetokenizer / datetoTimestamp / timeToDate are exact
+    # reference-semantics classes registered above, not aliases
 }.items():
     TRANSFORMERS[_ref_id] = _cls

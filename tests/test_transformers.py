@@ -122,10 +122,23 @@ VECTORS = [
     ("mapWithDefaultInput", {"mapping": "A:1"}, [["X", "Y", "A"], ["d"]], ["d", "d", "1"]),
     # reference plugin-id aliases (annotation ids differ in spelling)
     ("NYSIIS", {}, [["Robert"]], ["RABAD"]),
-    ("camelcasetokenizer", {}, [["camelCaseWord"]], ["camel", "Case", "Word"]),
-    ("datetoTimestamp", {}, [["1970-01-02"]], ["86400"]),
-    ("timeToDate", {}, [["86400"]], ["1970-01-02"]),
     ("negateTransformer", {}, [["true"]], ["false"]),
+    # CamelCaseTokenizer.scala @TransformExamples (exact reference rule)
+    ("camelcasetokenizer", {}, [["camelCaseString"]], ["camel", "Case", "String"]),
+    ("camelcasetokenizer", {}, [["nocamelcase"]], ["nocamelcase"]),
+    # digits never open a boundary in the reference rule (isLower on a
+    # digit is false); the regex variant camelCaseTokenizer does split
+    ("camelcasetokenizer", {}, [["a9X"]], ["a9X"]),
+    ("camelCaseTokenizer", {}, [["a9X"]], ["a9", "X"]),
+    # DateToTimestampTransformer.scala @TransformExamples (id datetoTimestamp)
+    ("datetoTimestamp", {}, [["2017-07-03T21:32:52Z"]], ["1499117572000"]),
+    ("datetoTimestamp", {}, [["2017-07-03T21:32:52+01:00"]], ["1499113972000"]),
+    ("datetoTimestamp", {"unit": "seconds"}, [["2017-07-03T21:32:52+01:00"]], ["1499113972"]),
+    ("datetoTimestamp", {}, [["2017-07-03"]], ["1499040000000"]),
+    # TimestampToDateTransformer.scala @TransformExamples (id timeToDate)
+    ("timeToDate", {}, [["1499117572000"]], ["2017-07-03T21:32:52Z"]),
+    ("timeToDate", {"format": "yyyy-MM-dd"}, [["1499040000000"]], ["2017-07-03"]),
+    ("timeToDate", {"format": "yyyy-MM-dd", "unit": "seconds"}, [["1499040000"]], ["2017-07-03"]),
 ]
 
 
@@ -292,3 +305,53 @@ def test_regex_replace_python_only_syntax():
     out = CompiledTransform([rule])(pa.table({"s": ["ab", "cb"]}))
     assert out["out"].to_pylist() == ["aX", "cb"]
     assert "error" not in out.column_names
+
+
+def test_negate_transformer_exceptions():
+    # conditional/Negate.scala @TransformExamples: unrecognized value
+    # and empty input both throw
+    t = get_transformer("negateTransformer")
+    with pytest.raises(ValueError):
+        t.apply([["falsee", "true"]])
+    with pytest.raises(ValueError):
+        t.apply([[]])
+
+
+def test_nysiis_standard_and_refined():
+    """No reference vectors exist (the reference delegates to the
+    StringMetric library); standard vectors hand-traced from the Taft
+    (1970) algorithm and cross-checked against widely published values;
+    refined applies the documented Lynch-Arends deltas."""
+    std = get_transformer("nysiis", refined=False)
+    assert std.apply([["KNIGHT"]]) == ["NAGT"]
+    assert std.apply([["MITCHELL"]]) == ["MATCAL"]
+    assert std.apply([["MACINTOSH"]]) == ["MCANT"]
+    ref = get_transformer("NYSIIS")  # reference default: refined=True
+    # refined keeps the initial K (only MAC/PF initials transcode)
+    assert ref.apply([["KNIGHT"]]) == ["KNAGT"]
+    # trailing S/Z stripped before encoding
+    assert ref.apply([["Joneses"]]) == ref.apply([["Jonese"]])
+    # homophones collide under both variants (strict NYSIIS keeps Y,
+    # so Smith/Smyth deliberately do NOT collide)
+    for t in (std, ref):
+        assert t.apply([["Green"]]) == t.apply([["Greene"]])
+
+
+def test_read_parameter(tmp_path):
+    # silk-workspace/.../value/ReadParameter.scala: java .properties
+    p = tmp_path / "conf.properties"
+    p.write_bytes(
+        b"# comment\n"
+        b"! also comment\n"
+        b"greeting = hello\\u0021\n"
+        b"path:C\\\\temp\n"
+        b"multi = one \\\n    two\n"
+        b"spaced value-with-space\n"
+    )
+    t = get_transformer("readParameter", resource=str(p), parameter="greeting")
+    assert t.apply([["ignored", "inputs"]]) == ["hello!"]
+    assert get_transformer("readParameter", resource=str(p), parameter="path").apply([]) == ["C\\temp"]
+    assert get_transformer("readParameter", resource=str(p), parameter="multi").apply([]) == ["one two"]
+    assert get_transformer("readParameter", resource=str(p), parameter="spaced").apply([]) == ["value-with-space"]
+    with pytest.raises(ValueError, match="does not provide"):
+        get_transformer("readParameter", resource=str(p), parameter="missing")
