@@ -124,7 +124,10 @@ def cmd_transform(args) -> int:
     rules = [transform_rule_from_dict(r) for r in cfg["rules"]]
     ds = _read_side(cfg["input"])
     t0 = time.perf_counter()
-    out = ds.map_batches(CompiledTransform(rules), batch_format="pyarrow")
+    out = ds.map_batches(
+        CompiledTransform(rules, typed_output=bool(cfg.get("typed_output", False))),
+        batch_format="pyarrow",
+    )
     write_dataset(out, cfg["output"]["path"], cfg["output"].get("format", "parquet"))
     print(
         json.dumps(

@@ -34,6 +34,7 @@ from silk_ray.kernel.aggregators import Aggregator, get_aggregator
 from silk_ray.kernel.distances import DistanceMeasure, get_distance
 from silk_ray.kernel.index import Index
 from silk_ray.kernel.transformers import Transformer, get_transformer
+from silk_ray.kernel import valuetypes
 
 Entity = dict  # {path: list[str]}
 
@@ -382,13 +383,32 @@ def rule_from_dict(spec: dict[str, Any]) -> LinkageRule:
 class TransformRule:
     """One output column = one compiled input tree
     (TransformRule.scala:354-363 ComplexMapping generalizes the rest:
-    DirectMapping is PathInput, constants are TransformInput(constant))."""
+    DirectMapping is PathInput, constants are TransformInput(constant)).
+
+    ``value_type`` / ``is_attribute`` are the rule's MappingTarget
+    (MappingTarget.scala:22-44): produced values are validated against
+    the type (TransformRule.scala:67 ``target.foreach(_.validate(values))``)
+    and a single-valued attribute rejects multi-values; failures surface
+    in the transform's error column like any transformer error."""
 
     target: str
     input: Input
+    value_type: "valuetypes.ValueType" = None  # default STRING, set in __post_init__
+    is_attribute: bool = False
+
+    def __post_init__(self):
+        if self.value_type is None:
+            self.value_type = valuetypes.STRING
+
+    def _mapping_target(self) -> "valuetypes.MappingTarget":
+        return valuetypes.MappingTarget(
+            self.target, self.value_type, is_attribute=self.is_attribute
+        )
 
     def apply(self, entity: Entity) -> list[str]:
-        return self.input.apply(entity)
+        values = self.input.apply(entity)
+        self._mapping_target().validate(values)
+        return values
 
 
 def parse_uri_pattern(pattern: str) -> Input:
@@ -476,9 +496,14 @@ class ObjectMappingRule(TransformRule):
 
 
 def transform_rule_from_dict(spec: dict[str, Any]) -> TransformRule:
+    vt = valuetypes.value_type_from_spec(spec.get("value_type", valuetypes.STRING))
+    is_attr = bool(spec.get("is_attribute", False))
     if "uri_pattern" in spec:
         return TransformRule(
-            target=spec.get("target", "uri"), input=parse_uri_pattern(spec["uri_pattern"])
+            target=spec.get("target", "uri"),
+            input=parse_uri_pattern(spec["uri_pattern"]),
+            value_type=vt,
+            is_attribute=is_attr,
         )
     if "object" in spec:
         obj = spec["object"]
@@ -488,7 +513,12 @@ def transform_rule_from_dict(spec: dict[str, Any]) -> TransformRule:
             rules=[transform_rule_from_dict(r) for r in obj.get("rules", [])],
             source_path=obj.get("source_path", ""),
         )
-    return TransformRule(target=spec["target"], input=input_from_dict(spec["input"]))
+    return TransformRule(
+        target=spec["target"],
+        input=input_from_dict(spec["input"]),
+        value_type=vt,
+        is_attribute=is_attr,
+    )
 
 
 class CompiledTransform:
@@ -502,9 +532,19 @@ class CompiledTransform:
     are captured into an ``error`` column instead of failing the batch.
     """
 
-    def __init__(self, rules: list[TransformRule], error_column: str = "error"):
+    def __init__(
+        self,
+        rules: list[TransformRule],
+        error_column: str = "error",
+        typed_output: bool = False,
+    ):
         self.rules = rules
         self.error_column = error_column
+        # When set, validated columns are cast to their ValueType's Arrow
+        # type (int64/float64/bool/date32/timestamp) — the parquet-schema
+        # equivalent of the reference's typed RDF literals. Off by
+        # default: untyped rules keep emitting plain string columns.
+        self.typed_output = typed_output
 
     def input_paths(self) -> list[str]:
         out = []
@@ -532,6 +572,34 @@ class CompiledTransform:
             return fn(child)
         return None
 
+    def _validated(self, rule: TransformRule, vec, errors: list[str | None]):
+        """Vectorized MappingTarget validation: invalid cells become null
+        and their rows get an error entry (same observable behavior as the
+        per-row path, where TransformRule.apply raises)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vt = rule.value_type
+        if vt.regex is None and vt.checker is None:  # trivially-true type
+            return self._cast(rule, vec)
+        mask = vt.validate_array(vec)
+        if pc.all(mask).as_py() is not False:
+            return self._cast(rule, vec)
+        bad = pc.and_kleene(pc.invert(mask), pc.is_valid(vec))
+        for i in [idx for idx, flag in enumerate(bad.to_pylist()) if flag]:
+            errors[i] = (
+                f"{rule.target}: Value '{vec[i].as_py()}' is not a valid {vt.label}"
+            )
+        return self._cast(rule, pc.if_else(mask, vec, pa.scalar(None, type=vec.type)))
+
+    def _cast(self, rule: TransformRule, col):
+        if not self.typed_output:
+            return col
+        vt = rule.value_type
+        if vt.arrow_type is None and vt.caster is None:
+            return col
+        return vt.cast_array(col)
+
     def __call__(self, table):
         import pyarrow as pa
 
@@ -558,7 +626,7 @@ class CompiledTransform:
                 continue
             vec = self._vectorized(rule.input, table)
             if vec is not None:
-                out_cols[rule.target] = vec
+                out_cols[rule.target] = self._validated(rule, vec, errors)
                 continue
             if row_cache is None:
                 row_cache = _rows_as_entities(table)
@@ -569,7 +637,8 @@ class CompiledTransform:
                     col_vals[i] = vals[0] if vals else None
                 except Exception as exc:  # per-row error capture
                     errors[i] = f"{rule.target}: {exc}"
-            out_cols[rule.target] = pa.array(col_vals, type=pa.string())
+            col = pa.array(col_vals, type=pa.string())
+            out_cols[rule.target] = self._cast(rule, col)
 
         arrays = list(out_cols.values())
         names = list(out_cols.keys())

@@ -129,7 +129,10 @@ def execute_workflow(spec: dict[str, Any], bindings: dict[str, Any] | None = Non
             from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
 
             rules = [transform_rule_from_dict(r) for r in n["rules"]]
-            ds = build(n["input"]).map_batches(CompiledTransform(rules), batch_format="pyarrow")
+            ds = build(n["input"]).map_batches(
+                CompiledTransform(rules, typed_output=bool(n.get("typed_output", False))),
+                batch_format="pyarrow",
+            )
             if n.get("error_output"):
                 from silk_ray.sources.registry import write_dataset
 
