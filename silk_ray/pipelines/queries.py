@@ -955,6 +955,75 @@ SELECT doc_id, lower(trim(text)) AS text_norm FROM documents ORDER BY doc_id
 """
 
 
+def transform_typed(sf_dir: str):
+    """Typed transform targets (the ValueType system): every rule carries
+    a MappingTarget value type, invalid values null out with the
+    reference's validation message in the error column, and
+    ``typed_output`` casts validated columns to real Arrow types
+    (ValueType.scala validate semantics; MappingTarget.scala:32-44)."""
+    from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+    rules = [
+        transform_rule_from_dict(
+            {"target": "event_id", "input": {"path": "event_id"},
+             "value_type": "LongValueType"}
+        ),
+        transform_rule_from_dict(
+            {"target": "k_int",
+             "input": {"transform": "regexExtract", "params": {"regex": "[0-9]+"},
+                       "inputs": [{"path": "props"}]},
+             "value_type": "IntegerValueType"}
+        ),
+        # only event_type='error' maps to a valid boolean; everything else
+        # becomes 'notabool' -> fails BooleanValueType validation -> null
+        # value + error entry (deterministic, SQL-reproducible)
+        transform_rule_from_dict(
+            {"target": "is_error",
+             "input": {"transform": "map",
+                       "params": {"mapping": "error:true", "default": "notabool"},
+                       "inputs": [{"path": "event_type"}]},
+             "value_type": "BooleanValueType"}
+        ),
+        transform_rule_from_dict(
+            {"target": "amount", "input": {"path": "value"},
+             "value_type": "DoubleValueType"}
+        ),
+    ]
+    ct = CompiledTransform(rules, typed_output=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = ct(batch)
+        cols = {n: out[n] for n in ("event_id", "k_int", "amount")}
+        # the typed column is bool; compare as its lexical form (nullable
+        # bool null-representations differ between arrow->pandas and
+        # duckdb->pandas, which would break the driver's value hash)
+        cols["is_error"] = pc.cast(out["is_error"], pa.string())
+        cols["error"] = (
+            out["error"] if "error" in out.column_names
+            else pa.nulls(out.num_rows, type=pa.string())
+        )
+        return pa.table(cols)
+
+    out = (
+        _rp(sf_dir, "events", ["event_id", "event_type", "value", "props"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+TRANSFORM_TYPED_SQL = """
+SELECT event_id,
+       CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_int,
+       CASE WHEN event_type = 'error' THEN 'true' ELSE NULL END AS is_error,
+       "value" AS amount,
+       CASE WHEN event_type <> 'error'
+            THEN 'is_error: Value ''notabool'' is not a valid Boolean'
+            ELSE NULL END AS error
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings (similarity search)
 # ---------------------------------------------------------------------------
@@ -2081,6 +2150,7 @@ def build_queries():
         "dedup_exact": dedup_exact,
         "doc_quality": doc_quality,
         "transform_normalize": transform_normalize,
+        "transform_typed": transform_typed,
         "knn_cosine": knn_cosine,
         "label_stats": label_stats,
         "link_names": link_names,
@@ -2122,6 +2192,7 @@ def build_oracle_sql():
         "dedup_exact": DEDUP_EXACT_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "transform_normalize": TRANSFORM_NORMALIZE_SQL,
+        "transform_typed": TRANSFORM_TYPED_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "knn_lsh": KNN_LSH_SQL,
         "knn_ivf": KNN_IVF_SQL,
