@@ -185,6 +185,7 @@ def cmd_cdc(args) -> int:
         max_epochs=args.max_epochs,
         maintain_clusters=bool(args.maintain_clusters and rule_spec is not None),
         agg_spec=agg_spec,
+        payload_schema=json.load(open(args.payload_schema)) if args.payload_schema else None,
     )
     metrics = run(args.root, args.changelog, cfg)
     out = {
@@ -257,6 +258,12 @@ def main(argv=None) -> int:
     pc.add_argument(
         "--agg-view", default=None, metavar="SPEC.json",
         help="maintain a materialized aggregate view per epoch (cdc/matview.py spec)",
+    )
+    pc.add_argument(
+        "--payload-schema", default=None, metavar="SCHEMA.json",
+        help="typed ingest enforcement: JSON {column: ValueType id}; rows "
+             "failing their declared type quarantine to the DLQ with "
+             "reason invalid_type:<col>",
     )
     pc.add_argument(
         "--from-snapshot", default=None, metavar="PARQUET",

@@ -58,6 +58,11 @@ class EngineConfig:
     # (cdc/matview.py): per epoch only the dirty-delta contributions are
     # applied and only the touched view shards are rewritten
     agg_spec: "object | None" = None  # AggViewSpec
+    # typed ingest enforcement: payload column -> ValueType id
+    # (kernel/valuetypes.py). A row whose column fails its declared
+    # type's lexical validation is quarantined to the DLQ with reason
+    # ``invalid_type:<col>`` instead of entering the lake.
+    payload_schema: dict[str, str] | None = None
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -118,6 +123,7 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
             renames=config.renames or None,
             link_spec=config.rule_spec if isinstance(config.rule_spec, dict) else None,
             n_block_partitions=config.n_block_partitions,
+            payload_schema=config.payload_schema,
         )
         if m is None:
             break

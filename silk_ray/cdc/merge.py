@@ -553,7 +553,9 @@ def _split_by_pid(t: pa.Table, num_partitions: int) -> dict[int, pa.Table]:
 _VALID_OPS = ("I", "U", "D")
 
 
-def _validate_events(t: pa.Table) -> tuple[pa.Table, pa.Table | None]:
+def _validate_events(
+    t: pa.Table, payload_schema: dict[str, str] | None = None
+) -> tuple[pa.Table, pa.Table | None]:
     """Split a changelog window into (valid, dead-lettered) events.
 
     Structural validation: an unknown op code or a null/empty repo/path
@@ -564,6 +566,18 @@ def _validate_events(t: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     the window filter (``offset >= lo AND offset < hi``) is the
     delivery contract, and a null offset never satisfies it.
 
+    ``payload_schema`` (column name → ValueType id, e.g.
+    ``{"lang": "StringValueType", "size": "IntegerValueType"}``) adds
+    typed enforcement at ingest: the column's lexical form is validated
+    with the reference's ValueType semantics (kernel/valuetypes.py) as a
+    vectorized mask per column; a failing row quarantines with reason
+    ``invalid_type:<col>``. Nulls pass (an absent value is never
+    validated — MappingTarget semantics) and declared columns missing
+    from this window's schema are skipped (schema evolution: the column
+    may not exist yet). Deletes are validated like any event: a
+    malformed payload on a D is a producer bug worth surfacing, and the
+    delete itself can be replayed from the quarantine.
+
     Returns ``(valid, dead)`` with ``dead=None`` when every event is
     well-formed (the overwhelmingly common case — one boolean reduction,
     no copies)."""
@@ -573,12 +587,46 @@ def _validate_events(t: pa.Table) -> tuple[pa.Table, pa.Table | None]:
         lens = pc.utf8_length(pc.cast(t[name], pa.string()))
         return pc.fill_null(pc.greater(lens, 0), False)
 
-    valid = pc.and_(op_ok, pc.and_(_key_ok("repo"), _key_ok("path")))
+    key_ok = pc.and_(_key_ok("repo"), _key_ok("path"))
+    valid = pc.and_(op_ok, key_ok)
+
+    type_reason = None  # string array: per-row first failing column, or null
+    if payload_schema:
+        from silk_ray.kernel.valuetypes import value_type_by_id
+
+        for col in sorted(payload_schema):
+            if col not in t.column_names:
+                continue
+            vt = value_type_by_id(payload_schema[col])
+            mask = vt.validate_array(pc.cast(t[col], pa.string()).combine_chunks())
+            if pc.all(mask).as_py() is not False:
+                continue
+            label = pa.scalar(f"invalid_type:{col}", type=pa.string())
+            none_s = pa.scalar(None, type=pa.string())
+            hit = pc.if_else(mask, none_s, label)
+            type_reason = hit if type_reason is None else pc.coalesce(type_reason, hit)
+        if type_reason is not None:
+            valid = pc.and_(valid, pc.is_null(type_reason))
+
     if t.num_rows == 0 or pc.all(valid).as_py():
         return t, None
-    dead_mask = pc.invert(valid)
+
+    def _arr(a):  # normalize: pc kernels reject Array/ChunkedArray mixes
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    dead_mask = _arr(pc.invert(valid))
     dead = t.filter(dead_mask)
-    reason = pc.if_else(op_ok.filter(dead_mask), "null_key", "unknown_op")
+    reason = pc.if_else(
+        pc.invert(_arr(op_ok).filter(dead_mask)),
+        pa.scalar("unknown_op", type=pa.string()),
+        pc.if_else(
+            pc.invert(_arr(key_ok).filter(dead_mask)),
+            pa.scalar("null_key", type=pa.string()),
+            _arr(type_reason).filter(dead_mask)
+            if type_reason is not None
+            else pa.scalar(None, type=pa.string()),
+        ),
+    )
     return t.filter(valid), dead.append_column("reason", pc.cast(reason, pa.string()))
 
 
@@ -630,7 +678,8 @@ def dead_letters_table(root: str) -> pa.Table:
 
 
 def _read_split_task(
-    src, lo: int, hi: int, num_partitions: int, root: str, epoch: int, frag_idx: int
+    src, lo: int, hi: int, num_partitions: int, root: str, epoch: int, frag_idx: int,
+    payload_schema: dict[str, str] | None = None,
 ) -> tuple[dict, dict | None]:
     """Exchange stage A: read one window fragment, validate, split the
     valid events by pid, put each shard into the object store. Only
@@ -645,7 +694,7 @@ def _read_split_task(
         t = pq.read_table(src, filters=[("offset", ">=", lo), ("offset", "<", hi)])
     if t.num_rows == 0:
         return {}, None
-    t, dead = _validate_events(t)
+    t, dead = _validate_events(t, payload_schema)
     summary = _write_dead_shard(root, epoch, frag_idx, dead) if dead is not None else None
     if t.num_rows == 0:
         return {}, summary
@@ -676,6 +725,7 @@ def run_epoch(
     link_spec: dict | None = None,
     n_block_partitions: int = 64,
     compact_at: int = LAKE_COMPACT_AT,
+    payload_schema: dict[str, str] | None = None,
 ) -> dict | None:
     """Tail one epoch window off the changelog and merge-apply it.
 
@@ -730,7 +780,7 @@ def run_epoch(
     merge_task = ray.remote(_merge_pid_task)
     results = ray.get(
         [
-            read_task.remote(f, lo, hi, num_partitions, root, epoch, i)
+            read_task.remote(f, lo, hi, num_partitions, root, epoch, i, payload_schema)
             for i, f in enumerate(fragments)
         ]
     )

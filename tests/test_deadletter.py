@@ -155,3 +155,108 @@ def test_engine_with_linking_survives_garbage(ray_session, tmp_path):
     assert {r["offset"] for r in dead_letters_table(root).to_pylist()} == set(expected)
     # state equals the valid-subset oracle even with linking enabled
     assert _engine_rows(root) == _oracle_rows(_valid_subset(log, expected))
+
+
+# ---------------------------------------------------------------------------
+# typed ingest enforcement (payload_schema -> ValueType validation)
+# ---------------------------------------------------------------------------
+
+
+def _with_size_column(log: pa.Table, every: int = 13) -> tuple[pa.Table, dict[int, str]]:
+    """Append a lexically-integer ``size`` payload column; every
+    ``every``-th row gets a non-integer value (producer bug), every
+    ``every*2``-th of those a null (which must PASS — absent values are
+    never validated)."""
+    rows = log.to_pylist()
+    expected: dict[int, str] = {}
+    for i, r in enumerate(rows):
+        r["size"] = str(100 + i)
+        if i % every == 0:
+            if (i // every) % 2 == 0:
+                r["size"] = f"{i}.5px"
+                expected[r["offset"]] = "invalid_type:size"
+            else:
+                r["size"] = None  # null passes
+    schema = log.schema.append(pa.field("size", pa.string()))
+    return pa.Table.from_pylist(rows, schema=schema), expected
+
+
+SIZE_SCHEMA = {"size": "IntegerValueType"}
+
+
+def test_payload_schema_quarantines_invalid_typed_rows(ray_session, tmp_path):
+    base = make_base_table(50, seed=91)
+    log, expected = _with_size_column(make_changelog(base, 300, seed=92, dup_frac=0.05))
+    root = str(tmp_path / "lake")
+    metrics = run_to_completion(
+        root, log, epoch_size=120, num_partitions=4, payload_schema=SIZE_SCHEMA
+    )
+    dlq = dead_letters_table(root)
+    assert {r["offset"]: r["reason"] for r in dlq.to_pylist()} == expected
+    assert sum(m["dead_lettered"] for m in metrics) == len(expected)
+    # lake state == sequential oracle over the valid subset (incl. size
+    # col; sequential_apply hardcodes base columns, so track full rows)
+    keys = KEYS + ("size",)
+    state: dict = {}
+    seen: set = set()
+    for r in _valid_subset(log, expected).sort_by("offset").to_pylist():
+        if r["offset"] in seen:
+            continue
+        seen.add(r["offset"])
+        k = (r["repo"], r["path"])
+        if r["op"] == "D":
+            state.pop(k, None)
+        else:
+            state[k] = r
+    oracle = [{k: state[key].get(k) for k in keys} for key in sorted(state.keys())]
+    got = [{k: r.get(k) for k in keys} for r in state_table(root).to_pylist()]
+    assert got == oracle
+
+
+def test_structural_reasons_take_precedence_over_type(ray_session, tmp_path):
+    base = make_base_table(20, seed=93)
+    log, _ = _with_size_column(make_changelog(base, 60, seed=94), every=7)
+    rows = log.to_pylist()
+    # one row is BOTH structurally broken and type-invalid
+    rows[0]["op"] = "Z"
+    rows[0]["size"] = "oops"
+    rows[1]["repo"] = ""
+    rows[1]["size"] = "bad too"
+    log = pa.Table.from_pylist(rows, schema=log.schema)
+    root = str(tmp_path / "lake")
+    run_to_completion(root, log, epoch_size=100, num_partitions=2, payload_schema=SIZE_SCHEMA)
+    got = {r["offset"]: r["reason"] for r in dead_letters_table(root).to_pylist()}
+    assert got[rows[0]["offset"]] == "unknown_op"
+    assert got[rows[1]["offset"]] == "null_key"
+
+
+def test_payload_schema_missing_column_is_skipped(ray_session, tmp_path):
+    """Schema evolution: a declared column the stream doesn't carry yet
+    must not quarantine anything."""
+    base = make_base_table(20, seed=95)
+    log = make_changelog(base, 80, seed=96)
+    root = str(tmp_path / "lake")
+    metrics = run_to_completion(
+        root, log, epoch_size=50, num_partitions=2,
+        payload_schema={"not_yet_a_column": "IntegerValueType", "lang": "StringValueType"},
+    )
+    assert sum(m.get("dead_lettered", 0) for m in metrics) == 0
+    assert dead_letters_table(root).num_rows == 0
+
+
+def test_typed_quarantine_replay_identity(ray_session, tmp_path):
+    """Different epoching -> byte-identical state and identical DLQ."""
+    base = make_base_table(30, seed=97)
+    log, expected = _with_size_column(make_changelog(base, 200, seed=98), every=11)
+    shas, dlqs = [], []
+    for run_dir, epoch_size in (("a", 90), ("b", 60)):
+        root = str(tmp_path / run_dir)
+        run(root, log, EngineConfig(epoch_size=epoch_size, num_partitions=3,
+                                    payload_schema=SIZE_SCHEMA))
+        shas.append(state_sha256(root))
+        dlqs.append(sorted(
+            (r["offset"], r["reason"]) for r in dead_letters_table(root).to_pylist()
+        ))
+    assert shas[0] == shas[1]
+    assert dlqs[0] == dlqs[1]
+    assert dict(dlqs[0]) == expected
