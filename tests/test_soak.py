@@ -57,27 +57,39 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     # 404) schema evolution. Tracked by row index, not offset: a
     # corrupted copy of a duplicate-offset pair leaves its valid twin
     # applicable, and the oracle must see exactly the valid rows.
+    # Every seed declares a typed payload schema: even seeds carry a
+    # lexically-integer `size` column (2 of the 6 corruption kinds are
+    # TYPE violations, structurally fine), odd seeds don't carry the
+    # column at all — soaking the schema-evolution skip path.
+    payload_schema = {"size": "IntegerValueType"}
     valid_log = log
     n_corrupt = 0
     if seed % 2 == 0:
         import pyarrow as pa
 
         rows = log.to_pylist()
+        for i, r in enumerate(rows):
+            r["size"] = str(int(rng.integers(1, 10_000)))
         idxs = {int(x) for x in rng.choice(len(rows), size=max(3, len(rows) // 40), replace=False)}
         for j, i in enumerate(sorted(idxs)):
-            kind = j % 4
+            kind = j % 6
             if kind == 0:
                 rows[i]["op"] = "X"
             elif kind == 1:
                 rows[i]["op"] = None
             elif kind == 2:
                 rows[i]["repo"] = ""
-            else:
+            elif kind == 3:
                 rows[i]["path"] = None
+            elif kind == 4:
+                rows[i]["size"] = "12.5px"
+            else:
+                rows[i]["size"] = "-0x3"
         n_corrupt = len(idxs)
-        log = pa.Table.from_pylist(rows, schema=log.schema)
+        schema = log.schema.append(pa.field("size", pa.string()))
+        log = pa.Table.from_pylist(rows, schema=schema)
         valid_log = pa.Table.from_pylist(
-            [r for k, r in enumerate(rows) if k not in idxs], schema=log.schema
+            [r for k, r in enumerate(rows) if k not in idxs], schema=schema
         )
 
     epoch_a = int(rng.integers(80, 400))
@@ -88,7 +100,8 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     # run A: straight through
     root_a = str(tmp_path / "a")
     run_to_completion(
-        root_a, log, epoch_size=epoch_a, num_partitions=parts, compact_at=compact_at
+        root_a, log, epoch_size=epoch_a, num_partitions=parts, compact_at=compact_at,
+        payload_schema=payload_schema,
     )
 
     # run B: different epoching, crash-resume at a random committed epoch,
@@ -97,20 +110,21 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     crash_after = int(rng.integers(1, max(2, n_events // epoch_b)))
     for _ in range(crash_after):
         run_epoch(root_b, log, epoch_size=epoch_b, num_partitions=parts,
-                  compact_at=compact_at)
+                  compact_at=compact_at, payload_schema=payload_schema)
     # redeliver a window that is fully below the committed HWM: no-op
     sha_mid = state_sha256(root_b)
     lo = int(rng.integers(0, max(1, crash_after * epoch_b - 1)))
     redelivered = log.filter(pc.less(log["offset"], lo))
     if redelivered.num_rows:
         m = run_epoch(root_b, redelivered, epoch_size=epoch_b,
-                      num_partitions=parts, compact_at=compact_at)
+                      num_partitions=parts, compact_at=compact_at,
+                      payload_schema=payload_schema)
         if m is not None:
             assert m["events_applied"] == 0
     assert state_sha256(root_b) == sha_mid
     # resume to completion from the committed manifest
     run_to_completion(root_b, log, epoch_size=epoch_b, num_partitions=parts,
-                      compact_at=compact_at)
+                      compact_at=compact_at, payload_schema=payload_schema)
 
     # 1) engine state equals the sequential oracle over the valid rows
     assert _engine_rows(root_a) == _oracle_rows(valid_log)
