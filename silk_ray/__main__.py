@@ -186,6 +186,7 @@ def cmd_cdc(args) -> int:
         maintain_clusters=bool(args.maintain_clusters and rule_spec is not None),
         agg_spec=agg_spec,
         payload_schema=json.load(open(args.payload_schema)) if args.payload_schema else None,
+        enrich_rules=json.load(open(args.enrich)) if args.enrich else None,
     )
     metrics = run(args.root, args.changelog, cfg)
     out = {
@@ -264,6 +265,12 @@ def main(argv=None) -> int:
         help="typed ingest enforcement: JSON {column: ValueType id}; rows "
              "failing their declared type quarantine to the DLQ with "
              "reason invalid_type:<col>",
+    )
+    pc.add_argument(
+        "--enrich", default=None, metavar="RULES.json",
+        help="ingest-time enrichment: JSON list of transform-rule specs; "
+             "each rule's target becomes a lake payload column, failing "
+             "rows quarantine with reason enrich_error:<target>",
     )
     pc.add_argument(
         "--from-snapshot", default=None, metavar="PARQUET",

@@ -63,6 +63,11 @@ class EngineConfig:
     # type's lexical validation is quarantined to the DLQ with reason
     # ``invalid_type:<col>`` instead of entering the lake.
     payload_schema: dict[str, str] | None = None
+    # ingest-time enrichment: transform-rule specs (JSON DSL incl. typed
+    # ValueType targets) evaluated inside the read tasks; each target
+    # becomes a payload column in the lake. Rows whose enrichment errors
+    # quarantine with reason ``enrich_error:<target>``.
+    enrich_rules: list[dict] | None = None
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -124,6 +129,7 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
             link_spec=config.rule_spec if isinstance(config.rule_spec, dict) else None,
             n_block_partitions=config.n_block_partitions,
             payload_schema=config.payload_schema,
+            enrich_specs=config.enrich_rules,
         )
         if m is None:
             break

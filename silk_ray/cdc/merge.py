@@ -630,6 +630,70 @@ def _validate_events(
     return t.filter(valid), dead.append_column("reason", pc.cast(reason, pa.string()))
 
 
+_ENRICH_CACHE: dict[str, object] = {}
+
+
+def _enrich_transform(enrich_specs: list[dict]):
+    """Compile enrichment rule specs once per worker process (the specs
+    travel as plain dicts; the compiled tree is cached by its JSON
+    form — actor-style setup-once without needing an actor)."""
+    import json as _json
+
+    key = _json.dumps(enrich_specs, sort_keys=True)
+    ct = _ENRICH_CACHE.get(key)
+    if ct is None:
+        from silk_ray.kernel.rule import CompiledTransform, transform_rule_from_dict
+
+        ct = CompiledTransform(
+            [transform_rule_from_dict(s) for s in enrich_specs],
+            error_column="__enrich_error",
+            typed_output=True,
+        )
+        _ENRICH_CACHE[key] = ct
+    return ct
+
+
+def _enrich_events(
+    t: pa.Table, enrich_specs: list[dict]
+) -> tuple[pa.Table, pa.Table | None]:
+    """Apply ingest-time enrichment rules (the JSON transform-rule DSL,
+    incl. typed ValueType targets) to a validated window: each rule's
+    target becomes/overwrites a payload column that flows into the lake
+    like any producer column (schema evolution handles the add). Rows
+    where a rule errors or fails its type are quarantined with reason
+    ``enrich_error:<target>`` — the DLQ is this engine's transform error
+    sink (ExecuteTransform.scala:76-79 routes failed entities to an
+    error sink; here the quarantine is that sink). Deterministic by
+    construction, so replay rewrites identical shards and lake state."""
+    out = _enrich_transform(enrich_specs)(t)
+    dead = None
+    if "__enrich_error" in out.column_names:
+        err = out["__enrich_error"].combine_chunks()
+        bad = pc.is_valid(err)
+        if pc.any(bad).as_py():
+            # reason carries the failing rule's target (the error string
+            # is "<target>: <message>")
+            prefix = pc.extract_regex(err.filter(bad), r"^(?P<t>[^:]+):")
+            reason = pc.binary_join_element_wise(
+                pa.array(["enrich_error"] * pc.sum(pc.cast(bad, pa.int64())).as_py()),
+                pc.struct_field(prefix, "t"),
+                ":",
+            )
+            dead = t.filter(bad).append_column("reason", pc.cast(reason, pa.string()))
+            keep = pc.invert(bad)
+            t = t.filter(keep)
+            out = out.filter(keep)
+    for rule_col in out.column_names:
+        if rule_col == "__enrich_error":
+            continue
+        col = out[rule_col]
+        if rule_col in t.column_names:
+            t = t.set_column(t.column_names.index(rule_col), rule_col, col)
+        else:
+            t = t.append_column(rule_col, col)
+    return t, dead
+
+
 def _dlq_dir(root: str, epoch: int) -> str:
     return os.path.join(root, "deadletter", f"epoch-{epoch:06d}")
 
@@ -680,6 +744,7 @@ def dead_letters_table(root: str) -> pa.Table:
 def _read_split_task(
     src, lo: int, hi: int, num_partitions: int, root: str, epoch: int, frag_idx: int,
     payload_schema: dict[str, str] | None = None,
+    enrich_specs: list[dict] | None = None,
 ) -> tuple[dict, dict | None]:
     """Exchange stage A: read one window fragment, validate, split the
     valid events by pid, put each shard into the object store. Only
@@ -695,6 +760,12 @@ def _read_split_task(
     if t.num_rows == 0:
         return {}, None
     t, dead = _validate_events(t, payload_schema)
+    if enrich_specs and t.num_rows:
+        t, dead2 = _enrich_events(t, enrich_specs)
+        if dead2 is not None:
+            dead = dead2 if dead is None else pa.concat_tables(
+                [dead, dead2], promote_options="default"
+            )
     summary = _write_dead_shard(root, epoch, frag_idx, dead) if dead is not None else None
     if t.num_rows == 0:
         return {}, summary
@@ -726,6 +797,7 @@ def run_epoch(
     n_block_partitions: int = 64,
     compact_at: int = LAKE_COMPACT_AT,
     payload_schema: dict[str, str] | None = None,
+    enrich_specs: list[dict] | None = None,
 ) -> dict | None:
     """Tail one epoch window off the changelog and merge-apply it.
 
@@ -780,7 +852,9 @@ def run_epoch(
     merge_task = ray.remote(_merge_pid_task)
     results = ray.get(
         [
-            read_task.remote(f, lo, hi, num_partitions, root, epoch, i, payload_schema)
+            read_task.remote(
+                f, lo, hi, num_partitions, root, epoch, i, payload_schema, enrich_specs
+            )
             for i, f in enumerate(fragments)
         ]
     )

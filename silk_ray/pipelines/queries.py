@@ -2007,6 +2007,55 @@ def _cdc_flagship_sql() -> str:
     return cdc_flagship_sql_for("/root/testdata/sf0.01")
 
 
+_CDC_ENRICH_RULES = [
+    {"target": "lang_upper",
+     "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
+    {"target": "path_num",
+     "input": {"transform": "regexExtract", "params": {"regex": "[0-9]+"},
+               "inputs": [{"path": "path"}]},
+     "value_type": "LongValueType"},
+]
+
+
+def cdc_enriched(sf_dir: str):
+    """CDC tail with ingest-time enrichment: transform rules (incl. a
+    typed ValueType target) run inside the read tasks, their targets
+    land as lake payload columns. Final state == SQL LWW reduction with
+    the same expressions computed on the surviving event."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import state_table
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_")
+    run(root, log, EngineConfig(epoch_size=max(250, n_base), num_partitions=8,
+                                enrich_rules=_CDC_ENRICH_RULES))
+    return state_table(root).to_pandas().reset_index(drop=True)
+
+
+def cdc_enriched_sql_for(sf_dir: str) -> str:
+    """The flagship LWW oracle plus the enrichment expressions: the
+    engine enriches at event time and LWW keeps the newest event whole-
+    row, so computing the same expressions on the LWW survivor is
+    equivalent. regexp_extract('', ...) -> NULLIF '' mirrors the empty
+    transformer output -> null."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit, lang, content, branch,
+       upper(lang) AS lang_upper,
+       CAST(NULLIF(regexp_extract(path, '[0-9]+'), '') AS BIGINT) AS path_num
+FROM (
+  SELECT repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
 # bump when the corruption recipe changes (same contract as _CDC_ORACLE_V)
 _CDC_DLQ_V = 1
 
@@ -2170,6 +2219,7 @@ def build_queries():
         "cdc_agg": cdc_agg,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
+        "cdc_enriched": cdc_enriched,
     }
 
 
@@ -2210,4 +2260,5 @@ def build_oracle_sql():
         "cdc_agg": cdc_agg_sql_for("/root/testdata/sf0.01"),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
+        "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),
     }

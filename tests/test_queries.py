@@ -61,6 +61,10 @@ def test_query_matches_oracle(ray_session, name):
         from silk_ray.pipelines.queries import cdc_deadletter_sql_for
 
         oracle_df = duckdb_result(cdc_deadletter_sql_for(SF_DIR))
+    elif name == "cdc_enriched":
+        from silk_ray.pipelines.queries import cdc_enriched_sql_for
+
+        oracle_df = duckdb_result(cdc_enriched_sql_for(SF_DIR))
     else:
         oracle_df = duckdb_result(ORACLES[name])
     assert set(ray_df.columns) == set(oracle_df.columns), (
