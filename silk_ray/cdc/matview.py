@@ -21,15 +21,19 @@ needs:
 so per epoch the view update reads ONLY the dirty files (O(delta)),
 pre-aggregates contributions inside ``map_batches`` (one partial row
 per distinct touched group per batch), and merges the combined group
-delta into the stored view. Measures are **exact-integer sums**
+delta into the stored view. Sum measures are **exact-integer sums**
 (``sum`` of an int column, ``sum_strlen`` of a string column) — order-
 independent and replay-byte-identical, unlike float accumulation;
 count-0 groups must zero out exactly and are dropped (enforced: a
-nonzero residue raises). Non-subtractable aggregates (min/max) are
-deliberately out: maintaining them exactly requires rescanning a
-group's rows on every delete of its extremum, which is O(group) per
-event unless the lake is partitioned by the group key — use a batch
-query over ``snapshot_dataset`` for those.
+nonzero residue raises).
+
+**min/max** are not subtractable (a delete of a group's extremum
+would need a group rescan), so they are maintained through the
+classic IVM *support structure*: a co-sharded ``(group, value) →
+count`` store, whose per-value count IS subtractable and therefore
+updates in O(delta); the group's min/max reduce over its surviving
+support rows at read time. Storage is O(groups × distinct values per
+group) — declare min/max over bounded-cardinality columns.
 
 Storage is an LSM-ish sharded manifest, the same idiom as the link
 store: the view is hash-sharded by group key (crc32, interpreter-
@@ -70,13 +74,17 @@ _NULL_TOKEN = "\x00\x00null"  # group-key serialization marker for shard hashing
 
 @dataclass(frozen=True)
 class AggViewSpec:
-    """A maintained view: GROUP BY ``group_by`` with exact-int measures.
+    """A maintained view: GROUP BY ``group_by`` with exact measures.
 
-    measures: out_column -> (fn, src_column); fn in {"sum", "sum_strlen"}.
-    ``sum`` totals an integer column (nulls count 0 — pair it with
-    COALESCE(x, 0) in SQL); ``sum_strlen`` totals utf8 char lengths.
-    Key columns (repo/path) may appear in group_by; they never change,
-    so both event sides read the bare column.
+    measures: out_column -> (fn, src_column); fn in {"sum",
+    "sum_strlen", "min", "max"}. ``sum`` totals an integer column
+    (nulls count 0 — pair it with COALESCE(x, 0) in SQL);
+    ``sum_strlen`` totals utf8 char lengths; ``min``/``max`` take the
+    extremum of the source column in its own type (nulls ignored, SQL
+    semantics) via the co-sharded support store — see
+    ``minmax_measures``. Key columns (repo/path) may appear in
+    group_by; they never change, so both event sides read the bare
+    column.
     """
 
     group_by: tuple[str, ...]
@@ -87,10 +95,30 @@ class AggViewSpec:
     def __post_init__(self):
         object.__setattr__(self, "group_by", tuple(self.group_by))
         for out, (fn, _src) in self.measures.items():
-            if fn not in ("sum", "sum_strlen"):
+            if fn not in ("sum", "sum_strlen", "min", "max"):
                 raise ValueError(f"unknown measure fn {fn!r} for {out!r}")
             if out == self.count_col or out in self.group_by:
                 raise ValueError(f"measure name {out!r} collides with view columns")
+
+    @property
+    def sum_measures(self) -> dict[str, tuple[str, str]]:
+        return {o: fs for o, fs in self.measures.items() if fs[0] in ("sum", "sum_strlen")}
+
+    @property
+    def minmax_measures(self) -> dict[str, tuple[str, str]]:
+        """min/max are NOT subtractable — they are maintained via a
+        co-sharded SUPPORT store of (group, value) -> count rows (the
+        classic IVM support-structure technique): the per-value count IS
+        subtractable, so the support updates in O(delta), and min/max
+        per group reduce over the group's surviving support rows at read
+        time (``agg_table``). Storage is O(groups x distinct values per
+        group); a delete of a group's extremum costs nothing extra —
+        its support row just drops to count 0."""
+        return {o: fs for o, fs in self.measures.items() if fs[0] in ("min", "max")}
+
+    @property
+    def support_srcs(self) -> list[str]:
+        return sorted({src for _fn, src in self.minmax_measures.values()})
 
     def fingerprint(self) -> str:
         return json.dumps(
@@ -188,7 +216,7 @@ def _group_arrays(t: pa.Table, spec: AggViewSpec, prefix: str, n: int) -> dict[s
 def _partial_agg(t: pa.Table, spec: AggViewSpec) -> pa.Table:
     """Combine contribution rows: one row per distinct group."""
     keys = list(spec.group_by)
-    aggs = [(spec.count_col, "sum")] + [(m, "sum") for m in spec.measures]
+    aggs = [(spec.count_col, "sum")] + [(m, "sum") for m in spec.sum_measures]
     g = t.group_by(keys).aggregate(aggs)
     # pyarrow names results "<col>_sum"
     renames = {f"{c}_sum": c for c, _ in aggs}
@@ -205,7 +233,7 @@ def _contributions(dirty: pa.Table, spec: AggViewSpec) -> pa.Table:
             continue
         cols = _group_arrays(sub, spec, prefix, n)
         cols[spec.count_col] = pa.array(np.full(n, w, dtype=np.int64), pa.int64())
-        for out, (fn, src) in spec.measures.items():
+        for out, (fn, src) in spec.sum_measures.items():
             src_col = src if src in sub.column_names else f"{prefix}_{src}"
             vals = _measure_values(sub, src_col, fn, n)
             cols[out] = vals if w > 0 else pc.multiply(vals, pa.scalar(-1, pa.int64()))
@@ -218,7 +246,7 @@ def _contributions(dirty: pa.Table, spec: AggViewSpec) -> pa.Table:
 def _empty_view(spec: AggViewSpec) -> pa.Table:
     cols: dict[str, pa.Array] = {g: pa.array([], pa.string()) for g in spec.group_by}
     cols[spec.count_col] = pa.array([], pa.int64())
-    for m in spec.measures:
+    for m in spec.sum_measures:
         cols[m] = pa.array([], pa.int64())
     return pa.table(cols)
 
@@ -255,7 +283,7 @@ def _merge_shard(old: pa.Table | None, delta: pa.Table, spec: AggViewSpec) -> pa
         raise AssertionError("agg view: negative group count — delta double-applied?")
     zero = counts == 0
     if zero.any():
-        for m in spec.measures:
+        for m in spec.sum_measures:
             residue = merged[m].to_numpy(zero_copy_only=False)[zero]
             if (residue != 0).any():
                 raise AssertionError(
@@ -264,6 +292,139 @@ def _merge_shard(old: pa.Table | None, delta: pa.Table, spec: AggViewSpec) -> pa
                 )
         merged = merged.filter(pa.array(~zero))
     return merged.sort_by([(g, "ascending") for g in spec.group_by])
+
+
+# --------------------------------------------------------------- support
+# (group, value) -> count rows backing min/max measures. Same LSM-shard
+# idiom, co-sharded with the view by GROUP hash so a group's support
+# always lives in the shard the view update is already touching.
+
+_SUP_V = "_v"  # support value column
+_SUP_N = "_sn"  # support count column
+
+
+def _support_partial(t: pa.Table, spec: AggViewSpec) -> pa.Table:
+    keys = list(spec.group_by) + [_SUP_V]
+    g = t.group_by(keys).aggregate([(_SUP_N, "sum")])
+    return g.rename_columns(
+        [_SUP_N if c == f"{_SUP_N}_sum" else c for c in g.column_names]
+    )
+
+
+def _support_contributions(
+    dirty: pa.Table, spec: AggViewSpec, src: str
+) -> pa.Table | None:
+    """±1 support rows for one dirty table and one min/max source
+    column; null values contribute nothing (SQL MIN/MAX ignore nulls),
+    a pre-evolution dirty file without the column contributes nothing."""
+    parts = []
+    for prefix, changes, w in (("new", ("I", "U"), 1), ("old", ("U", "D"), -1)):
+        sub = dirty.filter(pc.is_in(dirty["change"], value_set=pa.array(list(changes))))
+        n = sub.num_rows
+        if not n:
+            continue
+        src_col = src if src in sub.column_names else f"{prefix}_{src}"
+        if src_col not in sub.column_names:
+            continue
+        v = sub[src_col].combine_chunks()
+        keep = pc.fill_null(pc.is_valid(v), False)
+        if not pc.any(keep).as_py():
+            continue
+        cols = _group_arrays(sub, spec, prefix, n)
+        cols[_SUP_V] = v
+        cols[_SUP_N] = pa.array(np.full(n, w, dtype=np.int64), pa.int64())
+        parts.append(pa.table(cols).filter(keep))
+    if not parts:
+        return None
+    return _support_partial(pa.concat_tables(parts, promote_options="default"), spec)
+
+
+def _dirty_support(dirty_files: list[str], spec: AggViewSpec, src: str) -> pa.Table | None:
+    """Per-epoch support delta from the dirty files (O(delta); separate
+    cheap pass per min/max source — dirty files are delta/P sized)."""
+    import ray
+    import ray.data as rd
+
+    if not dirty_files:
+        return None
+
+    def load(batch: pa.Table) -> pa.Table:
+        parts = [
+            _support_contributions(pq.read_table(row["file"]), spec, src)
+            for row in batch.to_pylist()
+        ]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return pa.table({})
+        return parts[0] if len(parts) == 1 else _support_partial(
+            pa.concat_tables(parts, promote_options="default"), spec
+        )
+
+    ds = rd.from_items([{"file": f} for f in dirty_files]).map_batches(
+        load, batch_format="pyarrow", batch_size=1
+    )
+    partials = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not partials:
+        return None
+    return _support_partial(pa.concat_tables(partials, promote_options="default"), spec)
+
+
+def _full_scan_support(root: str, spec: AggViewSpec, src: str) -> pa.Table | None:
+    """Full-rebuild support: +1 per live row with a non-null value."""
+    import ray
+    from silk_ray.cdc.merge import snapshot_dataset
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if not n or src not in batch.column_names:
+            return pa.table({})
+        v = batch[src].combine_chunks()
+        keep = pc.fill_null(pc.is_valid(v), False)
+        if not pc.any(keep).as_py():
+            return pa.table({})
+        cols = {
+            g: (batch[g].combine_chunks() if g in batch.column_names
+                else pa.nulls(n, pa.string()))
+            for g in spec.group_by
+        }
+        cols[_SUP_V] = v
+        cols[_SUP_N] = pa.array(np.ones(n, dtype=np.int64), pa.int64())
+        return _support_partial(pa.table(cols).filter(keep), spec)
+
+    ds = snapshot_dataset(root).map_batches(contrib, batch_format="pyarrow")
+    partials = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not partials:
+        return None
+    ref = next((t for t in partials if not any(
+        pa.types.is_null(f.type) for f in t.schema)), partials[0])
+    partials = [
+        t.cast(ref.schema) if t.schema != ref.schema else t for t in partials
+    ]
+    return _support_partial(pa.concat_tables(partials, promote_options="default"), spec)
+
+
+def _merge_support(old: pa.Table | None, delta: pa.Table, spec: AggViewSpec) -> pa.Table:
+    """old support ⊕ delta → new shard support; count-0 value rows drop,
+    negative counts raise (same invariants as the view merge)."""
+    tables = [delta] if old is None or old.num_rows == 0 else [old, delta]
+    merged = _support_partial(
+        pa.concat_tables(tables, promote_options="default"), spec
+    )
+    counts = merged[_SUP_N].to_numpy(zero_copy_only=False)
+    if (counts < 0).any():
+        raise AssertionError("agg support: negative value count — delta double-applied?")
+    zero = counts == 0
+    if zero.any():
+        merged = merged.filter(pa.array(~zero))
+    return merged.sort_by(
+        [(g, "ascending") for g in spec.group_by] + [(_SUP_V, "ascending")]
+    )
+
+
+def _support_rel(src: str, epoch: int, shard: int) -> str:
+    return os.path.join(
+        "aggview", f"support-{src}-shard-{shard:05d}-epoch-{epoch:06d}.parquet"
+    )
 
 
 def _shard_rel(epoch: int, shard: int) -> str:
@@ -293,17 +454,36 @@ def update_aggregates(root: str, epoch: int, spec: AggViewSpec) -> dict:
         delta = _full_scan_delta(root, spec)
         mode = "full"
         old_shards: dict[str, str] = {}
+        old_support: dict[str, dict[str, str]] = {}
+        support_deltas = {
+            src: _full_scan_support(root, spec, src) for src in spec.support_srcs
+        }
     else:
         dirty_files = _epoch_dirty_files(root, epoch)
         delta = _dirty_delta(dirty_files, spec)
         mode = "delta"
         old_shards = dict(state.get("shards") or {})
+        old_support = {
+            src: dict(m) for src, m in (state.get("support") or {}).items()
+        }
+        support_deltas = {
+            src: _dirty_support(dirty_files, spec, src) for src in spec.support_srcs
+        }
 
     sid = _shard_ids(delta, spec)
-    affected = sorted(set(int(s) for s in sid))
+    affected = set(int(s) for s in sid)
+    support_sharded: dict[str, pa.Table] = {}
+    for src, sd in support_deltas.items():
+        if sd is None or sd.num_rows == 0:
+            continue
+        ssid = _shard_ids(sd, spec)
+        support_sharded[src] = sd.append_column("_shard", pa.array(ssid, pa.int64()))
+        affected.update(int(s) for s in ssid)
+    affected = sorted(affected)
     if mode == "delta" and not affected:
         new_state = {
-            "epoch": epoch, "shards": old_shards, "spec": spec.fingerprint()
+            "epoch": epoch, "shards": old_shards, "support": old_support,
+            "spec": spec.fingerprint(),
         }
         commit_aggstate(root, new_state)
         return {
@@ -320,10 +500,21 @@ def update_aggregates(root: str, epoch: int, spec: AggViewSpec) -> dict:
         ckpt.atomic_write_parquet(merged, out_abs)
         return merged.num_rows
 
+    @ray.remote
+    def _write_support_shard(
+        old_abs: str | None, shard_delta: pa.Table, out_abs: str
+    ) -> int:
+        old = pq.read_table(old_abs) if old_abs else None
+        merged = _merge_support(old, shard_delta.drop_columns(["_shard"]), spec)
+        ckpt.atomic_write_parquet(merged, out_abs)
+        return merged.num_rows
+
     refs = {}
     new_shards = dict(old_shards)
     for s in affected:
         shard_delta = delta.filter(pc.equal(delta["_shard"], s))
+        if shard_delta.num_rows == 0 and mode == "delta":
+            continue  # shard touched only by a support delta
         old_rel = old_shards.get(str(s))
         rel = _shard_rel(epoch, s)
         refs[s] = _write_shard.remote(
@@ -332,12 +523,32 @@ def update_aggregates(root: str, epoch: int, spec: AggViewSpec) -> dict:
             os.path.join(root, rel),
         )
         new_shards[str(s)] = rel
+    sup_refs: dict[tuple[str, int], object] = {}
+    new_support = {src: dict(m) for src, m in old_support.items()}
+    for src, sd in support_sharded.items():
+        new_support.setdefault(src, {})
+        for s in sorted(set(int(x) for x in sd["_shard"].to_pylist())):
+            shard_delta = sd.filter(pc.equal(sd["_shard"], s))
+            old_rel = (old_support.get(src) or {}).get(str(s))
+            rel = _support_rel(src, epoch, s)
+            sup_refs[(src, s)] = _write_support_shard.remote(
+                os.path.join(root, old_rel) if old_rel else None,
+                shard_delta,
+                os.path.join(root, rel),
+            )
+            new_support[src][str(s)] = rel
     rows = ray.get(list(refs.values()))
     # drop shards that emptied out entirely
     for s, n in zip(refs.keys(), rows):
         if n == 0:
             new_shards.pop(str(s), None)
-    new_state = {"epoch": epoch, "shards": new_shards, "spec": spec.fingerprint()}
+    for (src, s), n in zip(sup_refs.keys(), ray.get(list(sup_refs.values()))):
+        if n == 0:
+            new_support[src].pop(str(s), None)
+    new_state = {
+        "epoch": epoch, "shards": new_shards, "support": new_support,
+        "spec": spec.fingerprint(),
+    }
     commit_aggstate(root, new_state)
     return {
         "epoch": epoch,
@@ -391,7 +602,7 @@ def _full_scan_delta(root: str, spec: AggViewSpec) -> pa.Table:
                 batch[g].combine_chunks() if g in batch.column_names else pa.nulls(n, pa.string())
             )
         cols[spec.count_col] = pa.array(np.ones(n, dtype=np.int64), pa.int64())
-        for out, (fn, src) in spec.measures.items():
+        for out, (fn, src) in spec.sum_measures.items():
             cols[out] = _measure_values(batch, src, fn, n)
         return _partial_agg(pa.table(cols), spec)
 
@@ -421,21 +632,65 @@ def agg_table(root: str, at_epoch: int | None = None) -> pa.Table:
     """Driver-side snapshot of the maintained view (the view is
     O(groups); for group-key cardinalities where that doesn't hold,
     read the shard files as a Dataset). ``at_epoch`` time-travels to a
-    retained earlier commit."""
+    retained earlier commit. min/max measures are reduced here from the
+    maintained support store (count>0 rows only, by construction) and
+    left-joined onto the view — a group whose values were all null gets
+    a null extremum (SQL semantics)."""
     state = read_aggstate(root) if at_epoch is None else read_aggstate_at(root, at_epoch)
     shards = state.get("shards") or {}
     parts = []
-    group_by: list[str] = []
     for s in sorted(shards, key=int):
-        p = os.path.join(root, shards[s])
-        t = pq.read_table(p)
-        parts.append(t)
-        group_by = [c for c in t.column_names]
+        parts.append(pq.read_table(os.path.join(root, shards[s])))
     if not parts:
         return pa.table({})
     out = pa.concat_tables(parts, promote_options="default")
-    keys = [g for g in group_by if g in out.column_names]
-    return out.sort_by([(g, "ascending") for g in keys])
+
+    # recover the spec shape from the committed fingerprint
+    fp = state.get("spec")
+    sp = json.loads(fp) if fp else {}
+    group_by = [g for g in sp.get("group_by", []) if g in out.column_names] or [
+        c for c in out.column_names
+    ]
+    minmax = {
+        o: (fs[0], fs[1])
+        for o, fs in (sp.get("measures") or {}).items()
+        if fs[0] in ("min", "max")
+    }
+    if minmax and out.num_rows:
+        def _jk(t: pa.Table) -> pa.Array:
+            ps = [
+                pc.fill_null(pc.cast(t[g].combine_chunks(), pa.string()), _NULL_TOKEN)
+                for g in group_by
+            ]
+            return ps[0] if len(ps) == 1 else pc.binary_join_element_wise(*ps, "\x1f")
+
+        out = out.append_column("_jk", _jk(out))
+        sup_state = state.get("support") or {}
+        for src in sorted({s for _f, s in minmax.values()}):
+            rels = sorted((sup_state.get(src) or {}).values())
+            sup_parts = [pq.read_table(os.path.join(root, r)) for r in rels]
+            sup_parts = [t for t in sup_parts if t.num_rows]
+            cols = {o: fn for o, (fn, s2) in minmax.items() if s2 == src}
+            if not sup_parts:
+                for o in cols:
+                    out = out.append_column(o, pa.nulls(out.num_rows))
+                continue
+            sup = pa.concat_tables(sup_parts, promote_options="default")
+            red = sup.group_by(group_by).aggregate(
+                [(_SUP_V, "min"), (_SUP_V, "max")]
+            )
+            red = red.append_column("_jk", _jk(red))
+            sel = {f"{_SUP_V}_min": "min", f"{_SUP_V}_max": "max"}
+            right = red.select(["_jk"] + list(sel))
+            for o, fn in cols.items():
+                right = right.append_column(
+                    o, right[f"{_SUP_V}_{fn}"].combine_chunks()
+                )
+            right = right.drop_columns(list(sel))
+            out = out.join(right, keys="_jk", join_type="left outer")
+        out = out.drop_columns(["_jk"])
+
+    return out.sort_by([(g, "ascending") for g in group_by])
 
 
 def gc_aggview(root: str, retain_epochs: int = 1) -> int:
@@ -446,10 +701,17 @@ def gc_aggview(root: str, retain_epochs: int = 1) -> int:
     state = read_aggstate(root)
     epoch = int(state.get("epoch", 0))
     floor = epoch - max(1, retain_epochs) - 1
-    live: set[str] = set((state.get("shards") or {}).values())
+
+    def _live_rels(st: dict) -> set[str]:
+        rels = set((st.get("shards") or {}).values())
+        for m in (st.get("support") or {}).values():
+            rels.update(m.values())
+        return rels
+
+    live: set[str] = _live_rels(state)
     for e in range(max(1, floor + 1), epoch):
         try:
-            live.update((read_aggstate_at(root, e).get("shards") or {}).values())
+            live.update(_live_rels(read_aggstate_at(root, e)))
         except FileNotFoundError:
             continue
     n = 0

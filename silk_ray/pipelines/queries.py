@@ -1831,7 +1831,14 @@ def cdc_agg(sf_dir: str):
     root = tempfile.mkdtemp(prefix="silkray_lake_agg_")
     spec = AggViewSpec(
         group_by=("lang",),
-        measures={"sum_chars": ("sum_strlen", "content")},
+        measures={
+            "sum_chars": ("sum_strlen", "content"),
+            # min/max maintained via the co-sharded (group, value)->count
+            # support store (matview.py minmax_measures) — exact under
+            # deletes of a group's extremum
+            "first_commit": ("min", "commit"),
+            "last_commit": ("max", "commit"),
+        },
         count_col="n_docs",
         num_shards=16,
     )
@@ -1854,9 +1861,11 @@ def cdc_agg_sql_for(sf_dir: str) -> str:
     return f"""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(COALESCE(length(content), 0)) AS BIGINT) AS sum_chars
+       CAST(SUM(COALESCE(length(content), 0)) AS BIGINT) AS sum_chars,
+       MIN(commit) AS first_commit,
+       MAX(commit) AS last_commit
 FROM (
-  SELECT lang, content, op,
+  SELECT lang, content, commit, op,
          row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
   FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
 )

@@ -34,24 +34,32 @@ SPEC = AggViewSpec(
 
 
 def batch_view(root: str, spec: AggViewSpec = SPEC) -> pa.Table:
-    """Oracle: GROUP BY over the full current state."""
+    """Oracle: GROUP BY over the full current state (sums with nulls
+    counting 0; min/max SQL-style, nulls ignored)."""
     t = state_table(root)
     if t.num_rows == 0:
         return pa.table({})
     cols = {g: t[g] if g in t.column_names else pa.nulls(t.num_rows, pa.string())
             for g in spec.group_by}
     cols[spec.count_col] = pa.array([1] * t.num_rows, pa.int64())
+    aggs = [(spec.count_col, "sum")]
+    ren = {f"{spec.count_col}_sum": spec.count_col}
     for out, (fn, src) in spec.measures.items():
+        if fn in ("min", "max"):
+            cols[f"_mm_{out}"] = (
+                t[src] if src in t.column_names else pa.nulls(t.num_rows, pa.string())
+            )
+            aggs.append((f"_mm_{out}", fn))
+            ren[f"_mm_{out}_{fn}"] = out
+            continue
         if src in t.column_names:
             vals = pc.utf8_length(t[src]) if fn == "sum_strlen" else pc.cast(t[src], pa.int64())
             cols[out] = pc.fill_null(vals, 0)
         else:
             cols[out] = pa.array([0] * t.num_rows, pa.int64())
-    g = pa.table(cols).group_by(list(spec.group_by)).aggregate(
-        [(spec.count_col, "sum")] + [(m, "sum") for m in spec.measures]
-    )
-    ren = {f"{spec.count_col}_sum": spec.count_col}
-    ren.update({f"{m}_sum": m for m in spec.measures})
+        aggs.append((out, "sum"))
+        ren[f"{out}_sum"] = out
+    g = pa.table(cols).group_by(list(spec.group_by)).aggregate(aggs)
     g = g.rename_columns([ren.get(c, c) for c in g.column_names])
     return g.sort_by([(k, "ascending") for k in spec.group_by])
 
@@ -272,3 +280,105 @@ def test_deletes_drop_groups(lake, ray_session):
     assert row["n_docs"].to_pylist() == [1]
     assert row["sum_chars"].to_pylist() == [3]
     assert_view_equals_batch(lake)
+
+
+# ---------------------------------------------------------------------------
+# min/max measures (support-store IVM)
+# ---------------------------------------------------------------------------
+
+MM_SPEC = AggViewSpec(
+    group_by=("lang",),
+    measures={
+        "sum_chars": ("sum_strlen", "content"),
+        "first_commit": ("min", "commit"),
+        "last_commit": ("max", "commit"),
+    },
+    count_col="n_docs",
+    num_shards=8,
+)
+
+
+def test_minmax_view_equals_batch_every_epoch(lake, ray_session):
+    """min/max via the (group, value)->count support store: exact at
+    every epoch through churn — including deletes of a group's extremum
+    (the non-subtractable case a naive maintained min/max gets wrong)."""
+    log = _changelog(seed=21)
+    cfg = EngineConfig(epoch_size=150, num_partitions=4, agg_spec=MM_SPEC, max_epochs=1)
+    epochs = 0
+    while run(lake, log, cfg):
+        epochs += 1
+        assert_view_equals_batch(lake, MM_SPEC)
+    assert epochs >= 3
+
+
+def test_minmax_extremum_delete_moves_min(lake, ray_session):
+    """Delete the row holding a group's minimum: the maintained min must
+    move to the next surviving value (needs the support store; a stored
+    scalar min could never move up)."""
+    import pyarrow as pa
+
+    base = pa.table({
+        "repo": ["r1", "r1", "r1"],
+        "path": ["a", "b", "c"],
+        "commit": ["aaa", "bbb", "ccc"],
+        "lang": ["py", "py", "py"],
+        "content": ["x", "yy", "zzz"],
+    })
+    events = []
+    for off, r in enumerate(base.to_pylist()):
+        events.append({"offset": off, "op": "I", **r})
+    events.append({"offset": 3, "op": "D", "repo": "r1", "path": "a",
+                   "commit": None, "lang": None, "content": None})
+    schema = pa.schema([
+        ("offset", pa.int64()), ("op", pa.string()), ("repo", pa.string()),
+        ("path", pa.string()), ("commit", pa.string()), ("lang", pa.string()),
+        ("content", pa.string()),
+    ])
+    log = pa.Table.from_pylist(events, schema=schema)
+    spec = AggViewSpec(group_by=("lang",),
+                       measures={"cmin": ("min", "commit"), "cmax": ("max", "commit")},
+                       count_col="n", num_shards=4)
+    # epoch 1: inserts only; epoch 2: the delete of the 'aaa' extremum
+    from silk_ray.cdc.merge import run_to_completion as rtc  # noqa: F401
+    cfg = EngineConfig(epoch_size=3, num_partitions=2, agg_spec=spec, max_epochs=1)
+    run(lake, log, cfg)
+    t1 = agg_table(lake).to_pylist()
+    assert t1 == [{"lang": "py", "n": 3, "cmin": "aaa", "cmax": "ccc"}]
+    run(lake, log, cfg)  # applies the delete epoch via the DELTA path
+    t2 = agg_table(lake).to_pylist()
+    assert t2 == [{"lang": "py", "n": 2, "cmin": "bbb", "cmax": "ccc"}]
+
+
+def test_minmax_replay_and_full_rebuild(lake, ray_session):
+    log = _changelog(seed=23)
+    cfg = EngineConfig(epoch_size=200, num_partitions=4, agg_spec=MM_SPEC)
+    run(lake, log, cfg)
+    final = agg_table(lake)
+    state = read_aggstate(lake)
+    m = update_aggregates(lake, state["epoch"], MM_SPEC)
+    assert m["mode"] == "replay_noop"
+    assert agg_table(lake).equals(final)
+    # forced lag -> full rebuild reconstructs view AND support identically
+    import json as _json
+
+    lagged = dict(state)
+    lagged["epoch"] = max(0, state["epoch"] - 2)
+    with open(os.path.join(lake, "_aggstate.json"), "w") as f:
+        _json.dump(lagged, f)
+    m = update_aggregates(lake, state["epoch"], MM_SPEC)
+    assert m["mode"] == "full"
+    assert agg_table(lake).equals(final)
+    assert_view_equals_batch(lake, MM_SPEC)
+
+
+def test_minmax_gc_keeps_support(lake, ray_session):
+    log = _changelog(seed=25)
+    cfg = EngineConfig(epoch_size=150, num_partitions=4, agg_spec=MM_SPEC)
+    run(lake, log, cfg)
+    final = agg_table(lake)
+    n = gc_aggview(lake, retain_epochs=1)
+    # GC may remove superseded epoch files but the live view (incl.
+    # support-backed min/max) must read back identically
+    assert agg_table(lake).equals(final)
+    state = read_aggstate(lake)
+    assert state.get("support"), "support mapping missing from committed state"
