@@ -187,6 +187,8 @@ def cmd_cdc(args) -> int:
         agg_spec=agg_spec,
         payload_schema=json.load(open(args.payload_schema)) if args.payload_schema else None,
         enrich_rules=json.load(open(args.enrich)) if args.enrich else None,
+        egress=bool(args.egress),
+        egress_shards=args.egress_shards,
     )
     metrics = run(args.root, args.changelog, cfg)
     out = {
@@ -204,6 +206,11 @@ def cmd_cdc(args) -> int:
         from silk_ray.cdc.matview import agg_table
 
         out["agg_groups"] = agg_table(args.root).num_rows
+    if args.egress:
+        from silk_ray.cdc.egress import read_egressstate
+
+        st = read_egressstate(args.root)
+        out["egress"] = {"epoch": st["epoch"], "next_seq": st["next_seq"]}
     print(json.dumps(out))
     return 0
 
@@ -271,6 +278,16 @@ def main(argv=None) -> int:
         help="ingest-time enrichment: JSON list of transform-rule specs; "
              "each rule's target becomes a lake payload column, failing "
              "rows quarantine with reason enrich_error:<target>",
+    )
+    pc.add_argument(
+        "--egress", action="store_true",
+        help="emit the lake's own downstream CDC changelog per epoch "
+             "(exactly-once, before/after images) under <root>/egress/",
+    )
+    pc.add_argument(
+        "--egress-shards", type=int, default=16,
+        help="key-hash shard count of the egress stream (fixed for the "
+             "stream's lifetime)",
     )
     pc.add_argument(
         "--from-snapshot", default=None, metavar="PARQUET",

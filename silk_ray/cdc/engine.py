@@ -68,6 +68,12 @@ class EngineConfig:
     # becomes a payload column in the lake. Rows whose enrichment errors
     # quarantine with reason ``enrich_error:<target>``.
     enrich_rules: list[dict] | None = None
+    # downstream CDC egress (cdc/egress.py): per epoch, emit the lake's
+    # net state delta as an exactly-once changelog (op + before/after
+    # images) that consumers tail; byte-identical across replays and
+    # partition counts.
+    egress: bool = False
+    egress_shards: int = 16
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -110,13 +116,28 @@ def catch_up_aggs(root: str, config: EngineConfig) -> None:
         update_aggregates(root, merge_epoch, config.agg_spec)
 
 
+def catch_up_egress(root: str, config: EngineConfig) -> None:
+    """Bring the egress stream up to the merge epoch after a crash in
+    the window between merge commit and egress commit (replay is a
+    no-op when already committed; sequential by construction since
+    egress commits inside the epoch loop)."""
+    if not config.egress:
+        return
+    from silk_ray.cdc.egress import read_egressstate, update_egress
+
+    merge_epoch = ckpt.read_manifest(root).epoch
+    for e in range(int(read_egressstate(root)["epoch"]) + 1, merge_epoch + 1):
+        update_egress(root, e, num_shards=config.egress_shards)
+
+
 def run(root: str, changelog, config: EngineConfig) -> list[dict]:
     """Tail the changelog to exhaustion. Returns per-epoch metrics
     (merge metrics with ``links`` sub-dict when linking is enabled)."""
     results = []
-    # crash recovery: links / aggregate view may lag the lake
+    # crash recovery: links / aggregate view / egress may lag the lake
     catch_up_links(root, config)
     catch_up_aggs(root, config)
+    catch_up_egress(root, config)
     epochs = 0
     while config.max_epochs is None or epochs < config.max_epochs:
         t_epoch = time.perf_counter()
@@ -151,6 +172,12 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
             from silk_ray.cdc.matview import update_aggregates
 
             m["aggs"] = update_aggregates(root, m["epoch"], config.agg_spec)
+        if config.egress:
+            from silk_ray.cdc.egress import update_egress
+
+            m["egress"] = update_egress(
+                root, m["epoch"], num_shards=config.egress_shards
+            )
         if config.gc:
             # post-commit storage GC: every rule below deletes only
             # files the committed manifests can no longer reference
@@ -167,10 +194,14 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 from silk_ray.cdc.matview import gc_aggview
 
                 n_gc += gc_aggview(root, retain_epochs=config.retain_epochs)
-                if config.rule_spec is None:
-                    # the agg view is the sole dirty-file consumer: same
-                    # one-epoch rollback retention the linker uses
-                    n_gc += gc_link_inputs(root, m["epoch"])
+            if config.rule_spec is None and (
+                config.agg_spec is not None or config.egress
+            ):
+                # agg view / egress are the dirty-file consumers here
+                # (they commit synchronously above, so their epoch ==
+                # m["epoch"]): same one-epoch rollback retention the
+                # linker uses
+                n_gc += gc_link_inputs(root, m["epoch"])
             m["gc_files"] = n_gc
         # per-epoch wall time: epochs are identical in shape, so the
         # best epoch is a throttling-robust throughput estimator on

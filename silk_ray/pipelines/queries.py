@@ -1875,6 +1875,83 @@ ORDER BY lang
 """
 
 
+def cdc_egress(sf_dir: str):
+    """The downstream CDC changelog the engine *produces* (cdc/egress.py):
+    per epoch, one row per changed key with op ∈ {I,U,D}, the full after
+    image (``new_*``) and before image (``old_*``), a replay-stable
+    global ``seq``, sharded by md5-lower-64 of the key. Oracle: the
+    per-epoch diff of consecutive last-writer-wins snapshots, sequenced
+    by (epoch, md5-shard, key) — every component SQL-reproducible."""
+    import tempfile
+
+    from silk_ray.cdc.egress import egress_table
+    from silk_ray.cdc.engine import EngineConfig, run
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_egr_")
+    run(
+        root,
+        log,
+        EngineConfig(
+            epoch_size=max(250, n_base), num_partitions=8,
+            egress=True, egress_shards=16,
+        ),
+    )
+    return egress_table(root).to_pandas()
+
+
+def cdc_egress_sql_for(sf_dir: str) -> str:
+    """Reproduce the egress stream in DuckDB: LWW snapshot at every
+    epoch boundary (epoch = floor(offset/size)+1 — dense offsets,
+    duplicate rows removed by DISTINCT), keyed diff of consecutive
+    snapshots restricted to keys touched in the epoch (an applied write
+    egresses even when values are unchanged — which cannot happen in
+    this seeded stream since every write bumps ``commit``), seq =
+    row_number over (epoch, md5_number_lower(key) % shards, key)."""
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(sf_dir)
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    sz = max(250, n_base)
+    n_epochs = int(pc.max(log["offset"]).as_py()) // sz + 1
+    p = _cdc_changelog_path(sf_dir)
+    return f"""
+WITH log AS (SELECT DISTINCT * FROM read_parquet('{p}')),
+eps AS (SELECT UNNEST(range(1, {n_epochs} + 1)) AS e),
+snap AS (
+  SELECT e, repo, path, commit, lang, content, branch FROM (
+    SELECT eps.e AS e, l.*, row_number() OVER (
+        PARTITION BY eps.e, l.repo, l.path ORDER BY l."offset" DESC) AS rn
+    FROM log l JOIN eps ON l."offset" < eps.e * {sz}
+  ) WHERE rn = 1 AND op <> 'D'
+),
+touched AS (
+  SELECT DISTINCT CAST(FLOOR("offset" / {sz}) AS BIGINT) + 1 AS e, repo, path
+  FROM log
+),
+delta AS (
+  SELECT t.e, t.repo, t.path,
+         CASE WHEN n.repo IS NULL THEN 'D'
+              WHEN o.repo IS NULL THEN 'I' ELSE 'U' END AS op,
+         n.branch AS new_branch, n.commit AS new_commit,
+         n.content AS new_content, n.lang AS new_lang,
+         o.branch AS old_branch, o.commit AS old_commit,
+         o.content AS old_content, o.lang AS old_lang
+  FROM touched t
+  LEFT JOIN snap n ON n.e = t.e AND n.repo = t.repo AND n.path = t.path
+  LEFT JOIN snap o ON o.e = t.e - 1 AND o.repo = t.repo AND o.path = t.path
+  WHERE n.repo IS NOT NULL OR o.repo IS NOT NULL
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY e, md5_number_lower(repo || chr(31) || path) % 16, repo, path
+       ) - 1 AS BIGINT) AS seq,
+       CAST(e AS BIGINT) AS epoch, op, repo, path,
+       new_branch, new_commit, new_content, new_lang,
+       old_branch, old_commit, old_content, old_lang
+FROM delta
+ORDER BY seq
+"""
+
+
 def cdc_clusters(sf_dir: str):
     """The maintained duplicate-cluster table after the full CDC run:
     merge-apply + incremental re-linking + per-epoch incremental
@@ -2226,6 +2303,7 @@ def build_queries():
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
         "cdc_agg": cdc_agg,
+        "cdc_egress": cdc_egress,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
@@ -2267,6 +2345,7 @@ def build_oracle_sql():
         "link_documents": LINK_DOCUMENTS_SQL,
         "cdc_flagship": _cdc_flagship_sql(),
         "cdc_agg": cdc_agg_sql_for("/root/testdata/sf0.01"),
+        "cdc_egress": cdc_egress_sql_for("/root/testdata/sf0.01"),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),

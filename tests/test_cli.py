@@ -124,3 +124,37 @@ def test_cli_cdc_maintain_clusters(ray_session, tmp_path, capsys):
     t = clusters_table(root)
     maintained = dict(zip(t["uri"].to_pylist(), t["cluster_id"].to_pylist()))
     assert maintained == _batch_cc(links_table(root))
+
+
+def test_cli_cdc_egress(ray_session, tmp_path, capsys):
+    """--egress drives cdc/egress.py through the CLI; feeding the
+    emitted stream to a second CLI run reproduces the lake state."""
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.egress import egress_as_changelog, egress_table
+    from silk_ray.cdc.generator import (
+        make_base_table,
+        make_changelog,
+        write_changelog_segments,
+    )
+    from silk_ray.cdc.merge import state_sha256
+
+    base = make_base_table(50, seed=9)
+    log = make_changelog(base, 300, seed=10)
+    write_changelog_segments(log, str(tmp_path / "cl"), segment_size=100)
+    root = str(tmp_path / "lake")
+    assert main(["cdc", "--root", root, "--changelog", str(tmp_path / "cl"),
+                 "--epoch-size", "100", "--num-partitions", "2",
+                 "--block-partitions", "4", "--egress", "--egress-shards", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["egress"]["epoch"] == 3
+    stream = egress_table(root)
+    assert out["egress"]["next_seq"] == stream.num_rows > 0
+
+    pq.write_table(egress_as_changelog(stream), str(tmp_path / "downstream.parquet"))
+    consumer = str(tmp_path / "consumer")
+    assert main(["cdc", "--root", consumer,
+                 "--changelog", str(tmp_path / "downstream.parquet"),
+                 "--epoch-size", "200", "--num-partitions", "3",
+                 "--block-partitions", "4"]) == 0
+    capsys.readouterr()
+    assert state_sha256(consumer) == state_sha256(root)
