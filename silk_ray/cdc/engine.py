@@ -74,6 +74,11 @@ class EngineConfig:
     # partition counts.
     egress: bool = False
     egress_shards: int = 16
+    # event-time tumbling windows with watermarks over the ingest
+    # stream itself (cdc/windows.py): finalized windows append-only,
+    # late arrivals to a side output. Watermarks advance at epoch
+    # boundaries (micro-batch semantics).
+    window_spec: "object | None" = None  # WindowSpec
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -130,17 +135,35 @@ def catch_up_egress(root: str, config: EngineConfig) -> None:
         update_egress(root, e, num_shards=config.egress_shards)
 
 
+def catch_up_windows(root: str, changelog, config: EngineConfig) -> None:
+    """Bring the window store up to the merge epoch after a crash in
+    the window between merge commit and window commit. Arrival ranges
+    are recovered from the retained manifest snapshots (lag is at most
+    the one-epoch crash window, inside ``retain_epochs``)."""
+    if config.window_spec is None:
+        return
+    from silk_ray.cdc.windows import read_winstate, update_windows
+
+    merge_epoch = ckpt.read_manifest(root).epoch
+    for e in range(int(read_winstate(root)["epoch"]) + 1, merge_epoch + 1):
+        lo = 0 if e == 1 else ckpt.read_manifest_at(root, e - 1).next_offset
+        hi = ckpt.read_manifest_at(root, e).next_offset
+        update_windows(root, changelog, e, lo, hi, config.window_spec)
+
+
 def run(root: str, changelog, config: EngineConfig) -> list[dict]:
     """Tail the changelog to exhaustion. Returns per-epoch metrics
     (merge metrics with ``links`` sub-dict when linking is enabled)."""
     results = []
-    # crash recovery: links / aggregate view / egress may lag the lake
+    # crash recovery: links / aggregate view / egress / windows may lag
     catch_up_links(root, config)
     catch_up_aggs(root, config)
     catch_up_egress(root, config)
+    catch_up_windows(root, changelog, config)
     epochs = 0
     while config.max_epochs is None or epochs < config.max_epochs:
         t_epoch = time.perf_counter()
+        lo_offset = ckpt.read_manifest(root).next_offset
         m = run_epoch(
             root,
             changelog,
@@ -178,6 +201,13 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
             m["egress"] = update_egress(
                 root, m["epoch"], num_shards=config.egress_shards
             )
+        if config.window_spec is not None:
+            from silk_ray.cdc.windows import update_windows
+
+            m["windows"] = update_windows(
+                root, changelog, m["epoch"], lo_offset,
+                ckpt.read_manifest(root).next_offset, config.window_spec,
+            )
         if config.gc:
             # post-commit storage GC: every rule below deletes only
             # files the committed manifests can no longer reference
@@ -194,6 +224,10 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
                 from silk_ray.cdc.matview import gc_aggview
 
                 n_gc += gc_aggview(root, retain_epochs=config.retain_epochs)
+            if config.window_spec is not None:
+                from silk_ray.cdc.windows import gc_windows
+
+                n_gc += gc_windows(root, retain_epochs=config.retain_epochs)
             if config.rule_spec is None and (
                 config.agg_spec is not None or config.egress
             ):

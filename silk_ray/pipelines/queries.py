@@ -775,6 +775,142 @@ SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
 """
 
 
+# --------------------------------------------------------------------------
+# event-time tumbling windows with watermarks + late side output
+# (cdc/windows.py — streaming semantics the batch reference lacks)
+# --------------------------------------------------------------------------
+
+_WIN_WIDTH_S = 86_400  # 1-day tumbling windows over the 30-day event span
+_WIN_LATENESS_S = 900  # 15-minute allowed lateness
+_WIN_LATE_SHIFT_US = 432_000 * 1_000_000  # deterministic late subset: 5 days back
+
+
+def _windowed_stream(sf_dir: str) -> tuple[pa.Table, int]:
+    """events → arrival-ordered stream: event_id is the arrival offset;
+    event time is ts shifted 5 days backwards for the deterministic subset
+    ``md5_lower64('late:'||event_id) % 17 == 0`` (== DuckDB
+    ``md5_number_lower``) so genuinely late data exists and the SQL
+    oracle can reproduce it."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.kernel.index import md5_lower64
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    ).sort_by("event_id")
+    ids = t["event_id"].to_pylist()
+    shift = np.array(
+        [_WIN_LATE_SHIFT_US if md5_lower64(f"late:{i}") % 17 == 0 else 0 for i in ids],
+        np.int64,
+    )
+    ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy() - shift
+    stream = pa.table(
+        {
+            "offset": t["event_id"],
+            "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "value": t["value"],
+        }
+    )
+    return stream, t.num_rows
+
+
+def _windowed_spec():
+    from silk_ray.cdc.windows import WindowSpec
+
+    return WindowSpec(
+        ts_col="ts", width_s=_WIN_WIDTH_S, allowed_lateness_s=_WIN_LATENESS_S,
+        group_by=("event_type",), count_col="n", sums={"sum_value": "value"},
+    )
+
+
+def _run_windowed(sf_dir: str) -> str:
+    import tempfile
+
+    from silk_ray.cdc.windows import run_window_stream
+
+    stream, n = _windowed_stream(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_windows_")
+    run_window_stream(root, stream, _windowed_spec(), epoch_size=max(200, n // 8))
+    return root
+
+
+def events_windowed(sf_dir: str):
+    """Finalized event-time windows (micro-batch watermarks, epoch =
+    arrival-offset block): per (1-day window, event_type) the count and
+    value sum of the on-time events; late arrivals are excluded here
+    and surfaced by ``events_windowed_late``. Oracle: the watermark
+    recurrence, each window's finalization epoch and the late set are
+    reproduced in SQL over the same md5-derived stream."""
+    from silk_ray.cdc.windows import windows_table
+
+    root = _run_windowed(sf_dir)
+    df = windows_table(root).to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    return df.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def events_windowed_late(sf_dir: str):
+    """The late side output of ``events_windowed``: events whose window
+    had already finalized when they arrived (offset order)."""
+    from silk_ray.cdc.windows import late_table
+
+    root = _run_windowed(sf_dir)
+    t = late_table(root)
+    if t.num_rows == 0:
+        return pd.DataFrame({"offset": [], "window_start": [], "event_type": []})
+    return (
+        t.select(["offset", "window_start", "event_type"])
+        .to_pandas()
+        .sort_values("offset")
+        .reset_index(drop=True)
+    )
+
+
+def _windowed_sql_parts(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    sz = max(200, n // 8)
+    w = _WIN_WIDTH_S * 1_000_000
+    lat = _WIN_LATENESS_S * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT event_id AS off,
+         CAST(FLOOR(event_id / {sz}) AS BIGINT) + 1 AS e,
+         epoch_us(ts) - CASE WHEN md5_number_lower('late:' || event_id) % 17 = 0
+                             THEN {_WIN_LATE_SHIFT_US} ELSE 0 END AS ts_us,
+         event_type, value
+  FROM events
+),
+ev2 AS (SELECT *, CAST(FLOOR(ts_us / {w}) * {w} AS BIGINT) AS win FROM ev),
+em AS (SELECT e, max(ts_us) AS mx FROM ev2 GROUP BY e),
+wm AS (SELECT e, max(mx) OVER (ORDER BY e) - {lat} AS wm FROM em),
+tagged AS (
+  SELECT ev2.*, COALESCE(ev2.win + {w} <= p.wm, FALSE) AS is_late
+  FROM ev2 LEFT JOIN wm p ON p.e = ev2.e - 1
+)"""
+
+
+def events_windowed_sql_for(sf_dir: str) -> str:
+    return _windowed_sql_parts(sf_dir) + """
+SELECT make_timestamp(win) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM tagged WHERE NOT is_late
+GROUP BY win, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def events_windowed_late_sql_for(sf_dir: str) -> str:
+    return _windowed_sql_parts(sf_dir) + """
+SELECT off AS "offset", make_timestamp(win) AS window_start, event_type
+FROM tagged WHERE is_late
+ORDER BY "offset"
+"""
+
+
 def events_asof_prev(sf_dir: str):
     """Backward as-of self-join: each event matched to the same user's
     most recent strictly-earlier event (inner — first event per user
@@ -2280,6 +2416,8 @@ def build_queries():
         "events_sessionize": events_sessionize,
         "events_asof_prev": events_asof_prev,
         "events_window_pairs": events_window_pairs,
+        "events_windowed": events_windowed,
+        "events_windowed_late": events_windowed_late,
         "doc_token_stats": doc_token_stats,
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
@@ -2324,6 +2462,8 @@ def build_oracle_sql():
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_asof_prev": EVENTS_ASOF_SQL,
         "events_window_pairs": EVENTS_WINDOW_PAIRS_SQL,
+        "events_windowed": events_windowed_sql_for("/root/testdata/sf0.01"),
+        "events_windowed_late": events_windowed_late_sql_for("/root/testdata/sf0.01"),
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
