@@ -38,33 +38,49 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _tier_sql_builders() -> dict:
+    """Queries whose registry SQL pins the driver's sf0.01 tier (a
+    changelog path or data-derived epoch size baked into the string);
+    the test rebuilds them for its own tier via the *_sql_for builder."""
+    from silk_ray.pipelines import queries as q
+
+    return {
+        "cdc_flagship": q.cdc_flagship_sql_for,
+        "cdc_agg": q.cdc_agg_sql_for,
+        "cdc_clusters": q.cdc_clusters_sql_for,
+        "cdc_deadletter": q.cdc_deadletter_sql_for,
+        "cdc_enriched": q.cdc_enriched_sql_for,
+        "cdc_egress": q.cdc_egress_sql_for,
+        "events_windowed": q.events_windowed_sql_for,
+        "events_windowed_late": q.events_windowed_late_sql_for,
+    }
+
+
+def test_every_sql_for_builder_has_a_tier_rebuild():
+    """Guard: any oracle built from a *_sql_for(sf_dir) builder is
+    tier-pinned at registry time and MUST be in _tier_sql_builders, or
+    this suite silently compares the test tier's Ray result against the
+    driver tier's SQL (how the cdc_egress gap slipped through)."""
+    from silk_ray.pipelines import queries as q
+
+    builders = {
+        n for n, fn in vars(q).items() if n.endswith("_sql_for") and callable(fn)
+    }
+    covered = {fn.__name__ for fn in _tier_sql_builders().values()}
+    assert builders == covered, (
+        f"_sql_for builders without a per-tier test rebuild (or stale "
+        f"entries): {sorted(builders ^ covered)}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(ray_session, name):
     ray_df = QUERIES[name](SF_DIR)
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
-    if name == "cdc_flagship":
-        # the registry SQL pins the driver's sf0.01 changelog path;
-        # rebuild it for this test's tier
-        from silk_ray.pipelines.queries import cdc_flagship_sql_for
-
-        oracle_df = duckdb_result(cdc_flagship_sql_for(SF_DIR))
-    elif name == "cdc_agg":
-        from silk_ray.pipelines.queries import cdc_agg_sql_for
-
-        oracle_df = duckdb_result(cdc_agg_sql_for(SF_DIR))
-    elif name == "cdc_clusters":
-        from silk_ray.pipelines.queries import cdc_clusters_sql_for
-
-        oracle_df = duckdb_result(cdc_clusters_sql_for(SF_DIR))
-    elif name == "cdc_deadletter":
-        from silk_ray.pipelines.queries import cdc_deadletter_sql_for
-
-        oracle_df = duckdb_result(cdc_deadletter_sql_for(SF_DIR))
-    elif name == "cdc_enriched":
-        from silk_ray.pipelines.queries import cdc_enriched_sql_for
-
-        oracle_df = duckdb_result(cdc_enriched_sql_for(SF_DIR))
+    tier_sql = _tier_sql_builders()
+    if name in tier_sql:
+        oracle_df = duckdb_result(tier_sql[name](SF_DIR))
     else:
         oracle_df = duckdb_result(ORACLES[name])
     assert set(ray_df.columns) == set(oracle_df.columns), (
