@@ -215,6 +215,23 @@ def cmd_cdc(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    _init_ray(args.num_cpus)
+    from silk_ray.cdc.repartition import repartition_lake
+
+    t0 = time.perf_counter()
+    metrics = repartition_lake(args.root, args.to, old_num_partitions=args.old)
+    print(
+        json.dumps(
+            {"command": "repartition", "seconds": round(time.perf_counter() - t0, 3),
+             **{k: metrics[k] for k in ("epoch", "repartition") if k in metrics},
+             "rows_total": metrics.get("rows_total"),
+             "partitions_touched": metrics.get("partitions_touched")}
+        )
+    )
+    return 0
+
+
 def cmd_workflow(args) -> int:
     cfg = json.load(open(args.config))
     _init_ray(args.num_cpus)
@@ -299,6 +316,18 @@ def main(argv=None) -> int:
         help="changelog offset the snapshot is consistent as of; tailing resumes at offset+1",
     )
     pc.set_defaults(fn=cmd_cdc)
+
+    pr = sub.add_parser(
+        "repartition",
+        help="change a committed lake's key-partition count (atomic, "
+             "exactly-once-safe distributed rewrite; cdc/repartition.py)",
+    )
+    pr.add_argument("--root", required=True)
+    pr.add_argument("--to", type=int, required=True, metavar="M",
+                    help="new num_partitions; the next cdc run must pass this value")
+    pr.add_argument("--old", type=int, default=None, metavar="N",
+                    help="only for legacy lakes whose manifest predates layout pinning")
+    pr.set_defaults(fn=cmd_repartition)
 
     args = p.parse_args(argv)
     return args.fn(args)

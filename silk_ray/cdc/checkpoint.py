@@ -35,6 +35,7 @@ class Manifest:
         next_offset: int,
         partitions: dict[int, dict],
         prev_files: list[str] | None = None,
+        num_partitions: int | None = None,
     ):
         self.epoch = epoch
         self.next_offset = next_offset
@@ -45,6 +46,13 @@ class Manifest:
         # one-epoch rollback/crash window (same design as the link
         # store's links_files_prev)
         self.prev_files = prev_files or []
+        # the key-partition count this lake's layout was written with
+        # (pid = crc32(key) % num_partitions). Pinned at first commit;
+        # merging with a different count would scatter keys across two
+        # layouts (a stale row in the old pid shadowed by nothing), so
+        # run_epoch validates against it and repartition_lake() is the
+        # only sanctioned way to change it. None on pre-pinning lakes.
+        self.num_partitions = num_partitions
 
     @staticmethod
     def empty() -> "Manifest":
@@ -59,6 +67,7 @@ class Manifest:
             "next_offset": self.next_offset,
             "partitions": {str(k): v for k, v in self.partitions.items()},
             "prev_files": self.prev_files,
+            "num_partitions": self.num_partitions,
         }
 
     @staticmethod
@@ -68,6 +77,7 @@ class Manifest:
             next_offset=d["next_offset"],
             partitions={int(k): v for k, v in d["partitions"].items()},
             prev_files=d.get("prev_files", []),
+            num_partitions=d.get("num_partitions"),
         )
 
 

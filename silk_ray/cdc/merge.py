@@ -820,6 +820,14 @@ def run_epoch(
     import ray
 
     manifest = ckpt.read_manifest(root)
+    if manifest.num_partitions is not None and manifest.num_partitions != num_partitions:
+        raise ValueError(
+            f"lake at {root!r} is partitioned {manifest.num_partitions}-way but this "
+            f"run was configured with num_partitions={num_partitions}. Merging with a "
+            "different count would scatter keys across two layouts (duplicate live "
+            "rows). Pass the pinned value, or change the layout with "
+            "silk_ray.cdc.repartition.repartition_lake(root, new_num_partitions)."
+        )
     lo = manifest.next_offset
     nxt = _next_existing_offset(changelog, lo)
     if nxt is None:
@@ -898,6 +906,7 @@ def run_epoch(
         next_offset=max(int(max_off) + 1, lo),
         partitions=new_partitions,
         prev_files=manifest.chain_files(),
+        num_partitions=num_partitions,
     )
     ckpt.commit_manifest(root, new_manifest, window=(lo, hi))
 
@@ -1109,6 +1118,65 @@ def state_table(
     if drop:
         out = out.drop_columns(drop)
     return out
+
+
+def lookup_keys(
+    root: str,
+    keys: list[tuple[str, str]],
+    at_epoch: int | None = None,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Point lookup: the live (or as-of-epoch) rows for specific
+    (repo, path) keys WITHOUT a lake scan.
+
+    Routing uses the pinned partition layout: key → crc32 → pid selects
+    the one chain to read, and the persisted ``_kh`` column lets Parquet
+    row-group statistics prune row groups holding no requested key — at
+    100 TB a k-key lookup touches k partitions' footers plus a handful
+    of row groups, not the lake. Keys are deduplicated; absent or
+    deleted keys simply produce no row. Driver-side by design (point
+    lookups are small); bulk key joins belong in the merge/link paths.
+
+    ``num_partitions`` is only consulted for legacy lakes whose manifest
+    predates layout pinning.
+    """
+    manifest = (
+        ckpt.read_manifest_at(root, at_epoch) if at_epoch is not None
+        else ckpt.read_manifest(root)
+    )
+    n = manifest.num_partitions or num_partitions
+    if n is None:
+        raise ValueError(
+            f"manifest at {root!r} predates layout pinning and does not record "
+            "num_partitions; pass num_partitions= explicitly"
+        )
+    per_pid: dict[int, dict] = {}
+    for repo, path in keys:
+        kb = f"{repo}\x00{path}".encode()
+        kh = zlib.crc32(kb)
+        d = per_pid.setdefault(kh % n, {"khs": set(), "keys": set()})
+        d["khs"].add(kh)
+        d["keys"].add(f"{repo}\x00{path}")
+    hits = []
+    for pid, want in sorted(per_pid.items()):
+        files = (manifest.partitions.get(pid) or {}).get("files") or []
+        if not files:
+            continue
+        t = reconcile_tables(
+            _read_chain(root, files, kh_filter=pa.array(sorted(want["khs"]), pa.int64()))
+        )
+        if not t.num_rows:
+            continue
+        t = t.append_column("_k", _key_column(t))
+        t = t.filter(pc.is_in(t["_k"], value_set=pa.array(sorted(want["keys"]))))
+        if t.num_rows:
+            hits.append(t.drop_columns(["_k"]))
+    if not hits:
+        return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
+    schema = _unify_chain_schema(hits)
+    out = pa.concat_tables([_pad_to_schema(t, schema) for t in hits])
+    out = out.sort_by([("repo", "ascending"), ("path", "ascending")])
+    return out.drop_columns([c for c in ("_offset", "_kh") if c in out.column_names])
 
 
 def state_sha256(root: str, at_epoch: int | None = None) -> str:

@@ -2229,6 +2229,83 @@ def _cdc_flagship_sql() -> str:
     return cdc_flagship_sql_for("/root/testdata/sf0.01")
 
 
+def cdc_repartitioned(sf_dir: str):
+    """The flagship state after a MID-STREAM online repartition
+    (cdc/repartition.py): epoch 1 merges under the initial 8-way
+    layout, ``repartition_lake(root, 13)`` rewrites the lake 13-way
+    (an eventless epoch — two-wave distributed reshuffle of the
+    reconciled chains, atomic manifest swap as the sole commit point),
+    and the tail resumes under the new pinned count. The final state
+    must be byte-identical to an uninterrupted run, so the oracle is
+    the same last-writer-wins reduction as ``cdc_flagship`` — the
+    partition layout is invisible to the data."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import state_table
+    from silk_ray.cdc.repartition import repartition_lake
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    sz = max(250, n_base)
+    root = tempfile.mkdtemp(prefix="silkray_lake_rp_")
+    run(root, log.filter(pc.less(log["offset"], sz)),
+        EngineConfig(epoch_size=sz, num_partitions=8))
+    repartition_lake(root, 13)
+    run(root, log, EngineConfig(epoch_size=sz, num_partitions=13))
+    return state_table(root).to_pandas().reset_index(drop=True)
+
+
+def cdc_lookup(sf_dir: str):
+    """Point lookups over the flagship lake (merge.py ``lookup_keys``):
+    a deterministic md5-selected subset of every key the changelog ever
+    touched — including deleted keys, which must come back empty — is
+    fetched by key→pinned-pid routing plus ``_kh`` row-group-statistics
+    pruned chain reads, never a lake scan. Oracle: the last-writer-wins
+    state filtered by the same md5 predicate (DuckDB
+    ``md5_number_lower``)."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import lookup_keys
+    from silk_ray.kernel.index import md5_lower64
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_lk_")
+    run(root, log, EngineConfig(epoch_size=max(250, n_base), num_partitions=8))
+    keys = sorted(
+        {
+            (r, p)
+            for r, p in zip(log["repo"].to_pylist(), log["path"].to_pylist())
+            if md5_lower64(f"{r}\x1f{p}") % 23 == 7
+        }
+    )
+    return lookup_keys(root, keys).to_pandas().reset_index(drop=True)
+
+
+def cdc_lookup_sql_for(sf_dir: str) -> str:
+    """The flagship LWW reduction restricted to the looked-up key set:
+    md5-lower-64(repo ␟ path) % 23 == 7 over every key in the
+    changelog (keys whose newest event is D produce no row, matching a
+    point lookup of a deleted key)."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit, lang, content, branch
+FROM (
+  SELECT repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+  AND md5_number_lower(repo || chr(31) || path) % 23 = 7
+ORDER BY repo, path
+"""
+
+
+def _cdc_lookup_sql() -> str:
+    return cdc_lookup_sql_for("/root/testdata/sf0.01")
+
+
 _CDC_ENRICH_RULES = [
     {"target": "lang_upper",
      "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
@@ -2442,6 +2519,8 @@ def build_queries():
         "cdc_flagship": cdc_flagship,
         "cdc_agg": cdc_agg,
         "cdc_egress": cdc_egress,
+        "cdc_repartitioned": cdc_repartitioned,
+        "cdc_lookup": cdc_lookup,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
@@ -2486,6 +2565,8 @@ def build_oracle_sql():
         "cdc_flagship": _cdc_flagship_sql(),
         "cdc_agg": cdc_agg_sql_for("/root/testdata/sf0.01"),
         "cdc_egress": cdc_egress_sql_for("/root/testdata/sf0.01"),
+        "cdc_repartitioned": _cdc_flagship_sql(),
+        "cdc_lookup": _cdc_lookup_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),

@@ -158,3 +158,36 @@ def test_cli_cdc_egress(ray_session, tmp_path, capsys):
                  "--block-partitions", "4"]) == 0
     capsys.readouterr()
     assert state_sha256(consumer) == state_sha256(root)
+
+
+def test_cli_repartition_roundtrip(ray_session, tmp_path, capsys):
+    """`repartition --to M` changes a committed lake's layout through
+    the CLI; the state is unchanged and the next cdc run must pass the
+    new pinned count."""
+    import json
+
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.generator import make_base_table, make_changelog, write_changelog_segments
+    from silk_ray.cdc.merge import state_sha256
+
+    base = make_base_table(40, seed=9)
+    log = make_changelog(base, 300, seed=10)
+    write_changelog_segments(log, str(tmp_path / "cl"), segment_size=150)
+    root = str(tmp_path / "lake")
+    assert main(["cdc", "--root", root, "--changelog", str(tmp_path / "cl"),
+                 "--epoch-size", "150", "--num-partitions", "2",
+                 "--max-epochs", "1"]) == 0
+    capsys.readouterr()
+    sha = state_sha256(root)
+
+    assert main(["repartition", "--root", root, "--to", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["repartition"] == {"from": 2, "to": 5}
+    assert state_sha256(root) == sha
+
+    # resume the tail under the new pinned count
+    assert main(["cdc", "--root", root, "--changelog", str(tmp_path / "cl"),
+                 "--epoch-size", "150", "--num-partitions", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_applied"] == 150
+    assert out["lag_offsets"] == 0

@@ -51,6 +51,8 @@ def _tier_sql_builders() -> dict:
         "cdc_deadletter": q.cdc_deadletter_sql_for,
         "cdc_enriched": q.cdc_enriched_sql_for,
         "cdc_egress": q.cdc_egress_sql_for,
+        "cdc_repartitioned": q.cdc_flagship_sql_for,
+        "cdc_lookup": q.cdc_lookup_sql_for,
         "events_windowed": q.events_windowed_sql_for,
         "events_windowed_late": q.events_windowed_late_sql_for,
     }
