@@ -122,8 +122,21 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
         if m is not None:
             assert m["events_applied"] == 0
     assert state_sha256(root_b) == sha_mid
-    # resume to completion from the committed manifest
-    run_to_completion(root_b, log, epoch_size=epoch_b, num_partitions=parts,
+    # online repartition at this random mid-stream point: a new layout
+    # drawn from the RNG (possibly == parts, a noop) must leave the
+    # state byte-identical and the continued tail must converge anyway
+    from silk_ray.cdc.repartition import repartition_lake
+
+    parts_b2 = int(rng.integers(2, 13))
+    repartition_lake(root_b, parts_b2)
+    assert state_sha256(root_b) == sha_mid
+    # resume to completion from the committed manifest (the repartition
+    # re-pinned the layout; the old count must now be rejected)
+    if parts_b2 != parts:
+        with pytest.raises(ValueError, match="partitioned"):
+            run_epoch(root_b, log, epoch_size=epoch_b, num_partitions=parts,
+                      compact_at=compact_at, payload_schema=payload_schema)
+    run_to_completion(root_b, log, epoch_size=epoch_b, num_partitions=parts_b2,
                       compact_at=compact_at, payload_schema=payload_schema)
 
     # 1) engine state equals the sequential oracle over the valid rows

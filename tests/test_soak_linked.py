@@ -127,11 +127,19 @@ def test_linked_engine_randomized_soak(ray_session, tmp_path, seed):
         ), f"seed {seed} epoch {epochs}"
     assert epochs >= 2
 
-    # full replay, different epoching: byte-identical lake, identical stores
+    # full replay, different epoching, with an online repartition after
+    # the first committed epoch: byte-identical lake, identical stores
+    # (links/clusters/agg must ride through the eventless epoch)
+    from silk_ray.cdc.repartition import repartition_lake
+
     cfg_b = copy.deepcopy(cfg)
     cfg_b.epoch_size = int(rng.integers(150, 350))
-    cfg_b.max_epochs = None
+    cfg_b.max_epochs = 1
     root_b = str(tmp_path / "b")
+    run(root_b, log, cfg_b)
+    cfg_b.num_partitions = int(rng.integers(2, 11))
+    repartition_lake(root_b, cfg_b.num_partitions)
+    cfg_b.max_epochs = None
     run(root_b, log, cfg_b)
     assert state_sha256(root_b) == state_sha256(root_a)
     la, lb = links_table(root_a), links_table(root_b)
