@@ -416,16 +416,151 @@ def egress_as_changelog(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def truncate_egress(root: str, upto_epoch: int) -> int:
+# ---------------------------------------------------------------------------
+# consumer groups: committed-seq offsets with at-least-once delivery
+# ---------------------------------------------------------------------------
+#
+# The egress stream is a replay-stable, globally-sequenced changelog;
+# what downstream systems need on top is a resume position. A consumer
+# group is a named committed seq: ``consume_egress`` returns rows with
+# seq > committed (pruned by parquet footer statistics — a caught-up
+# consumer touches only footers), the caller processes them and then
+# ``commit_consumer``s the last seq it handled. A crash between the two
+# redelivers from the committed position — at-least-once, which the
+# deterministic seq makes effectively exactly-once for any idempotent
+# or transactional consumer. Commits are atomic (os.replace) and
+# monotone (a seq regression is refused loudly — it is always a bug,
+# never a recovery). ``truncate_egress`` refuses to drop files any
+# registered group still needs, so retention is enforced against real
+# consumer lag rather than hope.
+
+
+def _consumer_path(root: str, group: str) -> str:
+    if not group or "/" in group or group.startswith("."):
+        raise ValueError(f"invalid consumer group name {group!r}")
+    return os.path.join(root, "egress", "_consumers", f"{group}.json")
+
+
+def read_consumer(root: str, group: str) -> dict:
+    p = _consumer_path(root, group)
+    if not os.path.exists(p):
+        return {"group": group, "seq": -1}
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_consumer(root: str, group: str, seq: int) -> None:
+    """Atomically record that ``group`` has processed through ``seq``."""
+    cur = read_consumer(root, group)["seq"]
+    if seq < cur:
+        raise ValueError(
+            f"consumer group {group!r} is committed at seq {cur}; committing "
+            f"{seq} would move it backwards — redeliver by just consuming "
+            "again, never by regressing the commit"
+        )
+    p = _consumer_path(root, group)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"group": group, "seq": int(seq)}, f, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def consumer_groups(root: str) -> dict[str, int]:
+    """group -> committed seq for every registered group."""
+    d = os.path.join(root, "egress", "_consumers")
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                st = json.load(fh)
+            out[st["group"]] = int(st["seq"])
+    return out
+
+
+def _file_seq_range(path: str) -> tuple[int, int] | None:
+    """(min, max) of the seq column from the parquet footer — metadata
+    only, no row reads."""
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("seq")
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (int(lo), int(hi)) if lo is not None else None
+
+
+def consume_egress(root: str, group: str, max_rows: int | None = None) -> pa.Table:
+    """Rows with seq > the group's committed position, in seq order.
+
+    File selection is footer-pruned on the seq statistics: a caught-up
+    consumer touches no row data. ``max_rows`` caps the batch (rows are
+    never split mid-seq — seqs are unique, so any prefix is valid). The
+    caller processes the batch, then ``commit_consumer(root, group,
+    batch["seq"][-1])`` — crash before the commit and the same rows
+    come back."""
+    committed = read_consumer(root, group)["seq"]
+    state = read_egressstate(root)
+    parts = []
+    for rel in _live_rels(state):
+        path = os.path.join(root, rel)
+        rng = _file_seq_range(path)
+        if rng is not None and rng[1] <= committed:
+            continue
+        t = pq.read_table(path, filters=[("seq", ">", committed)])
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return pa.table({"seq": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts, promote_options="default").sort_by(
+        [("seq", "ascending")]
+    )
+    if max_rows is not None and out.num_rows > max_rows:
+        out = out.slice(0, max_rows)
+    return out
+
+
+def consumer_lag(root: str) -> dict[str, int]:
+    """group -> rows not yet committed (the operator's 'is every
+    downstream keeping up' gauge; pairs with the engine's
+    lag_offsets)."""
+    state = read_egressstate(root)
+    head = int(state["next_seq"]) - 1
+    return {g: head - s for g, s in consumer_groups(root).items()}
+
+
+def truncate_egress(root: str, upto_epoch: int, force: bool = False) -> int:
     """Consumer-acknowledged truncation: drop egress epochs ≤
     ``upto_epoch`` from the stream (the producer never auto-GCs its
-    output — retention is the consumer contract). Returns files
-    removed."""
+    output — retention is the consumer contract). A file some
+    registered consumer group has not committed past is refused loudly
+    (its footer max seq exceeds the group's position) unless ``force``
+    — forcing strands that group and is the operator saying so.
+    Returns files removed."""
     state = read_egressstate(root)
+    floor = min(consumer_groups(root).values(), default=None)
     removed = 0
     files = dict(state["files"])
     for e in list(files):
         if int(e) <= upto_epoch:
+            if not force and floor is not None:
+                for rel in files[e]:
+                    rng = _file_seq_range(os.path.join(root, rel))
+                    if rng is not None and rng[1] > floor:
+                        slow = [g for g, s in consumer_groups(root).items() if s == floor]
+                        raise ValueError(
+                            f"truncating egress epoch {e} would drop seqs up to "
+                            f"{rng[1]} but consumer group(s) {slow} are committed "
+                            f"at {floor}; let them catch up or pass force=True to "
+                            "strand them"
+                        )
             for rel in files.pop(e):
                 try:
                     os.remove(os.path.join(root, rel))

@@ -256,3 +256,93 @@ def test_truncate_egress(lake, ray_session):
     # seq continuity is preserved for the retained suffix
     seqs = left["seq"].to_pylist()
     assert seqs == sorted(seqs)
+
+
+def test_consumer_group_chunked_consume_and_crash_redelivery(lake, ray_session):
+    """consume → commit in chunks covers the stream exactly once; a
+    crash (consume without commit) redelivers the same rows."""
+    from silk_ray.cdc.egress import commit_consumer, consume_egress, consumer_lag
+
+    log = _changelog()
+    run(lake, log, _cfg())
+    full = egress_table(lake)
+    assert full.num_rows > 0
+
+    seen = []
+    # crash sim: first consume is processed but never committed
+    lost = consume_egress(lake, "indexer", max_rows=50)
+    assert lost.num_rows == 50
+    # redelivery: identical rows come back
+    again = consume_egress(lake, "indexer", max_rows=50)
+    assert again.equals(lost)
+    while True:
+        batch = consume_egress(lake, "indexer", max_rows=97)
+        if batch.num_rows == 0:
+            break
+        seen.extend(batch["seq"].to_pylist())
+        commit_consumer(lake, "indexer", batch["seq"][-1].as_py())
+    assert seen == full["seq"].to_pylist()  # exactly once, in order
+    assert consumer_lag(lake)["indexer"] == 0
+    # a caught-up consumer gets nothing
+    assert consume_egress(lake, "indexer").num_rows == 0
+
+
+def test_consumer_commit_is_monotone(lake, ray_session):
+    from silk_ray.cdc.egress import commit_consumer, read_consumer
+
+    run(lake, _changelog(), _cfg())
+    commit_consumer(lake, "g", 10)
+    with pytest.raises(ValueError, match="backwards"):
+        commit_consumer(lake, "g", 3)
+    commit_consumer(lake, "g", 10)  # re-commit at the same position is fine
+    assert read_consumer(lake, "g")["seq"] == 10
+    with pytest.raises(ValueError, match="invalid consumer group"):
+        commit_consumer(lake, "../evil", 1)
+
+
+def test_truncate_refuses_to_strand_lagging_consumer(lake, ray_session):
+    """Retention is enforced against real committed positions: a file a
+    registered group still needs cannot be truncated without force."""
+    from silk_ray.cdc.egress import (
+        commit_consumer,
+        consume_egress,
+        consumer_groups,
+        consumer_lag,
+    )
+
+    log = _changelog()
+    run(lake, log, _cfg())
+    st = read_egressstate(lake)
+    epochs = sorted(int(e) for e in st["files"])
+    assert len(epochs) >= 2
+    full = egress_table(lake)
+
+    # a consumer committed partway through epoch 1's seqs
+    batch = consume_egress(lake, "slow", max_rows=10)
+    commit_consumer(lake, "slow", batch["seq"][-1].as_py())
+    with pytest.raises(ValueError, match="slow"):
+        truncate_egress(lake, epochs[0])
+    # catch the group up past epoch 1, then the truncate goes through
+    while True:
+        b = consume_egress(lake, "slow", max_rows=500)
+        if b.num_rows == 0:
+            break
+        commit_consumer(lake, "slow", b["seq"][-1].as_py())
+    assert consumer_lag(lake)["slow"] == 0
+    removed = truncate_egress(lake, epochs[0])
+    assert removed > 0
+    # the committed position survives truncation; nothing redelivers
+    assert consume_egress(lake, "slow").num_rows == 0
+    assert consumer_groups(lake)["slow"] == full["seq"][-1].as_py()
+
+
+def test_truncate_force_strands_explicitly(lake, ray_session):
+    from silk_ray.cdc.egress import commit_consumer, consume_egress
+
+    run(lake, _changelog(), _cfg())
+    st = read_egressstate(lake)
+    epochs = sorted(int(e) for e in st["files"])
+    b = consume_egress(lake, "doomed", max_rows=5)
+    commit_consumer(lake, "doomed", b["seq"][-1].as_py())
+    removed = truncate_egress(lake, epochs[0], force=True)
+    assert removed > 0
