@@ -216,6 +216,18 @@ def cmd_cdc(args) -> int:
 
 
 def cmd_repartition(args) -> int:
+    if args.stats:
+        from silk_ray.cdc.repartition import lake_stats, suggest_num_partitions
+
+        st = lake_stats(args.root)
+        advice = suggest_num_partitions(args.root)
+        print(json.dumps({"command": "repartition", "stats": {
+            k: st[k] for k in ("epoch", "num_partitions", "rows_total",
+                               "bytes_total", "max_partition_bytes", "row_skew_ratio")
+        }, "advice": advice}))
+        return 0
+    if args.to is None:
+        raise SystemExit("repartition requires --to M (or --stats)")
     _init_ray(args.num_cpus)
     from silk_ray.cdc.repartition import repartition_lake
 
@@ -323,10 +335,13 @@ def main(argv=None) -> int:
              "exactly-once-safe distributed rewrite; cdc/repartition.py)",
     )
     pr.add_argument("--root", required=True)
-    pr.add_argument("--to", type=int, required=True, metavar="M",
+    pr.add_argument("--to", type=int, default=None, metavar="M",
                     help="new num_partitions; the next cdc run must pass this value")
     pr.add_argument("--old", type=int, default=None, metavar="N",
                     help="only for legacy lakes whose manifest predates layout pinning")
+    pr.add_argument("--stats", action="store_true",
+                    help="print per-layout health (rows/bytes/skew, metadata only) "
+                         "and a suggested partition count; no rewrite")
     pr.set_defaults(fn=cmd_repartition)
 
     args = p.parse_args(argv)

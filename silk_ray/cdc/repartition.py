@@ -93,6 +93,68 @@ def _repart_write_task(root: str, pid: int, epoch: int, *shards) -> dict:
     return {"pid": pid, "rows": t.num_rows, "file": os.path.relpath(path, root)}
 
 
+def lake_stats(root: str, at_epoch: int | None = None) -> dict:
+    """Per-partition layout health from metadata only (manifest row
+    counts + file sizes — no parquet reads): the operator's 'is it time
+    to repartition' gauge."""
+    manifest = (
+        ckpt.read_manifest_at(root, at_epoch) if at_epoch is not None
+        else ckpt.read_manifest(root)
+    )
+    parts = {}
+    for pid, info in sorted(manifest.partitions.items()):
+        files = info.get("files", [])
+        parts[int(pid)] = {
+            "rows": int(info.get("rows", 0)),
+            "chain_files": len(files),
+            "bytes": sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if os.path.exists(os.path.join(root, f))
+            ),
+        }
+    rows = [p["rows"] for p in parts.values()]
+    mean_rows = (sum(rows) / len(rows)) if rows else 0.0
+    return {
+        "epoch": manifest.epoch,
+        "num_partitions": manifest.num_partitions,
+        "rows_total": sum(rows),
+        "bytes_total": sum(p["bytes"] for p in parts.values()),
+        "max_partition_bytes": max((p["bytes"] for p in parts.values()), default=0),
+        "row_skew_ratio": (max(rows) / mean_rows) if mean_rows else 0.0,
+        "partitions": parts,
+    }
+
+
+def suggest_num_partitions(
+    root: str, target_partition_bytes: int = 256 * 1024 * 1024
+) -> dict:
+    """Advise a partition count from the live layout: enough partitions
+    that the mean partition stays under ``target_partition_bytes``
+    (default 256 MiB — a merge task's reconcile working set should fit
+    a worker heap with headroom), never fewer than the pinned count
+    shrunk below half-utilization. Advice only — the operator runs
+    ``repartition_lake`` when a quiet window allows the rewrite."""
+    st = lake_stats(root)
+    cur = st["num_partitions"] or len(st["partitions"]) or 1
+    want = max(1, -(-st["bytes_total"] // target_partition_bytes))  # ceil
+    # hysteresis: don't advise thrash for <2x differences
+    if want > cur * 2:
+        action = "grow"
+    elif want * 2 < cur:
+        action = "shrink"
+    else:
+        want, action = cur, "keep"
+    return {
+        "current": cur,
+        "suggested": int(want),
+        "action": action,
+        "bytes_total": st["bytes_total"],
+        "target_partition_bytes": target_partition_bytes,
+        "row_skew_ratio": round(st["row_skew_ratio"], 3),
+    }
+
+
 def repartition_lake(
     root: str, new_num_partitions: int, *, old_num_partitions: int | None = None
 ) -> dict:

@@ -256,3 +256,36 @@ def test_lookup_keys_legacy_manifest_requires_explicit_count(ray_session, log, t
         repartition_lake(root, 8)
     repartition_lake(root, 8, old_num_partitions=4)
     assert ckpt.read_manifest(root).num_partitions == 8
+
+
+def test_lake_stats_and_advisor(ray_session, log, tmp_path, capsys):
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.repartition import lake_stats, suggest_num_partitions
+
+    root = str(tmp_path / "lake")
+    run_to_completion(root, log, epoch_size=EPOCH, num_partitions=4)
+    st = lake_stats(root)
+    assert st["num_partitions"] == 4
+    assert st["rows_total"] == state_table(root).num_rows
+    assert st["bytes_total"] > 0 and st["max_partition_bytes"] > 0
+    assert st["row_skew_ratio"] >= 1.0
+    assert sum(p["rows"] for p in st["partitions"].values()) == st["rows_total"]
+
+    # tiny lake under the default target: advice is keep or shrink, with
+    # hysteresis (no thrash for <2x)
+    adv = suggest_num_partitions(root)
+    assert adv["current"] == 4
+    assert adv["action"] in ("keep", "shrink")
+    # a tight target forces growth advice
+    adv2 = suggest_num_partitions(root, target_partition_bytes=1024)
+    assert adv2["action"] == "grow" and adv2["suggested"] > 8
+
+    # CLI --stats path (no rewrite happens)
+    import json as _json
+
+    e = ckpt.read_manifest(root).epoch
+    assert main(["repartition", "--root", root, "--stats"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stats"]["num_partitions"] == 4
+    assert out["advice"]["current"] == 4
+    assert ckpt.read_manifest(root).epoch == e
