@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -244,6 +245,21 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_erase(args) -> int:
+    _init_ray(args.num_cpus)
+    from silk_ray.cdc.erase import erase_where
+
+    where = (
+        json.load(open(args.where)) if os.path.exists(args.where)
+        else json.loads(args.where)
+    )
+    t0 = time.perf_counter()
+    out = erase_where(args.root, args.changelog, where)
+    print(json.dumps({"command": "erase",
+                      "seconds": round(time.perf_counter() - t0, 3), **out}))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     cfg = json.load(open(args.config))
     _init_ray(args.num_cpus)
@@ -343,6 +359,21 @@ def main(argv=None) -> int:
                     help="print per-layout health (rows/bytes/skew, metadata only) "
                          "and a suggested partition count; no rewrite")
     pr.set_defaults(fn=cmd_repartition)
+
+    pe = sub.add_parser(
+        "erase",
+        help="predicate erasure, CDC-natively: append D events for every "
+             "matching live row to the changelog (cdc/erase.py); the next "
+             "cdc run applies them through the normal merge path",
+    )
+    pe.add_argument("--root", required=True)
+    pe.add_argument("--changelog", required=True,
+                    help="the binlog DIRECTORY the erasure segment is appended to")
+    pe.add_argument("--where", required=True, metavar="PRED",
+                    help="JSON predicate: a condition or list of ANDed conditions "
+                         '{"column","op","value"}; ops: == != < <= > >= contains prefix in. '
+                         "Inline JSON or a file path.")
+    pe.set_defaults(fn=cmd_erase)
 
     args = p.parse_args(argv)
     return args.fn(args)
