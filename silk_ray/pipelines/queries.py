@@ -2306,6 +2306,53 @@ def _cdc_lookup_sql() -> str:
     return cdc_lookup_sql_for("/root/testdata/sf0.01")
 
 
+def cdc_erased(sf_dir: str):
+    """Predicate erasure through the binlog (cdc/erase.py): tail the
+    flagship changelog, emit D events for every live ``lang == 'go'``
+    row (appended to the changelog directory as an ordinary segment),
+    tail again. Because the erasure deletes exactly the live matching
+    keys and nothing after it touches them, the final state equals the
+    flagship's LWW reduction minus the erased language — the oracle
+    filter is one WHERE clause."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.erase import erase_where
+    from silk_ray.cdc.generator import write_changelog_segments
+    from silk_ray.cdc.merge import state_table
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    sz = max(250, n_base)
+    d = tempfile.mkdtemp(prefix="silkray_cl_er_")
+    write_changelog_segments(log, d, segment_size=sz)
+    root = tempfile.mkdtemp(prefix="silkray_lake_er_")
+    cfg = EngineConfig(epoch_size=sz, num_partitions=8)
+    run(root, d, cfg)
+    erase_where(root, d, {"column": "lang", "op": "==", "value": "go"})
+    run(root, d, cfg)
+    return state_table(root).to_pandas().reset_index(drop=True)
+
+
+def cdc_erased_sql_for(sf_dir: str) -> str:
+    """The flagship LWW reduction with the erased predicate dropped."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit, lang, content, branch
+FROM (
+  SELECT repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D' AND (lang <> 'go' OR lang IS NULL)
+ORDER BY repo, path
+"""
+
+
+def _cdc_erased_sql() -> str:
+    return cdc_erased_sql_for("/root/testdata/sf0.01")
+
+
 _CDC_ENRICH_RULES = [
     {"target": "lang_upper",
      "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
@@ -2521,6 +2568,7 @@ def build_queries():
         "cdc_egress": cdc_egress,
         "cdc_repartitioned": cdc_repartitioned,
         "cdc_lookup": cdc_lookup,
+        "cdc_erased": cdc_erased,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
@@ -2567,6 +2615,7 @@ def build_oracle_sql():
         "cdc_egress": cdc_egress_sql_for("/root/testdata/sf0.01"),
         "cdc_repartitioned": _cdc_flagship_sql(),
         "cdc_lookup": _cdc_lookup_sql(),
+        "cdc_erased": _cdc_erased_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),

@@ -53,6 +53,7 @@ def _tier_sql_builders() -> dict:
         "cdc_egress": q.cdc_egress_sql_for,
         "cdc_repartitioned": q.cdc_flagship_sql_for,
         "cdc_lookup": q.cdc_lookup_sql_for,
+        "cdc_erased": q.cdc_erased_sql_for,
         "events_windowed": q.events_windowed_sql_for,
         "events_windowed_late": q.events_windowed_late_sql_for,
     }
