@@ -289,3 +289,47 @@ def test_lake_stats_and_advisor(ray_session, log, tmp_path, capsys):
     assert out["stats"]["num_partitions"] == 4
     assert out["advice"]["current"] == 4
     assert ckpt.read_manifest(root).epoch == e
+
+
+def test_windows_ride_through_repartition(ray_session, tmp_path):
+    """The window store (event-time tumbling windows over the ingest
+    stream) catches up over the eventless repartition epoch and ends
+    equal to an uninterrupted run's output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.windows import WindowSpec, late_table, windows_table
+
+    base = make_base_table(80, seed=91)
+    log = make_changelog(base, 1200, seed=92, dup_frac=0.02)
+    # event-time column: 30 s cadence with jitter and a late tail
+    rng = np.random.default_rng(93)
+    n = log.num_rows
+    ts = 1_700_000_000_000_000 + log["offset"].to_numpy() * 30_000_000
+    ts = ts + rng.integers(-60, 60, n) * 1_000_000
+    late = rng.choice(n, size=n // 25, replace=False)
+    ts[late] -= 3_600_000_000
+    log = log.append_column("ts", pa.array(ts, pa.int64()).cast(pa.timestamp("us")))
+
+    spec = WindowSpec(ts_col="ts", width_s=600, allowed_lateness_s=120,
+                      group_by=("lang",))
+
+    def cfg(nparts):
+        return EngineConfig(epoch_size=EPOCH, num_partitions=nparts, window_spec=spec)
+
+    root = str(tmp_path / "lake")
+    run(root, _prefix(log, 2 * EPOCH), cfg(4))
+    repartition_lake(root, 9)
+    run(root, log, cfg(9))
+
+    oracle = str(tmp_path / "oracle")
+    run(oracle, log, cfg(9))
+
+    for reader in (windows_table, late_table):
+        a, b = reader(root), reader(oracle)
+        drop = [c for c in a.column_names if c == "epoch" or c.startswith("epoch_")]
+        a, b = a.drop_columns(drop), b.drop_columns(drop)
+        ka = sorted(map(tuple, zip(*[a[c].to_pylist() for c in a.column_names])), key=repr)
+        kb = sorted(map(tuple, zip(*[b[c].to_pylist() for c in b.column_names])), key=repr)
+        assert ka == kb, f"{reader.__name__} diverged across repartition"
