@@ -260,6 +260,20 @@ def cmd_erase(args) -> int:
     return 0
 
 
+def cmd_rewrite(args) -> int:
+    _init_ray(args.num_cpus)
+    from silk_ray.cdc.erase import rewrite_where
+
+    def _load(v):
+        return json.load(open(v)) if os.path.exists(v) else json.loads(v)
+
+    t0 = time.perf_counter()
+    out = rewrite_where(args.root, args.changelog, _load(args.where), _load(args.set_rules))
+    print(json.dumps({"command": "rewrite",
+                      "seconds": round(time.perf_counter() - t0, 3), **out}))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     cfg = json.load(open(args.config))
     _init_ray(args.num_cpus)
@@ -374,6 +388,23 @@ def main(argv=None) -> int:
                          '{"column","op","value"}; ops: == != < <= > >= contains prefix in. '
                          "Inline JSON or a file path.")
     pe.set_defaults(fn=cmd_erase)
+
+    pu = sub.add_parser(
+        "rewrite",
+        help="SET ... WHERE ... CDC-natively: append U events carrying the "
+             "full rewritten payload for every matching live row "
+             "(cdc/erase.py rewrite_where); the next cdc run applies them",
+    )
+    pu.add_argument("--root", required=True)
+    pu.add_argument("--changelog", required=True,
+                    help="the binlog DIRECTORY the rewrite segment is appended to")
+    pu.add_argument("--where", required=True, metavar="PRED",
+                    help="JSON predicate (same form as erase)")
+    pu.add_argument("--set", required=True, metavar="RULES", dest="set_rules",
+                    help="JSON list of transform-rule specs (the enrichment DSL: "
+                         '{"target", "input", ...}); each target overwrites or '
+                         "adds a payload column. Inline JSON or a file path.")
+    pu.set_defaults(fn=cmd_rewrite)
 
     args = p.parse_args(argv)
     return args.fn(args)

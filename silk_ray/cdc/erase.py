@@ -97,53 +97,65 @@ def compile_predicate(where):
     return mask
 
 
-def erase_where(root: str, changelog_dir: str, where) -> dict:
-    """Emit D events for every live lake row matching ``where``.
-
-    Returns {"events", "segment", "offset_lo", "offset_hi"}. Nothing is
-    applied here — run the engine to tail the new events."""
+def _scan_matching(root: str, changelog_dir: str, where, columns):
+    """Distributed predicate scan over the live state; ``columns`` or
+    all non-internal columns of the matching rows reach the driver,
+    sorted by key. Returns (manifest, table | None)."""
     manifest = ckpt.read_manifest(root)
     if manifest.epoch == 0:
         raise ValueError(f"lake at {root!r} has no committed epochs")
     if not os.path.isdir(changelog_dir):
         raise ValueError(
-            f"changelog {changelog_dir!r} is not a directory — erasure appends "
+            f"changelog {changelog_dir!r} is not a directory — DML emits append "
             "a segment file, so the binlog must be directory-shaped"
         )
     mask = compile_predicate(where)
 
-    def match_keys(batch: pa.Table) -> pa.Table:
+    def match(batch: pa.Table) -> pa.Table:
         hit = batch.filter(mask(batch))
-        return hit.select(["repo", "path"])
+        if columns is not None:
+            return hit.select(columns)
+        drop = [c for c in ("_offset", "_kh") if c in hit.column_names]
+        return hit.drop_columns(drop)
 
-    keys = (
+    refs = (
         snapshot_dataset(root)
-        .map_batches(match_keys, batch_format="pyarrow")
+        .map_batches(match, batch_format="pyarrow")
         .to_arrow_refs()
     )
     import ray
 
-    parts = [t for t in ray.get(keys) if t.num_rows]
-    n = sum(t.num_rows for t in parts)
-    if n == 0:
-        return {"events": 0, "segment": None}
-
-    merged = pa.concat_tables(parts).sort_by(
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return manifest, None
+    # schema union: evolution-added columns exist only where touched
+    merged = pa.concat_tables(parts, promote_options="default").sort_by(
         [("repo", "ascending"), ("path", "ascending")]
     )
+    return manifest, merged
+
+
+def _emit_segment(
+    manifest, changelog_dir: str, kind: str, op: str, rows: pa.Table
+) -> dict:
+    """Append ``rows`` as ``op`` events at fresh offsets; atomic write,
+    same-offset re-emits refused."""
+    n = rows.num_rows
     start = max(_changelog_max_offset(changelog_dir) or -1, manifest.next_offset - 1) + 1
-    seg = pa.table(
-        {
-            "offset": pa.array(range(start, start + n), pa.int64()),
-            "op": pa.array(["D"] * n, pa.string()),
-            "repo": merged["repo"].combine_chunks(),
-            "path": merged["path"].combine_chunks(),
-        }
-    )
-    path = os.path.join(changelog_dir, f"erasure-{start:012d}.parquet")
+    cols = {
+        "offset": pa.array(range(start, start + n), pa.int64()),
+        "op": pa.array([op] * n, pa.string()),
+        "repo": rows["repo"].combine_chunks(),
+        "path": rows["path"].combine_chunks(),
+    }
+    for c in rows.column_names:
+        if c not in cols:
+            cols[c] = rows[c].combine_chunks()
+    seg = pa.table(cols)
+    path = os.path.join(changelog_dir, f"{kind}-{start:012d}.parquet")
     if os.path.exists(path):
         raise FileExistsError(
-            f"{path} already exists — an erasure segment at this offset was "
+            f"{path} already exists — a {kind} segment at this offset was "
             "already emitted; tail it with the engine (or remove it first if "
             "it was never consumed and the predicate was wrong)"
         )
@@ -156,3 +168,44 @@ def erase_where(root: str, changelog_dir: str, where) -> dict:
         "offset_lo": start,
         "offset_hi": start + n - 1,
     }
+
+
+def erase_where(root: str, changelog_dir: str, where) -> dict:
+    """Emit D events for every live lake row matching ``where``.
+
+    Returns {"events", "segment", "offset_lo", "offset_hi"}. Nothing is
+    applied here — run the engine to tail the new events."""
+    manifest, keys = _scan_matching(root, changelog_dir, where, ["repo", "path"])
+    if keys is None:
+        return {"events": 0, "segment": None}
+    return _emit_segment(manifest, changelog_dir, "erasure", "D", keys)
+
+
+def rewrite_where(root: str, changelog_dir: str, where, set_rules: list[dict]) -> dict:
+    """SET ... WHERE ... through the binlog: emit one U event per live
+    matching row, carrying the row's FULL current payload with the
+    ``set_rules`` targets overwritten (or added — schema evolution
+    handles a new column). ``set_rules`` is the same JSON transform-rule
+    DSL as ingest enrichment (``EngineConfig.enrich_rules``), so a
+    rewrite can be a constant, a regex extraction, a typed cast — any
+    registered transformer tree.
+
+    Full payload is mandatory: last-writer-wins replaces the whole row,
+    so a partial U would null the untouched columns. A rule error on any
+    matched row ABORTS the emit (an explicit operator action with a
+    broken rule must not half-apply or quarantine), unlike ingest
+    enrichment where bad producer rows quarantine to the DLQ."""
+    from silk_ray.cdc.merge import _enrich_events
+
+    manifest, rows = _scan_matching(root, changelog_dir, where, None)
+    if rows is None:
+        return {"events": 0, "segment": None}
+    out, dead = _enrich_events(rows, set_rules)
+    if dead is not None and dead.num_rows:
+        sample = dead.select(["repo", "path", "reason"]).slice(0, 3).to_pylist()
+        raise ValueError(
+            f"rewrite rule failed on {dead.num_rows} of {rows.num_rows} matched "
+            f"rows (first: {sample}) — aborting the emit; fix the rule (erasure "
+            "of bad rows is erase_where's job)"
+        )
+    return _emit_segment(manifest, changelog_dir, "rewrite", "U", out)

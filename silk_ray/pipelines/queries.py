@@ -2353,6 +2353,64 @@ def _cdc_erased_sql() -> str:
     return cdc_erased_sql_for("/root/testdata/sf0.01")
 
 
+def cdc_rewritten(sf_dir: str):
+    """SET ... WHERE ... through the binlog (cdc/erase.py
+    ``rewrite_where``): tail the flagship changelog, rewrite every live
+    ``path`` containing ``_01.md`` — lang upper-cased (the enrichment
+    transform DSL) plus an evolution-added ``reviewed='yes'`` column —
+    as U events carrying the full payload, tail again. The final state
+    equals the flagship LWW reduction with two CASE expressions."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.erase import rewrite_where
+    from silk_ray.cdc.generator import write_changelog_segments
+    from silk_ray.cdc.merge import state_table
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    sz = max(250, n_base)
+    d = tempfile.mkdtemp(prefix="silkray_cl_rw_")
+    write_changelog_segments(log, d, segment_size=sz)
+    root = tempfile.mkdtemp(prefix="silkray_lake_rw_")
+    cfg = EngineConfig(epoch_size=sz, num_partitions=8)
+    run(root, d, cfg)
+    rewrite_where(
+        root, d,
+        {"column": "path", "op": "contains", "value": "_01.md"},
+        [{"target": "lang",
+          "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
+         {"target": "reviewed",
+          "input": {"transform": "constant", "params": {"value": "yes"},
+                    "inputs": []}}],
+    )
+    run(root, d, cfg)
+    return state_table(root).to_pandas().reset_index(drop=True)
+
+
+def cdc_rewritten_sql_for(sf_dir: str) -> str:
+    """The flagship LWW reduction with the rewrite as CASE expressions
+    (the rewrite is the stream's last word on the matched keys)."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit,
+       CASE WHEN contains(path, '_01.md') THEN upper(lang) ELSE lang END AS lang,
+       content, branch,
+       CASE WHEN contains(path, '_01.md') THEN 'yes' END AS reviewed
+FROM (
+  SELECT repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+def _cdc_rewritten_sql() -> str:
+    return cdc_rewritten_sql_for("/root/testdata/sf0.01")
+
+
 _CDC_ENRICH_RULES = [
     {"target": "lang_upper",
      "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
@@ -2569,6 +2627,7 @@ def build_queries():
         "cdc_repartitioned": cdc_repartitioned,
         "cdc_lookup": cdc_lookup,
         "cdc_erased": cdc_erased,
+        "cdc_rewritten": cdc_rewritten,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
@@ -2616,6 +2675,7 @@ def build_oracle_sql():
         "cdc_repartitioned": _cdc_flagship_sql(),
         "cdc_lookup": _cdc_lookup_sql(),
         "cdc_erased": _cdc_erased_sql(),
+        "cdc_rewritten": _cdc_rewritten_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),

@@ -200,3 +200,87 @@ def test_erase_cli(ray_session, tmp_path, binlog, capsys):
     assert main(["cdc", "--root", root, "--changelog", d,
                  "--epoch-size", "300", "--num-partitions", "3"]) == 0
     assert "go" not in set(state_table(root)["lang"].to_pylist())
+
+
+def test_rewrite_where_equals_oracle(ray_session, tmp_path, binlog):
+    """U events through the binlog: matched rows keep their full payload
+    with the SET targets overwritten; unmatched rows untouched; replay
+    across epoch shapes identical."""
+    d, _ = binlog
+    from silk_ray.cdc.erase import rewrite_where
+
+    root = str(tmp_path / "lake")
+    run_to_completion(root, d, epoch_size=200, num_partitions=4)
+    before = {(r["repo"], r["path"]): r for r in state_table(root).to_pylist()}
+
+    out = rewrite_where(
+        root, d,
+        {"column": "path", "op": "prefix", "value": "src/module_01"},
+        [{"target": "lang",
+          "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
+         {"target": "reviewed",
+          "input": {"transform": "constant", "params": {"value": "yes"},
+                    "inputs": []}}],
+    )
+    assert out["events"] > 0
+    run_to_completion(root, d, epoch_size=200, num_partitions=4)
+
+    after = {(r["repo"], r["path"]): r for r in state_table(root).to_pylist()}
+    assert set(after) == set(before)  # a rewrite never adds/removes keys
+    changed = 0
+    for k, row in after.items():
+        if k[1].startswith("src/module_01"):
+            changed += 1
+            assert row["lang"] == before[k]["lang"].upper()
+            assert row["reviewed"] == "yes"  # evolution-added column
+            assert row["content"] == before[k]["content"]  # payload preserved
+            assert row["commit"] == before[k]["commit"]
+        else:
+            assert row["lang"] == before[k]["lang"]
+            assert row.get("reviewed") is None
+    assert changed == out["events"]
+
+    # different epoch shape consumes the same binlog identically
+    root_b = str(tmp_path / "b")
+    run_to_completion(root_b, d, epoch_size=130, num_partitions=7)
+    assert state_sha256(root_b) == state_sha256(root)
+
+
+def test_rewrite_bad_rule_aborts_without_emitting(ray_session, tmp_path, binlog):
+    d, _ = binlog
+    import glob
+
+    from silk_ray.cdc.erase import rewrite_where
+
+    root = str(tmp_path / "lake")
+    run_to_completion(root, d, epoch_size=300, num_partitions=3)
+    segs = set(glob.glob(os.path.join(d, "*.parquet")))
+    with pytest.raises(ValueError, match="aborting the emit"):
+        rewrite_where(
+            root, d,
+            {"column": "lang", "op": "==", "value": "py"},
+            # Integer-typed target fed non-numeric content must error
+            [{"target": "n", "value_type": "IntegerValueType",
+              "input": {"path": "content"}}],
+        )
+    assert set(glob.glob(os.path.join(d, "*.parquet"))) == segs  # nothing appended
+
+
+def test_rewrite_cli(ray_session, tmp_path, binlog, capsys):
+    from silk_ray.__main__ import main
+
+    d, _ = binlog
+    root = str(tmp_path / "lake")
+    assert main(["cdc", "--root", root, "--changelog", d,
+                 "--epoch-size", "300", "--num-partitions", "3"]) == 0
+    capsys.readouterr()
+    assert main(["rewrite", "--root", root, "--changelog", d,
+                 "--where", '{"column": "lang", "op": "==", "value": "go"}',
+                 "--set", '[{"target": "lang", "input": {"transform": "constant", '
+                          '"params": {"value": "golang"}, "inputs": []}}]']) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] > 0
+    assert main(["cdc", "--root", root, "--changelog", d,
+                 "--epoch-size", "300", "--num-partitions", "3"]) == 0
+    langs = set(state_table(root)["lang"].to_pylist())
+    assert "go" not in langs and "golang" in langs

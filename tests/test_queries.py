@@ -54,6 +54,7 @@ def _tier_sql_builders() -> dict:
         "cdc_repartitioned": q.cdc_flagship_sql_for,
         "cdc_lookup": q.cdc_lookup_sql_for,
         "cdc_erased": q.cdc_erased_sql_for,
+        "cdc_rewritten": q.cdc_rewritten_sql_for,
         "events_windowed": q.events_windowed_sql_for,
         "events_windowed_late": q.events_windowed_late_sql_for,
     }
