@@ -163,12 +163,19 @@ def cmd_cdc(args) -> int:
     t0 = time.perf_counter()
     boot = None
     if args.from_snapshot:
+        from silk_ray.cdc.bootstrap import bootstrap_lake, read_snapshot_marker
+
+        if args.snapshot_offset is None:
+            marker = read_snapshot_marker(args.from_snapshot)
+            if marker is not None:
+                args.snapshot_offset = int(marker["as_of_offset"])
         if args.snapshot_offset is None:
             raise SystemExit(
                 "--from-snapshot requires --snapshot-offset (the changelog "
-                "offset the snapshot is consistent as of)"
+                "offset the snapshot is consistent as of) — or a snapshot "
+                "directory exported by `export-snapshot`, whose _SNAPSHOT.json "
+                "carries it"
             )
-        from silk_ray.cdc.bootstrap import bootstrap_lake
 
         boot = bootstrap_lake(
             args.root,
@@ -271,6 +278,17 @@ def cmd_rewrite(args) -> int:
     out = rewrite_where(args.root, args.changelog, _load(args.where), _load(args.set_rules))
     print(json.dumps({"command": "rewrite",
                       "seconds": round(time.perf_counter() - t0, 3), **out}))
+    return 0
+
+
+def cmd_export_snapshot(args) -> int:
+    _init_ray(args.num_cpus)
+    from silk_ray.cdc.bootstrap import export_snapshot
+
+    t0 = time.perf_counter()
+    marker = export_snapshot(args.root, args.out, at_epoch=args.at_epoch)
+    print(json.dumps({"command": "export-snapshot",
+                      "seconds": round(time.perf_counter() - t0, 3), **marker}))
     return 0
 
 
@@ -405,6 +423,18 @@ def main(argv=None) -> int:
                          '{"target", "input", ...}); each target overwrites or '
                          "adds a payload column. Inline JSON or a file path.")
     pu.set_defaults(fn=cmd_rewrite)
+
+    ps = sub.add_parser(
+        "export-snapshot",
+        help="write the lake state (or an as-of-epoch state) as a clean "
+             "partitioned parquet snapshot + _SNAPSHOT.json marker — the "
+             "bootstrap-ready DR/migration artifact (cdc/bootstrap.py)",
+    )
+    ps.add_argument("--root", required=True)
+    ps.add_argument("--out", required=True, help="fresh output directory")
+    ps.add_argument("--at-epoch", type=int, default=None,
+                    help="export a retained earlier epoch instead of the live state")
+    ps.set_defaults(fn=cmd_export_snapshot)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -168,3 +168,82 @@ def _synth_parquet(root: str, snapshot_path: str, as_of_offset: int) -> str:
         start += c
     ray.get(refs)
     return out_dir
+
+
+def _export_task(root: str, files: list[str], out_path: str) -> int:
+    """Reconcile one partition chain and write it as a clean snapshot
+    part (internal columns dropped; key-sorted for determinism)."""
+    from silk_ray.cdc.merge import _read_chain, reconcile_tables
+
+    t = reconcile_tables(_read_chain(root, files))
+    t = t.drop_columns([c for c in ("_offset", "_kh") if c in t.column_names])
+    if not t.num_rows:
+        return 0
+    t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
+    ckpt.atomic_write_parquet(t, out_path)
+    return t.num_rows
+
+
+def export_snapshot(root: str, out_dir: str, at_epoch: int | None = None) -> dict:
+    """The inverse of bootstrap: write the lake's (or an as-of-epoch)
+    state as a clean partitioned parquet snapshot plus a consistency
+    marker, suitable for ``bootstrap_lake`` on another root.
+
+    One Ray task per partition chain writes ``part-{pid}.parquet``
+    (reconciled, internals dropped, key-sorted); the ``_SNAPSHOT.json``
+    marker — epoch, the binlog offset the state is consistent as of,
+    row/file counts — is written atomically LAST, so a crashed export
+    leaves no marker and a rerun converges. The DR/migration runbook is
+    export → bootstrap(as_of_offset = marker) → tail: byte-identical to
+    a full tail (tests/test_bootstrap.py round trip)."""
+    import ray
+
+    from silk_ray.cdc.merge import partition_chains
+
+    marker_path = os.path.join(out_dir, "_SNAPSHOT.json")
+    if os.path.exists(marker_path):
+        raise FileExistsError(
+            f"{marker_path} already exists — refusing to overwrite a committed "
+            "snapshot; export to a fresh directory"
+        )
+    manifest = (
+        ckpt.read_manifest_at(root, at_epoch) if at_epoch is not None
+        else ckpt.read_manifest(root)
+    )
+    if manifest.epoch == 0:
+        raise ValueError(f"lake at {root!r} has no committed epochs to export")
+    os.makedirs(out_dir, exist_ok=True)
+    chains = partition_chains(root, at_epoch=at_epoch)
+    task = ray.remote(_export_task)
+    jobs, parts = [], []
+    for pid, files in sorted(chains.items()):
+        p = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        jobs.append(task.remote(root, files, p))
+        parts.append(p)
+    rows = ray.get(jobs)
+    files = [os.path.basename(p) for p, n in zip(parts, rows) if n]
+    marker = {
+        "epoch": manifest.epoch,
+        "as_of_offset": manifest.next_offset - 1,
+        "rows": int(sum(rows)),
+        "files": files,
+        "num_partitions": manifest.num_partitions,
+    }
+    import json
+
+    tmp = f"{marker_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(marker, f, sort_keys=True)
+    os.replace(tmp, marker_path)
+    return marker
+
+
+def read_snapshot_marker(path: str) -> dict | None:
+    """The _SNAPSHOT.json of an exported snapshot directory, if any."""
+    import json
+
+    p = os.path.join(path, "_SNAPSHOT.json") if os.path.isdir(path) else None
+    if p is None or not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

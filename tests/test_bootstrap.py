@@ -163,3 +163,101 @@ def test_duplicate_keys_last_wins_and_dlq(tmp_path, ray_session):
 
     dl = dead_letters_table(boot)
     assert dl.num_rows == 1
+
+
+def test_export_snapshot_round_trip(tmp_path, ray_session):
+    """export → bootstrap(marker offset) → tail == full tail; the
+    DR/migration runbook end to end, including through a mid-stream
+    export (live lake keeps tailing past the export point)."""
+    from silk_ray.cdc.bootstrap import export_snapshot, read_snapshot_marker
+    from silk_ray.cdc.merge import run_to_completion
+
+    log = _stream()
+    # producer lake consumes a prefix, exports, then keeps going
+    src = str(tmp_path / "src")
+    prefix = log.filter(pc.less(log["offset"], 400))
+    run_to_completion(src, prefix, epoch_size=200, num_partitions=4)
+    out = str(tmp_path / "snap")
+    marker = export_snapshot(src, out)
+    assert marker["rows"] == state_table(src).num_rows
+    assert marker["as_of_offset"] == 399
+    assert marker["num_partitions"] == 4
+    assert read_snapshot_marker(out) == marker
+    assert os.path.exists(os.path.join(out, marker["files"][0]))
+    run_to_completion(src, log, epoch_size=200, num_partitions=4)
+
+    # replica: bootstrap from the exported dir at the marker offset
+    dst = str(tmp_path / "dst")
+    bootstrap_lake(dst, out, as_of_offset=marker["as_of_offset"], num_partitions=3)
+    run_to_completion(dst, log, epoch_size=150, num_partitions=3)
+    assert state_sha256(dst) == state_sha256(src)
+
+    # a second export into the same dir is refused (committed marker)
+    with pytest.raises(FileExistsError, match="refusing to overwrite"):
+        export_snapshot(src, out)
+
+
+def test_export_snapshot_at_epoch_and_crash(tmp_path, ray_session, monkeypatch):
+    from silk_ray.cdc import bootstrap as bs
+    from silk_ray.cdc.bootstrap import export_snapshot, read_snapshot_marker
+    from silk_ray.cdc import checkpoint as ckpt
+    from silk_ray.cdc.merge import run_to_completion
+
+    log = _stream(seed=29)
+    src = str(tmp_path / "src")
+    run_to_completion(src, log, epoch_size=200, num_partitions=4)
+    e1_sha = state_sha256(src, at_epoch=1)
+
+    # as-of-epoch export equals the time-travel read
+    out1 = str(tmp_path / "snap1")
+    m1 = export_snapshot(src, out1, at_epoch=1)
+    assert m1["epoch"] == 1
+    assert m1["as_of_offset"] == ckpt.read_manifest_at(src, 1).next_offset - 1
+    dst = str(tmp_path / "dst")
+    bootstrap_lake(dst, out1, as_of_offset=m1["as_of_offset"], num_partitions=2)
+    assert state_sha256(dst) == e1_sha
+
+    # crash before the marker write: no marker, rerun converges
+    out2 = str(tmp_path / "snap2")
+
+    real_replace = os.replace
+
+    def boom(srcp, dstp):
+        if dstp.endswith("_SNAPSHOT.json"):
+            raise RuntimeError("injected crash before marker")
+        return real_replace(srcp, dstp)
+
+    monkeypatch.setattr(bs.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        export_snapshot(src, out2)
+    monkeypatch.undo()
+    assert read_snapshot_marker(out2) is None  # not committed
+    m2 = export_snapshot(src, out2)  # rerun converges
+    assert m2["rows"] == state_table(src).num_rows
+
+
+def test_export_snapshot_cli_and_marker_offset(tmp_path, ray_session, capsys):
+    import json
+
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.generator import write_changelog_segments
+    from silk_ray.cdc.merge import run_to_completion
+
+    log = _stream(seed=31)
+    d = str(tmp_path / "cl")
+    write_changelog_segments(log, d, segment_size=350)
+    src = str(tmp_path / "src")
+    run_to_completion(src, d, epoch_size=350, num_partitions=4)
+    out = str(tmp_path / "snap")
+    assert main(["export-snapshot", "--root", src, "--out", out]) == 0
+    marker = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert marker["rows"] > 0
+
+    # --from-snapshot on an exported dir needs no --snapshot-offset
+    dst = str(tmp_path / "dst")
+    assert main(["cdc", "--root", dst, "--changelog", d,
+                 "--epoch-size", "350", "--num-partitions", "4",
+                 "--from-snapshot", out]) == 0
+    outj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outj["bootstrap"]["as_of_offset"] == marker["as_of_offset"]
+    assert state_sha256(dst) == state_sha256(src)
