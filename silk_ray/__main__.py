@@ -281,6 +281,70 @@ def cmd_rewrite(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """One health endpoint over every store: metadata reads only (no
+    Ray session) — manifests, state pointers, file sizes, consumer
+    positions and the last committed epoch's metrics."""
+    from silk_ray.cdc import checkpoint as ckpt
+    from silk_ray.cdc.repartition import lake_stats
+
+    manifest = ckpt.read_manifest(args.root)
+    out: dict = {"command": "status", "root": args.root}
+    if manifest.epoch == 0:
+        out["lake"] = {"epoch": 0}
+        print(json.dumps(out))
+        return 0
+    st = lake_stats(args.root)
+    out["lake"] = {
+        "epoch": manifest.epoch,
+        "next_offset": manifest.next_offset,
+        "num_partitions": manifest.num_partitions,
+        "rows_total": st["rows_total"],
+        "bytes_total": st["bytes_total"],
+        "row_skew_ratio": round(st["row_skew_ratio"], 3),
+    }
+    metrics = ckpt.read_metrics(args.root)
+    if metrics:
+        last = metrics[-1]
+        out["last_epoch"] = {
+            k: last[k]
+            for k in ("epoch", "events_applied", "dead_lettered", "lag_offsets",
+                      "skew_ratio", "dirty_total")
+            if k in last
+        }
+    stores: dict = {}
+    from silk_ray.cdc.incremental import read_linkstate
+    links = read_linkstate(args.root)
+    if links.get("epoch", 0):
+        stores["links"] = {"epoch": links["epoch"],
+                           "links_total": links.get("links_total")}
+    from silk_ray.cdc.clusters import read_clusterstate
+    cl = read_clusterstate(args.root)
+    if cl.get("epoch", 0):
+        stores["clusters"] = {"epoch": cl["epoch"]}
+    from silk_ray.cdc.matview import read_aggstate
+    agg = read_aggstate(args.root)
+    if agg.get("epoch", 0):
+        stores["agg_view"] = {"epoch": agg["epoch"]}
+    from silk_ray.cdc.windows import read_winstate
+    win = read_winstate(args.root)
+    if win.get("epoch", 0):
+        stores["windows"] = {"epoch": win["epoch"],
+                             "watermark_us": win.get("watermark_us")}
+    from silk_ray.cdc.egress import consumer_lag, read_egressstate
+    eg = read_egressstate(args.root)
+    if eg.get("epoch", 0):
+        stores["egress"] = {"epoch": eg["epoch"], "next_seq": eg["next_seq"],
+                            "consumer_lag": consumer_lag(args.root)}
+    out["stores"] = stores
+    # a store lagging the lake by >1 epoch points at a crashed catch-up
+    out["store_lag_epochs"] = {
+        name: manifest.epoch - int(s["epoch"]) for name, s in stores.items()
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_export_snapshot(args) -> int:
     _init_ray(args.num_cpus)
     from silk_ray.cdc.bootstrap import export_snapshot
@@ -435,6 +499,14 @@ def main(argv=None) -> int:
     ps.add_argument("--at-epoch", type=int, default=None,
                     help="export a retained earlier epoch instead of the live state")
     ps.set_defaults(fn=cmd_export_snapshot)
+
+    pst = sub.add_parser(
+        "status",
+        help="one-shot health JSON over the lake and every auxiliary store "
+             "(metadata reads only; no Ray session)",
+    )
+    pst.add_argument("--root", required=True)
+    pst.set_defaults(fn=cmd_status)
 
     args = p.parse_args(argv)
     return args.fn(args)

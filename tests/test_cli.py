@@ -191,3 +191,34 @@ def test_cli_repartition_roundtrip(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["events_applied"] == 150
     assert out["lag_offsets"] == 0
+
+
+def test_cli_status(ray_session, tmp_path, capsys):
+    """`status` is a no-Ray health endpoint over every store."""
+    import json
+
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.generator import make_base_table, make_changelog, write_changelog_segments
+
+    base = make_base_table(40, seed=13)
+    log = make_changelog(base, 250, seed=14)
+    write_changelog_segments(log, str(tmp_path / "cl"), segment_size=125)
+    root = str(tmp_path / "lake")
+
+    # empty root: epoch 0, no crash
+    assert main(["status", "--root", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["lake"] == {"epoch": 0}
+
+    assert main(["cdc", "--root", root, "--changelog", str(tmp_path / "cl"),
+                 "--epoch-size", "125", "--num-partitions", "3",
+                 "--egress"]) == 0
+    capsys.readouterr()
+    assert main(["status", "--root", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["lake"]["epoch"] == 2
+    assert out["lake"]["num_partitions"] == 3
+    assert out["lake"]["rows_total"] > 0
+    assert out["last_epoch"]["lag_offsets"] == 0
+    assert out["stores"]["egress"]["epoch"] == 2
+    assert out["store_lag_epochs"]["egress"] == 0
