@@ -197,6 +197,9 @@ def cmd_cdc(args) -> int:
         enrich_rules=json.load(open(args.enrich)) if args.enrich else None,
         egress=bool(args.egress),
         egress_shards=args.egress_shards,
+        target_epoch_seconds=args.target_epoch_seconds,
+        min_epoch_size=args.min_epoch_size,
+        max_epoch_size=args.max_epoch_size,
     )
     metrics = run(args.root, args.changelog, cfg)
     out = {
@@ -400,6 +403,14 @@ def main(argv=None) -> int:
     pc.add_argument("--num-partitions", type=int, default=64)
     pc.add_argument("--block-partitions", type=int, default=64)
     pc.add_argument("--max-epochs", type=int, default=None)
+    pc.add_argument(
+        "--target-epoch-seconds", type=float, default=None,
+        help="adaptive epoch sizing: steer each next window so epoch wall "
+             "time approaches this target (growth damped at 4x/step), "
+             "bounded by --min/--max-epoch-size",
+    )
+    pc.add_argument("--min-epoch-size", type=int, default=1_000)
+    pc.add_argument("--max-epoch-size", type=int, default=None)
     pc.add_argument(
         "--maintain-clusters", action="store_true",
         help="also maintain the duplicate-cluster table per epoch (needs --rule)",

@@ -79,6 +79,18 @@ class EngineConfig:
     # late arrivals to a side output. Watermarks advance at epoch
     # boundaries (micro-batch semantics).
     window_spec: "object | None" = None  # WindowSpec
+    # adaptive epoch sizing: when set, the engine steers each NEXT
+    # window's size so epoch wall time approaches this target —
+    # catch-up throughput when the binlog is deep, bounded commit
+    # latency when tailing the head. Safe by construction: the final
+    # state is epoch-shape-independent (the replay/soak invariants),
+    # so adaptivity changes WHEN commits happen, never what they hold.
+    # Growth is damped (≤4× per step, blended with the current size)
+    # so one anomalously fast epoch on a throttling host cannot spike
+    # the window.
+    target_epoch_seconds: float | None = None
+    min_epoch_size: int = 1_000
+    max_epoch_size: int | None = None
 
 
 def catch_up_links(root: str, config: EngineConfig) -> list[dict]:
@@ -161,13 +173,14 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
     catch_up_egress(root, config)
     catch_up_windows(root, changelog, config)
     epochs = 0
+    cur_epoch_size = config.epoch_size
     while config.max_epochs is None or epochs < config.max_epochs:
         t_epoch = time.perf_counter()
         lo_offset = ckpt.read_manifest(root).next_offset
         m = run_epoch(
             root,
             changelog,
-            epoch_size=config.epoch_size,
+            epoch_size=cur_epoch_size,
             num_partitions=config.num_partitions,
             renames=config.renames or None,
             link_spec=config.rule_spec if isinstance(config.rule_spec, dict) else None,
@@ -241,6 +254,16 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
         # best epoch is a throttling-robust throughput estimator on
         # hosts where sustained-load wall time swings run-to-run
         m["epoch_seconds"] = time.perf_counter() - t_epoch
+        m["epoch_size"] = cur_epoch_size
+        if config.target_epoch_seconds and m["events_applied"]:
+            rate = m["events_applied"] / max(m["epoch_seconds"], 1e-6)
+            want = max(1, int(rate * config.target_epoch_seconds))
+            blended = int(0.5 * cur_epoch_size + 0.5 * want)
+            nxt = min(blended, cur_epoch_size * 4)  # damp growth spikes
+            nxt = max(nxt, config.min_epoch_size)
+            if config.max_epoch_size is not None:
+                nxt = min(nxt, config.max_epoch_size)
+            m["next_epoch_size"] = cur_epoch_size = nxt
         results.append(m)
         epochs += 1
     return results

@@ -284,3 +284,65 @@ def test_rewrite_cli(ray_session, tmp_path, binlog, capsys):
                  "--epoch-size", "300", "--num-partitions", "3"]) == 0
     langs = set(state_table(root)["lang"].to_pylist())
     assert "go" not in langs and "golang" in langs
+
+
+def test_erase_flows_through_incremental_linking(ray_session, tmp_path):
+    """An erased document's links vanish via the normal incremental
+    path; a rewrite that changes content re-scores affected pairs. The
+    maintained link store must equal a from-scratch batch run at every
+    step (erasure/rewrite are organic D/U events to the linker)."""
+    import copy
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.erase import erase_where, rewrite_where
+    from silk_ray.cdc.generator import write_changelog_segments
+    from silk_ray.cdc.incremental import links_table
+    from silk_ray.pipelines.rules import BENCH_RULE
+    from tests.test_soak_linked import _batch_links
+
+    rule = copy.deepcopy(BENCH_RULE)
+    rule.pop("filter_limit", None)
+
+    base = make_base_table(70, seed=85, near_dup_frac=0.3)
+    log = make_changelog(base, 500, seed=86, dup_frac=0.03)
+    d = str(tmp_path / "cl")
+    write_changelog_segments(log, d, segment_size=250)
+
+    cfg = EngineConfig(epoch_size=250, num_partitions=4, n_block_partitions=8,
+                       rule_spec=rule)
+    root = str(tmp_path / "lake")
+    run(root, d, cfg)
+
+    def sorted_links():
+        lt = links_table(root)
+        return sorted(zip(lt["source"].to_pylist(), lt["target"].to_pylist()))
+
+    assert sorted_links() == _batch_links(root, rule)
+    pre = sorted_links()
+    assert pre, "corpus with near-dups must produce links"
+
+    # erase one linked document: its pairs must leave the store
+    victim = pre[0][0]
+    repo, path = victim.split("//", 1)
+    erase_where(root, d, [{"column": "repo", "op": "==", "value": repo},
+                          {"column": "path", "op": "==", "value": path}])
+    run(root, d, cfg)
+    post = sorted_links()
+    assert post == _batch_links(root, rule)
+    assert all(victim not in pair for pair in post)
+
+    # rewrite another linked doc's content: incremental == batch again
+    other = post[0][0] if post else None
+    if other is not None:
+        repo2, path2 = other.split("//", 1)
+        rewrite_where(
+            root, d,
+            [{"column": "repo", "op": "==", "value": repo2},
+             {"column": "path", "op": "==", "value": path2}],
+            [{"target": "content",
+              "input": {"transform": "constant",
+                        "params": {"value": "entirely different body now"},
+                        "inputs": []}}],
+        )
+        run(root, d, cfg)
+        assert sorted_links() == _batch_links(root, rule)
