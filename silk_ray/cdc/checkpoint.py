@@ -187,12 +187,25 @@ def dirty_file(root: str, pid: int, epoch: int) -> str:
     return os.path.join(d, f"epoch-{epoch:06d}.parquet")
 
 
+# Row-group size for lake files. Pyarrow's default (1 Mi rows) would
+# put a whole small-partition file into ONE row group, defeating the
+# ``_kh``-statistics pruning that the merge's pre-epoch chain read and
+# ``lookup_keys`` rely on: a pruned read is row-group-granular, so the
+# group size IS the read amplification of a point/delta lookup. 64 Ki
+# rows keeps footer statistics per ~tens of MB of source text while
+# adding negligible metadata (a 100 M-row partition carries ~1.5 K
+# row-group entries per column in its footer).
+LAKE_ROW_GROUP = 64 * 1024
+
+
 def atomic_write_parquet(table, path: str) -> None:
     """Write-then-rename so readers never observe partial files; content
-    is deterministic, so concurrent/retried writers converge."""
+    is deterministic, so concurrent/retried writers converge. Row
+    groups are capped at LAKE_ROW_GROUP so ``_kh`` statistics prune at
+    useful granularity (files are written key-hash-sorted)."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=LAKE_ROW_GROUP)
     os.replace(tmp, path)
