@@ -94,7 +94,22 @@ def bootstrap_lake(
             f"lake at {root!r} already has committed epoch {manifest.epoch}; "
             "bootstrap initializes a fresh root only"
         )
+    # single-writer lease: an engine started concurrently on the same
+    # fresh root would tail from offset 0 while we write epoch 1
+    ckpt.acquire_writer(root, "bootstrap")
+    try:
+        return _bootstrap_locked(
+            root, snapshot, as_of_offset, num_partitions,
+            link_spec, n_block_partitions, renames,
+        )
+    finally:
+        ckpt.release_writer(root)
 
+
+def _bootstrap_locked(
+    root, snapshot, as_of_offset, num_partitions,
+    link_spec, n_block_partitions, renames,
+) -> dict:
     if isinstance(snapshot, pa.Table):
         n = snapshot.num_rows
         if as_of_offset < n - 1:

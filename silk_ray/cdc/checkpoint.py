@@ -187,6 +187,94 @@ def dirty_file(root: str, pid: int, epoch: int) -> str:
     return os.path.join(d, f"epoch-{epoch:06d}.parquet")
 
 
+class WriterLockHeld(RuntimeError):
+    pass
+
+
+def _lock_path(root: str) -> str:
+    return os.path.join(root, "_writer.lock")
+
+
+def acquire_writer(root: str, owner: str = "engine") -> None:
+    """Best-effort single-writer lease on a lake root.
+
+    Two concurrent writers would both read manifest epoch E and both
+    commit E+1 — last rename wins and the loser's files become orphans
+    (or, under different configs, the layouts disagree). The lock is an
+    ``O_EXCL``-created JSON file naming the owner pid; a conflicting
+    acquire raises :class:`WriterLockHeld` UNLESS the recorded pid is
+    dead on this host, in which case the stale lock (a killed engine —
+    the crash-resume path) is auto-stolen. Cross-node the pid check
+    cannot see the other host, so a multi-node deployment keeps the
+    single-writer-per-lake contract by assignment (one tailer owns one
+    lake — the same contract every log-structured lake format v1 ships
+    with) and uses ``force_release_writer`` in its failover runbook.
+    Readers never take the lock: commits are atomic pointer swaps, so
+    snapshots/lookups/egress consumers are always consistent without
+    coordination.
+    """
+    os.makedirs(root, exist_ok=True)
+    payload = json.dumps(
+        {"pid": os.getpid(), "owner": owner}, sort_keys=True
+    )
+    p = _lock_path(root)
+    for _ in range(2):  # second pass after stealing a stale lock
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(p) as f:
+                    held = json.load(f)
+            except (OSError, ValueError):
+                held = {}
+            pid = int(held.get("pid", -1))
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive and pid != os.getpid():
+                raise WriterLockHeld(
+                    f"lake at {root!r} is locked by live writer pid {pid} "
+                    f"({held.get('owner', '?')}); a second concurrent writer "
+                    "would race the manifest swap. Stop it, or "
+                    "force_release_writer(root) if it is on another node and "
+                    "known dead."
+                )
+            os.remove(p)  # stale (dead pid) or re-entrant: steal
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return
+    raise WriterLockHeld(f"could not acquire writer lock at {p}")
+
+
+def release_writer(root: str) -> None:
+    """Release this process's lease (no-op if absent or not ours)."""
+    p = _lock_path(root)
+    try:
+        with open(p) as f:
+            if int(json.load(f).get("pid", -1)) != os.getpid():
+                return
+        os.remove(p)
+    except (OSError, ValueError):
+        pass
+
+
+def force_release_writer(root: str) -> bool:
+    """Operator override for cross-node failover: drop the lock
+    regardless of owner. Returns whether a lock existed."""
+    try:
+        os.remove(_lock_path(root))
+        return True
+    except OSError:
+        return False
+
+
 # Row-group size for lake files. Pyarrow's default (1 Mi rows) would
 # put a whole small-partition file into ONE row group, defeating the
 # ``_kh``-statistics pruning that the merge's pre-epoch chain read and

@@ -167,6 +167,17 @@ def run(root: str, changelog, config: EngineConfig) -> list[dict]:
     """Tail the changelog to exhaustion. Returns per-epoch metrics
     (merge metrics with ``links`` sub-dict when linking is enabled)."""
     results = []
+    # single-writer lease: a second concurrent engine on this root would
+    # race the manifest swap (stale locks from killed engines are
+    # auto-stolen — crash-resume is unaffected)
+    ckpt.acquire_writer(root, "engine")
+    try:
+        return _run_locked(root, changelog, config, results)
+    finally:
+        ckpt.release_writer(root)
+
+
+def _run_locked(root: str, changelog, config: EngineConfig, results: list) -> list[dict]:
     # crash recovery: links / aggregate view / egress / windows may lag
     catch_up_links(root, config)
     catch_up_aggs(root, config)

@@ -198,6 +198,15 @@ def repartition_lake(
             "epoch": manifest.epoch,
             "repartition": {"from": old_n, "to": new_n, "mode": "noop"},
         }
+    ckpt.acquire_writer(root, "repartition")
+    try:
+        return _repartition_locked(root, manifest, old_n, new_n)
+    finally:
+        ckpt.release_writer(root)
+
+
+def _repartition_locked(root: str, manifest, old_n: int, new_n: int) -> dict:
+    import ray
 
     epoch = manifest.epoch + 1
     t0 = time.perf_counter()
