@@ -174,17 +174,29 @@ def reconcile_tables(tables: list[pa.Table]) -> pa.Table:
     return live.drop_columns(["_fidx", "_k"])
 
 
-def _read_chain(root: str, files: list[str], kh_filter: pa.Array | None = None) -> list[pa.Table]:
+def _read_chain(
+    root: str,
+    files: list[str],
+    kh_filter: pa.Array | None = None,
+    columns: list[str] | None = None,
+) -> list[pa.Table]:
     """Read a partition's delta chain; with ``kh_filter`` set, reads are
     filtered on the persisted ``_kh`` key hash so Parquet row-group
-    statistics can prune row groups holding no changed key."""
+    statistics can prune row groups holding no changed key. With
+    ``columns`` set, only those columns (intersected with each file's
+    own schema — evolution means chains are ragged) leave storage;
+    callers must include the key/internal columns reconcile needs."""
     out = []
     for f in files:
         path = os.path.join(root, f)
+        cols = None
+        if columns is not None:
+            have = set(pq.ParquetFile(path).schema_arrow.names)
+            cols = [c for c in columns if c in have]
         if kh_filter is not None:
-            t = pq.read_table(path, filters=pc.field("_kh").isin(kh_filter))
+            t = pq.read_table(path, filters=pc.field("_kh").isin(kh_filter), columns=cols)
         else:
-            t = pq.read_table(path)
+            t = pq.read_table(path, columns=cols)
         out.append(t)
     return out
 
@@ -1091,6 +1103,69 @@ def snapshot_dataset(root: str, at_epoch: int | None = None):
     def load(batch: pa.Table) -> pa.Table:
         out = [_load_partition(row["files"]) for row in batch.to_pylist()]
         return out[0] if len(out) == 1 else pa.concat_tables(out, promote_options="default")
+
+    return rd.from_items(
+        [{"pid": pid, "files": files} for pid, files in chains.items()]
+    ).map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def scan_dataset(
+    root: str,
+    columns: list[str] | None = None,
+    where=None,
+    at_epoch: int | None = None,
+):
+    """Column-pruned, predicate-filtered streaming scan of the lake
+    state ("prune at the read" for lake consumers).
+
+    - ``columns``: only these payload columns (plus the key/internal
+      columns reconcile needs) leave storage — the parquet reads are
+      projected per file, so a 2-column scan of a wide lake never
+      deserializes the other columns.
+    - ``where``: a predicate spec (cdc/erase.py ``compile_predicate``
+      form: ANDed ==/!=/</<=/>/>=/contains/prefix/in conditions)
+      applied AFTER the per-partition reconcile — newest-wins must see
+      every row of a key, so row skipping cannot precede reconcile;
+      only the projected columns are ever materialized, which bounds
+      what the filter step holds.
+    - ``at_epoch``: time-travel, same contract as snapshot_dataset.
+    """
+    import ray.data as rd
+
+    from silk_ray.cdc.erase import compile_predicate
+
+    mask = compile_predicate(where) if where is not None else None
+    need = None
+    if columns is not None:
+        pred_cols = []
+        if where is not None:
+            conds = [where] if isinstance(where, dict) else list(where)
+            pred_cols = [c["column"] for c in conds]
+        # reconcile needs keys + lineage; evolution pads the rest
+        need = list(dict.fromkeys(
+            [*KEY_COLS, "_offset", "_deleted", "_kh", *pred_cols, *columns]
+        ))
+
+    chains = partition_chains(root, at_epoch=at_epoch)
+    if not chains:
+        import pandas as pd
+
+        return rd.from_pandas(pd.DataFrame({"repo": [], "path": []}))
+
+    out_cols = columns
+
+    def load(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            t = reconcile_tables(_read_chain(root, row["files"], columns=need))
+            if mask is not None and t.num_rows:
+                t = t.filter(mask(t))
+            t = t.drop_columns([c for c in ("_offset", "_kh") if c in t.column_names])
+            if out_cols is not None:
+                keep = [c for c in [*KEY_COLS, *out_cols] if c in t.column_names]
+                t = t.select(list(dict.fromkeys(keep)))
+            outs.append(t)
+        return outs[0] if len(outs) == 1 else pa.concat_tables(outs, promote_options="default")
 
     return rd.from_items(
         [{"pid": pid, "files": files} for pid, files in chains.items()]

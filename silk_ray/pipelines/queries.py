@@ -2411,6 +2411,48 @@ def _cdc_rewritten_sql() -> str:
     return cdc_rewritten_sql_for("/root/testdata/sf0.01")
 
 
+def cdc_scan(sf_dir: str):
+    """Column-pruned, predicate-filtered lake scan (merge.py
+    ``scan_dataset``): over the flagship lake, project (lang, commit)
+    and keep only lang ∈ {py, go} — the parquet reads are projected per
+    file, so the wide ``content`` column never leaves storage. Oracle:
+    the LWW reduction with the same SELECT list and WHERE."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import scan_dataset
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_sc_")
+    run(root, log, EngineConfig(epoch_size=max(250, n_base), num_partitions=8))
+    ds = scan_dataset(
+        root,
+        columns=["lang", "commit"],
+        where={"column": "lang", "op": "in", "value": ["py", "go"]},
+    )
+    df = ds.to_pandas()
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def cdc_scan_sql_for(sf_dir: str) -> str:
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_changelog(sf_dir)
+    return f"""
+SELECT repo, path, lang, commit
+FROM (
+  SELECT repo, path, commit, lang, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D' AND lang IN ('py', 'go')
+ORDER BY repo, path
+"""
+
+
+def _cdc_scan_sql() -> str:
+    return cdc_scan_sql_for("/root/testdata/sf0.01")
+
+
 _CDC_ENRICH_RULES = [
     {"target": "lang_upper",
      "input": {"transform": "upperCase", "inputs": [{"path": "lang"}]}},
@@ -2628,6 +2670,7 @@ def build_queries():
         "cdc_lookup": cdc_lookup,
         "cdc_erased": cdc_erased,
         "cdc_rewritten": cdc_rewritten,
+        "cdc_scan": cdc_scan,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
@@ -2676,6 +2719,7 @@ def build_oracle_sql():
         "cdc_lookup": _cdc_lookup_sql(),
         "cdc_erased": _cdc_erased_sql(),
         "cdc_rewritten": _cdc_rewritten_sql(),
+        "cdc_scan": _cdc_scan_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),

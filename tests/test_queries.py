@@ -55,6 +55,7 @@ def _tier_sql_builders() -> dict:
         "cdc_lookup": q.cdc_lookup_sql_for,
         "cdc_erased": q.cdc_erased_sql_for,
         "cdc_rewritten": q.cdc_rewritten_sql_for,
+        "cdc_scan": q.cdc_scan_sql_for,
         "events_windowed": q.events_windowed_sql_for,
         "events_windowed_late": q.events_windowed_late_sql_for,
     }
