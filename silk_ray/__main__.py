@@ -194,6 +194,7 @@ def cmd_cdc(args) -> int:
         maintain_clusters=bool(args.maintain_clusters and rule_spec is not None),
         agg_spec=agg_spec,
         payload_schema=json.load(open(args.payload_schema)) if args.payload_schema else None,
+        strict_columns=bool(args.strict_columns),
         enrich_rules=json.load(open(args.enrich)) if args.enrich else None,
         egress=bool(args.egress),
         egress_shards=args.egress_shards,
@@ -424,6 +425,12 @@ def main(argv=None) -> int:
         help="typed ingest enforcement: JSON {column: ValueType id}; rows "
              "failing their declared type quarantine to the DLQ with "
              "reason invalid_type:<col>",
+    )
+    pc.add_argument(
+        "--strict-columns", action="store_true",
+        help="closed-world ingest (requires --payload-schema): rows carrying "
+             "non-null values in undeclared columns quarantine with reason "
+             "unknown_column:<col> instead of evolving the lake schema",
     )
     pc.add_argument(
         "--enrich", default=None, metavar="RULES.json",

@@ -63,6 +63,11 @@ class EngineConfig:
     # type's lexical validation is quarantined to the DLQ with reason
     # ``invalid_type:<col>`` instead of entering the lake.
     payload_schema: dict[str, str] | None = None
+    # closed-world ingest (requires payload_schema): a row carrying a
+    # non-null value in an UNDECLARED column quarantines with reason
+    # ``unknown_column:<col>`` instead of flowing in as silent schema
+    # evolution. Off by default — open-world evolution is the CDC norm.
+    strict_columns: bool = False
     # ingest-time enrichment: transform-rule specs (JSON DSL incl. typed
     # ValueType targets) evaluated inside the read tasks; each target
     # becomes a payload column in the lake. Rows whose enrichment errors
@@ -198,6 +203,7 @@ def _run_locked(root: str, changelog, config: EngineConfig, results: list) -> li
             n_block_partitions=config.n_block_partitions,
             payload_schema=config.payload_schema,
             enrich_specs=config.enrich_rules,
+            strict_columns=config.strict_columns,
         )
         if m is None:
             break

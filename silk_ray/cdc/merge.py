@@ -566,7 +566,9 @@ _VALID_OPS = ("I", "U", "D")
 
 
 def _validate_events(
-    t: pa.Table, payload_schema: dict[str, str] | None = None
+    t: pa.Table,
+    payload_schema: dict[str, str] | None = None,
+    strict_columns: bool = False,
 ) -> tuple[pa.Table, pa.Table | None]:
     """Split a changelog window into (valid, dead-lettered) events.
 
@@ -590,6 +592,14 @@ def _validate_events(
     malformed payload on a D is a producer bug worth surfacing, and the
     delete itself can be replayed from the quarantine.
 
+    ``strict_columns`` (requires ``payload_schema``) closes the schema
+    world: a row carrying a NON-NULL value in any column outside
+    (offset, op, keys, declared payload) quarantines with reason
+    ``unknown_column:<col>`` instead of flowing into the lake as silent
+    schema evolution. Off by default — open-world evolution is the CDC
+    norm; strict is for governed pipelines where an undeclared producer
+    column is a contract violation, not a migration.
+
     Returns ``(valid, dead)`` with ``dead=None`` when every event is
     well-formed (the overwhelmingly common case — one boolean reduction,
     no copies)."""
@@ -601,6 +611,25 @@ def _validate_events(
 
     key_ok = pc.and_(_key_ok("repo"), _key_ok("path"))
     valid = pc.and_(op_ok, key_ok)
+
+    col_reason = None  # strict mode: per-row first undeclared column, or null
+    if strict_columns:
+        if not payload_schema:
+            raise ValueError(
+                "strict_columns requires payload_schema (the declared column "
+                "set IS the closed world)"
+            )
+        known = {"offset", "op", *KEY_COLS, *payload_schema}
+        for col in sorted(c for c in t.column_names if c not in known):
+            present = pc.is_valid(t[col])
+            if pc.any(present).as_py() is not True:
+                continue
+            label = pa.scalar(f"unknown_column:{col}", type=pa.string())
+            none_s = pa.scalar(None, type=pa.string())
+            hit = pc.if_else(present, label, none_s)
+            col_reason = hit if col_reason is None else pc.coalesce(col_reason, hit)
+        if col_reason is not None:
+            valid = pc.and_(valid, pc.is_null(col_reason))
 
     type_reason = None  # string array: per-row first failing column, or null
     if payload_schema:
@@ -628,15 +657,22 @@ def _validate_events(
 
     dead_mask = _arr(pc.invert(valid))
     dead = t.filter(dead_mask)
+    tail = (
+        _arr(type_reason).filter(dead_mask)
+        if type_reason is not None
+        else pa.nulls(dead.num_rows, pa.string())
+    )
+    if col_reason is not None:
+        # strict violations outrank type failures (the column should
+        # not exist at all, so its lexical form is moot)
+        tail = pc.coalesce(_arr(col_reason).filter(dead_mask), tail)
     reason = pc.if_else(
         pc.invert(_arr(op_ok).filter(dead_mask)),
         pa.scalar("unknown_op", type=pa.string()),
         pc.if_else(
             pc.invert(_arr(key_ok).filter(dead_mask)),
             pa.scalar("null_key", type=pa.string()),
-            _arr(type_reason).filter(dead_mask)
-            if type_reason is not None
-            else pa.scalar(None, type=pa.string()),
+            tail,
         ),
     )
     return t.filter(valid), dead.append_column("reason", pc.cast(reason, pa.string()))
@@ -757,6 +793,7 @@ def _read_split_task(
     src, lo: int, hi: int, num_partitions: int, root: str, epoch: int, frag_idx: int,
     payload_schema: dict[str, str] | None = None,
     enrich_specs: list[dict] | None = None,
+    strict_columns: bool = False,
 ) -> tuple[dict, dict | None]:
     """Exchange stage A: read one window fragment, validate, split the
     valid events by pid, put each shard into the object store. Only
@@ -771,7 +808,7 @@ def _read_split_task(
         t = pq.read_table(src, filters=[("offset", ">=", lo), ("offset", "<", hi)])
     if t.num_rows == 0:
         return {}, None
-    t, dead = _validate_events(t, payload_schema)
+    t, dead = _validate_events(t, payload_schema, strict_columns=strict_columns)
     if enrich_specs and t.num_rows:
         t, dead2 = _enrich_events(t, enrich_specs)
         if dead2 is not None:
@@ -810,6 +847,7 @@ def run_epoch(
     compact_at: int = LAKE_COMPACT_AT,
     payload_schema: dict[str, str] | None = None,
     enrich_specs: list[dict] | None = None,
+    strict_columns: bool = False,
 ) -> dict | None:
     """Tail one epoch window off the changelog and merge-apply it.
 
@@ -873,7 +911,8 @@ def run_epoch(
     results = ray.get(
         [
             read_task.remote(
-                f, lo, hi, num_partitions, root, epoch, i, payload_schema, enrich_specs
+                f, lo, hi, num_partitions, root, epoch, i, payload_schema,
+                enrich_specs, strict_columns,
             )
             for i, f in enumerate(fragments)
         ]

@@ -260,3 +260,63 @@ def test_typed_quarantine_replay_identity(ray_session, tmp_path):
     assert shas[0] == shas[1]
     assert dlqs[0] == dlqs[1]
     assert dict(dlqs[0]) == expected
+
+
+def test_strict_columns_quarantines_undeclared(ray_session, tmp_path):
+    """Closed-world ingest: rows carrying non-null values in undeclared
+    columns quarantine with unknown_column:<col>; null values in such
+    columns pass (the generator's pre-evolution rows carry a null
+    branch); open-world default is unchanged."""
+    base = make_base_table(40, seed=93)
+    # evolve_at makes `branch` non-null from that row on — undeclared
+    log = make_changelog(base, 300, seed=94, evolve_at=150)
+    schema = {
+        "commit": "StringValueType",
+        "lang": "StringValueType",
+        "content": "StringValueType",
+    }
+    strict = str(tmp_path / "strict")
+    run_to_completion(strict, log, epoch_size=100, num_partitions=3,
+                      payload_schema=schema, strict_columns=True)
+    dlq = dead_letters_table(strict)
+    reasons = set(dlq["reason"].to_pylist())
+    assert reasons == {"unknown_column:branch"}
+    n_branch = sum(1 for v in log["branch"].to_pylist() if v is not None)
+    assert dlq.num_rows == n_branch
+    # no branch value ever reached the lake; pre-evolution rows did
+    st = state_table(strict)
+    assert "branch" not in st.column_names or all(
+        v is None for v in st["branch"].to_pylist()
+    )
+
+    # open world (default): the same stream evolves the schema
+    open_ = str(tmp_path / "open")
+    run_to_completion(open_, log, epoch_size=100, num_partitions=3,
+                      payload_schema=schema)
+    st2 = state_table(open_)
+    assert any(v is not None for v in st2["branch"].to_pylist())
+
+    # strict without a declared schema is a config error
+    import pytest as _pytest
+
+    from silk_ray.cdc.merge import _validate_events
+
+    with _pytest.raises(ValueError, match="requires payload_schema"):
+        _validate_events(log.slice(0, 5), None, strict_columns=True)
+
+
+def test_strict_columns_replay_identity(ray_session, tmp_path):
+    base = make_base_table(30, seed=95)
+    log = make_changelog(base, 240, seed=96, evolve_at=100)
+    schema = {"commit": "StringValueType", "lang": "StringValueType",
+              "content": "StringValueType"}
+    roots = []
+    for i, (ep, parts) in enumerate([(80, 2), (120, 5)]):
+        r = str(tmp_path / f"l{i}")
+        run_to_completion(r, log, epoch_size=ep, num_partitions=parts,
+                          payload_schema=schema, strict_columns=True)
+        roots.append(r)
+    assert state_sha256(roots[0]) == state_sha256(roots[1])
+    a = sorted((r["offset"], r["reason"]) for r in dead_letters_table(roots[0]).to_pylist())
+    b = sorted((r["offset"], r["reason"]) for r in dead_letters_table(roots[1]).to_pylist())
+    assert a == b and a
