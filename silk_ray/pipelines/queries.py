@@ -2502,6 +2502,90 @@ ORDER BY repo, path
 """
 
 
+# bump when the evolution recipe changes (same contract as _CDC_ORACLE_V)
+_CDC_EV_V = 1
+
+
+def _cdc_ev_changelog_path(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/silkray_cdc_oracle/changelog_ev_{h}_v{_CDC_EV_V}.parquet"
+
+
+def _ensure_cdc_ev_changelog(sf_dir: str) -> tuple[pa.Table, int]:
+    """A flagship-shaped changelog WITH mid-stream schema evolution
+    (``branch`` non-null from the halfway row on), persisted so the
+    DuckDB oracle can filter the same physical rows by the
+    closed-world predicate strict ingest applies."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.cdc.generator import make_changelog
+
+    base = base_from_documents(sf_dir)
+    n = max(500, base.num_rows * 3)
+    log = make_changelog(base, n, seed=5, dup_frac=0.02, evolve_at=n // 2)
+    path = _cdc_ev_changelog_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(log, tmp)
+        os.replace(tmp, path)  # atomic: concurrent writers both win
+    return log, base.num_rows
+
+
+def cdc_strict(sf_dir: str):
+    """Closed-world ingest over an evolving stream: the engine tails a
+    changelog whose ``branch`` column turns non-null mid-stream, with
+    ``strict_columns`` declaring only (commit, lang, content) — every
+    post-evolution row quarantines with ``unknown_column:branch`` and
+    the lake state is the LWW reduction of exactly the pre-evolution
+    (branch-null) rows. Oracle: the same predicate as one SQL WHERE
+    before the window function."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import state_table
+
+    log, n_base = _ensure_cdc_ev_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_st_")
+    run(
+        root,
+        log,
+        EngineConfig(
+            epoch_size=max(250, n_base), num_partitions=8,
+            payload_schema={
+                "commit": "StringValueType",
+                "lang": "StringValueType",
+                "content": "StringValueType",
+            },
+            strict_columns=True,
+        ),
+    )
+    df = state_table(root).to_pandas().reset_index(drop=True)
+    return df.drop(columns=[c for c in ("branch",) if c in df.columns])
+
+
+def cdc_strict_sql_for(sf_dir: str) -> str:
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_ev_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit, lang, content
+FROM (
+  SELECT repo, path, commit, lang, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_ev_changelog_path(sf_dir)}'))
+  WHERE branch IS NULL
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+def _cdc_strict_sql() -> str:
+    return cdc_strict_sql_for("/root/testdata/sf0.01")
+
+
 # bump when the corruption recipe changes (same contract as _CDC_ORACLE_V)
 _CDC_DLQ_V = 1
 
@@ -2671,6 +2755,7 @@ def build_queries():
         "cdc_erased": cdc_erased,
         "cdc_rewritten": cdc_rewritten,
         "cdc_scan": cdc_scan,
+        "cdc_strict": cdc_strict,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
@@ -2720,6 +2805,7 @@ def build_oracle_sql():
         "cdc_erased": _cdc_erased_sql(),
         "cdc_rewritten": _cdc_rewritten_sql(),
         "cdc_scan": _cdc_scan_sql(),
+        "cdc_strict": _cdc_strict_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),

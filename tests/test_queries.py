@@ -56,6 +56,7 @@ def _tier_sql_builders() -> dict:
         "cdc_erased": q.cdc_erased_sql_for,
         "cdc_rewritten": q.cdc_rewritten_sql_for,
         "cdc_scan": q.cdc_scan_sql_for,
+        "cdc_strict": q.cdc_strict_sql_for,
         "events_windowed": q.events_windowed_sql_for,
         "events_windowed_late": q.events_windowed_late_sql_for,
     }
