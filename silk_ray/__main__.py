@@ -195,6 +195,7 @@ def cmd_cdc(args) -> int:
         agg_spec=agg_spec,
         payload_schema=json.load(open(args.payload_schema)) if args.payload_schema else None,
         strict_columns=bool(args.strict_columns),
+        txn_atomic=bool(args.txn_atomic),
         enrich_rules=json.load(open(args.enrich)) if args.enrich else None,
         egress=bool(args.egress),
         egress_shards=args.egress_shards,
@@ -431,6 +432,12 @@ def main(argv=None) -> int:
         help="closed-world ingest (requires --payload-schema): rows carrying "
              "non-null values in undeclared columns quarantine with reason "
              "unknown_column:<col> instead of evolving the lake schema",
+    )
+    pc.add_argument(
+        "--txn-atomic", action="store_true",
+        help="binlog transaction atomicity: snap epoch windows to txn-column "
+             "boundaries so no committed state exposes half a transaction "
+             "(transactions must be contiguous in offset order)",
     )
     pc.add_argument(
         "--enrich", default=None, metavar="RULES.json",

@@ -63,6 +63,13 @@ class EngineConfig:
     # type's lexical validation is quarantined to the DLQ with reason
     # ``invalid_type:<col>`` instead of entering the lake.
     payload_schema: dict[str, str] | None = None
+    # binlog transaction atomicity: when the changelog carries a `txn`
+    # column (contiguous offset ranges per transaction — the binlog
+    # shape), epoch windows snap to transaction boundaries so no
+    # committed state ever exposes half a transaction
+    # (merge.snap_txn_boundary). A transaction larger than the window
+    # still applies atomically, in one grown epoch.
+    txn_atomic: bool = False
     # closed-world ingest (requires payload_schema): a row carrying a
     # non-null value in an UNDECLARED column quarantines with reason
     # ``unknown_column:<col>`` instead of flowing in as silent schema
@@ -204,6 +211,7 @@ def _run_locked(root: str, changelog, config: EngineConfig, results: list) -> li
             payload_schema=config.payload_schema,
             enrich_specs=config.enrich_rules,
             strict_columns=config.strict_columns,
+            txn_atomic=config.txn_atomic,
         )
         if m is None:
             break

@@ -291,6 +291,44 @@ def make_changelog(
     )
 
 
+def assign_txns(
+    changelog: pa.Table,
+    seed: int = 7,
+    mean_size: int = 4,
+    untagged_frac: float = 0.1,
+    big_txn: tuple[int, int] | None = None,
+) -> pa.Table:
+    """Add a binlog-shaped int64 ``txn`` column for the transaction-
+    atomicity tests: unique offsets group into contiguous runs of
+    ~geometric(1/mean_size) length, ``untagged_frac`` of groups carry
+    null txn (singleton semantics), and ``big_txn=(start_rank, size)``
+    overwrites that contiguous offset-rank range with one fresh id (a
+    transaction larger than an epoch window — the grow path).
+    Duplicate offsets (redelivered events) inherit their offset's id,
+    as a real binlog redelivery would."""
+    rng = np.random.default_rng(seed)
+    offs = np.array(sorted(set(changelog["offset"].to_pylist())), dtype=np.int64)
+    n = len(offs)
+    sizes: list[int] = []
+    total = 0
+    while total < n:
+        s = max(1, min(int(rng.geometric(1.0 / mean_size)), n - total))
+        sizes.append(s)
+        total += s
+    ids = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    null_mask = np.repeat(rng.random(len(sizes)) < untagged_frac, sizes)
+    if big_txn is not None:
+        start, size = big_txn
+        ids[start : start + size] = len(sizes) + 1
+        null_mask[start : start + size] = False
+    txn_of = dict(zip(offs.tolist(), ids.tolist()))
+    null_of = dict(zip(offs.tolist(), null_mask.tolist()))
+    vals = [
+        None if null_of[o] else txn_of[o] for o in changelog["offset"].to_pylist()
+    ]
+    return changelog.append_column("txn", pa.array(vals, pa.int64()))
+
+
 def sequential_apply(changelog: pa.Table) -> dict[tuple[str, str], dict]:
     """Trivial single-threaded oracle for merge-apply (FIXTURES.md F5):
     dict of key → latest event, last-writer-wins by offset, D deletes;

@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 from silk_ray.cdc import checkpoint as ckpt
 
 KEY_COLS = ("repo", "path")
-META_COLS = ("offset", "op")
+META_COLS = ("offset", "op", "txn")  # txn: transaction grouping (snap_txn_boundary), never payload
 INTERNAL_COLS = ("_offset", "_deleted", "_kh")
 DEFAULT_PARTITIONS = 64
 LAKE_COMPACT_AT = 8  # delta files per lake partition before compaction
@@ -546,6 +546,103 @@ def _changelog_max_offset(changelog) -> int | None:
     return out
 
 
+def _txn_column_present(changelog) -> bool:
+    if isinstance(changelog, pa.Table):
+        return "txn" in changelog.column_names
+    import pyarrow.dataset as pads
+
+    return "txn" in pads.dataset(changelog, format="parquet").schema.names
+
+
+def _read_offset_txn(changelog, lo: int, hi: int) -> pa.Table:
+    """(offset, txn) rows with ``lo <= offset < hi``, offset-sorted.
+    Parquet changelogs read only the two columns with the range filter
+    pushed down (row-group statistics prune untouched groups)."""
+    if isinstance(changelog, pa.Table):
+        t = changelog.select(["offset", "txn"])
+        t = t.filter(pc.and_(pc.greater_equal(t["offset"], lo), pc.less(t["offset"], hi)))
+    else:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(changelog, format="parquet").to_table(
+            columns=["offset", "txn"],
+            filter=(pc.field("offset") >= lo) & (pc.field("offset") < hi),
+        )
+    return t.sort_by([("offset", "ascending")]) if t.num_rows else t
+
+
+def snap_txn_boundary(changelog, lo: int, hi: int) -> int:
+    """Largest window end ``<= hi`` — or, when one transaction swallows
+    the whole window, the smallest end ``> hi`` — such that no
+    transaction spans the ``[lo, end)`` boundary.
+
+    Binlog transaction semantics (MySQL binlog / Postgres WAL shape): a
+    ``txn`` changelog column groups events into transactions that must
+    commit atomically — a committed epoch must never expose half of
+    one. Transactions are required to be CONTIGUOUS in offset order
+    (the binlog shape: a transaction's events are emitted together at
+    commit time); null ``txn`` marks a singleton. Three cases:
+
+    - the last in-window event's transaction does not continue past
+      ``hi`` → ``hi`` stands;
+    - it continues, and it started after ``lo`` → shrink to its first
+      offset (the whole transaction defers to the next epoch);
+    - it continues and occupies the entire window → grow to its last
+      offset + 1 (a transaction larger than the window still applies
+      atomically, in one epoch).
+
+    Enabling ``txn_atomic`` on a lake whose committed ``next_offset``
+    sits mid-transaction (e.g. a prior non-atomic run) cannot repair
+    that boundary — start from a transaction boundary.
+    """
+    if not _txn_column_present(changelog):
+        return hi
+    win = _read_offset_txn(changelog, lo, hi)
+    if win.num_rows == 0:
+        return hi
+    t_last = win["txn"][win.num_rows - 1].as_py()
+    if t_last is None:
+        return hi  # singleton: never spans
+    nxt = _next_existing_offset(changelog, hi)
+    if nxt is None:
+        return hi
+    after = _read_offset_txn(changelog, nxt, nxt + 1)
+    if after.num_rows == 0 or after["txn"][0].as_py() != t_last:
+        return hi
+    # t_last spans the boundary
+    scalar = pa.scalar(t_last, type=win.schema.field("txn").type)
+    mine = win.filter(pc.fill_null(pc.equal(win["txn"], scalar), False))
+    first_off = int(pc.min(mine["offset"]).as_py())
+    if first_off > lo:
+        return first_off
+    # the transaction swallows the window: grow to its end. Contiguity
+    # means its rows are a prefix of everything from `nxt` onward, so a
+    # forward chunk scan stops at the first non-matching row.
+    end = nxt
+    step = max(hi - lo, 4096)
+    cur = nxt + 1
+    while True:
+        chunk = _read_offset_txn(changelog, cur, cur + step)
+        if chunk.num_rows == 0:
+            nn = _next_existing_offset(changelog, cur)
+            if nn is None:
+                break
+            cur = nn
+            continue
+        neq = pc.invert(pc.fill_null(pc.equal(chunk["txn"], scalar), False))
+        stop = None
+        if bool(pc.any(neq).as_py()):
+            stop = int(pc.index(neq, True).as_py())
+        if stop == 0:
+            break
+        last_mine = chunk.num_rows - 1 if stop is None else stop - 1
+        end = int(chunk["offset"][last_mine].as_py())
+        if stop is not None:
+            break
+        cur = int(chunk["offset"][chunk.num_rows - 1].as_py()) + 1
+    return end + 1
+
+
 def _split_by_pid(t: pa.Table, num_partitions: int) -> dict[int, pa.Table]:
     """Sort by pid once, slice contiguous runs (combine_chunks so each
     shard serializes only its own rows into the object store)."""
@@ -848,6 +945,7 @@ def run_epoch(
     payload_schema: dict[str, str] | None = None,
     enrich_specs: list[dict] | None = None,
     strict_columns: bool = False,
+    txn_atomic: bool = False,
 ) -> dict | None:
     """Tail one epoch window off the changelog and merge-apply it.
 
@@ -884,6 +982,10 @@ def run_epoch(
         return None
     lo = max(lo, nxt)
     hi = lo + epoch_size
+    if txn_atomic:
+        # binlog transaction atomicity: the committed epoch must hold
+        # whole transactions only (snap_txn_boundary docstring)
+        hi = snap_txn_boundary(changelog, lo, hi)
 
     fragments = _window_fragments(changelog, lo, hi)
     if not fragments:

@@ -2229,6 +2229,75 @@ def _cdc_flagship_sql() -> str:
     return cdc_flagship_sql_for("/root/testdata/sf0.01")
 
 
+def _cdc_txn_changelog_path(sf_dir: str) -> str:
+    return _cdc_changelog_path(sf_dir).replace(".parquet", "_txn.parquet")
+
+
+def _ensure_cdc_txn_changelog(sf_dir: str) -> tuple[pa.Table, int]:
+    """The flagship changelog tagged with a binlog-shaped ``txn``
+    column (seeded, byte-identical every run), persisted where the SQL
+    oracle reads it. One planted transaction is 1.5x the epoch window
+    so the run exercises snap_txn_boundary's grow path, not just the
+    shrink path."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.cdc.generator import assign_txns
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    ep = max(100, n_base // 2)
+    n_unique = int(pc.max(log["offset"]).as_py()) + 1
+    start = n_unique // 3
+    size = min(ep + ep // 2, max(2, n_unique - start - 10))
+    tagged = assign_txns(log, seed=11, mean_size=5, untagged_frac=0.15,
+                         big_txn=(start, size))
+    path = _cdc_txn_changelog_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(tagged, tmp)
+        os.replace(tmp, path)  # atomic: concurrent writers both win
+    return tagged, ep
+
+
+def cdc_txn(sf_dir: str):
+    """The flagship merge under binlog TRANSACTION atomicity
+    (EngineConfig.txn_atomic): epoch windows snap to ``txn``-column
+    boundaries (merge.snap_txn_boundary — shrink when a transaction
+    would split, grow when one swallows the window), so no committed
+    epoch ever exposes half a transaction. The window shapes differ
+    from every other run of this changelog, but the final state is
+    epoch-shape-independent, so the oracle is the same last-writer-wins
+    reduction over the persisted tagged changelog — exercising the
+    whole txn-snapped execution path behind the hash gate."""
+    import tempfile
+
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.merge import state_table
+
+    tagged, ep = _ensure_cdc_txn_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_txn_")
+    run(root, tagged,
+        EngineConfig(epoch_size=ep, num_partitions=8, txn_atomic=True))
+    return state_table(root).to_pandas().reset_index(drop=True)
+
+
+def cdc_txn_sql_for(sf_dir: str) -> str:
+    """LWW reduction over the txn-tagged changelog (txn itself is meta,
+    never payload — excluded from both the lake and the SELECT)."""
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_txn_changelog(sf_dir)
+    return f"""
+SELECT repo, path, commit, lang, content, branch
+FROM (
+  SELECT repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_txn_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
 def cdc_repartitioned(sf_dir: str):
     """The flagship state after a MID-STREAM online repartition
     (cdc/repartition.py): epoch 1 merges under the initial 8-way
@@ -2748,6 +2817,7 @@ def build_queries():
         "knn_ivf": knn_ivf_q,
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
+        "cdc_txn": cdc_txn,
         "cdc_agg": cdc_agg,
         "cdc_egress": cdc_egress,
         "cdc_repartitioned": cdc_repartitioned,
@@ -2798,6 +2868,7 @@ def build_oracle_sql():
         "link_names": LINK_NAMES_SQL,
         "link_documents": LINK_DOCUMENTS_SQL,
         "cdc_flagship": _cdc_flagship_sql(),
+        "cdc_txn": cdc_txn_sql_for("/root/testdata/sf0.01"),
         "cdc_agg": cdc_agg_sql_for("/root/testdata/sf0.01"),
         "cdc_egress": cdc_egress_sql_for("/root/testdata/sf0.01"),
         "cdc_repartitioned": _cdc_flagship_sql(),
