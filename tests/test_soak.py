@@ -92,6 +92,18 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
             [r for k, r in enumerate(rows) if k not in idxs], schema=schema
         )
 
+    # seeds divisible by 3: tag the stream with binlog transactions
+    # (assign_txns maps by offset, so corrupted rows and duplicate
+    # offsets tag consistently) and run the whole soak txn-atomic —
+    # boundary snapping must compose with crash-resume, redelivery,
+    # DLQ and repartition without changing any invariant. A txn whose
+    # row quarantines applies its valid subset (documented policy).
+    txn_atomic = seed % 3 == 0
+    if txn_atomic:
+        from silk_ray.cdc.generator import assign_txns
+
+        log = assign_txns(log, seed=seed + 2, mean_size=6, untagged_frac=0.2)
+
     epoch_a = int(rng.integers(80, 400))
     epoch_b = int(rng.integers(80, 400))
     parts = int(rng.integers(2, 9))
@@ -101,7 +113,7 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     root_a = str(tmp_path / "a")
     run_to_completion(
         root_a, log, epoch_size=epoch_a, num_partitions=parts, compact_at=compact_at,
-        payload_schema=payload_schema,
+        payload_schema=payload_schema, txn_atomic=txn_atomic,
     )
 
     # run B: different epoching, crash-resume at a random committed epoch,
@@ -110,15 +122,22 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     crash_after = int(rng.integers(1, max(2, n_events // epoch_b)))
     for _ in range(crash_after):
         run_epoch(root_b, log, epoch_size=epoch_b, num_partitions=parts,
-                  compact_at=compact_at, payload_schema=payload_schema)
-    # redeliver a window that is fully below the committed HWM: no-op
+                  compact_at=compact_at, payload_schema=payload_schema,
+                  txn_atomic=txn_atomic)
+    # redeliver a window that is fully below the committed HWM: no-op.
+    # Under txn_atomic the committed next_offset can sit below
+    # crash_after*epoch_b (snapped windows), so bound the draw by the
+    # manifest — redelivery means at-or-below the commit, by definition.
+    from silk_ray.cdc import checkpoint as ckpt
+
     sha_mid = state_sha256(root_b)
-    lo = int(rng.integers(0, max(1, crash_after * epoch_b - 1)))
+    committed = ckpt.read_manifest(root_b).next_offset
+    lo = int(rng.integers(0, max(1, min(crash_after * epoch_b, committed) - 1)))
     redelivered = log.filter(pc.less(log["offset"], lo))
     if redelivered.num_rows:
         m = run_epoch(root_b, redelivered, epoch_size=epoch_b,
                       num_partitions=parts, compact_at=compact_at,
-                      payload_schema=payload_schema)
+                      payload_schema=payload_schema, txn_atomic=txn_atomic)
         if m is not None:
             assert m["events_applied"] == 0
     assert state_sha256(root_b) == sha_mid
@@ -135,9 +154,11 @@ def test_randomized_stream_soak(ray_session, tmp_path, seed):
     if parts_b2 != parts:
         with pytest.raises(ValueError, match="partitioned"):
             run_epoch(root_b, log, epoch_size=epoch_b, num_partitions=parts,
-                      compact_at=compact_at, payload_schema=payload_schema)
+                      compact_at=compact_at, payload_schema=payload_schema,
+                      txn_atomic=txn_atomic)
     run_to_completion(root_b, log, epoch_size=epoch_b, num_partitions=parts_b2,
-                      compact_at=compact_at, payload_schema=payload_schema)
+                      compact_at=compact_at, payload_schema=payload_schema,
+                      txn_atomic=txn_atomic)
 
     # 1) engine state equals the sequential oracle over the valid rows
     assert _engine_rows(root_a) == _oracle_rows(valid_log)
