@@ -329,6 +329,33 @@ def assign_txns(
     return changelog.append_column("txn", pa.array(vals, pa.int64()))
 
 
+def interleave_changelogs(tables: dict[str, pa.Table], seed: int = 9) -> pa.Table:
+    """Multiplex per-table changelogs into one global stream (the
+    multi-table binlog shape cdc/demux.py consumes): each table's
+    unique offsets map order-preservingly onto a seeded random
+    interleaving of global slots — per-table LWW semantics unchanged —
+    duplicate offsets follow their offset's slot, and a ``tbl`` column
+    marks the route."""
+    rng = np.random.default_rng(seed)
+    names = sorted(tables)
+    uniq = {n: sorted(set(tables[n]["offset"].to_pylist())) for n in names}
+    labels = np.repeat(np.arange(len(names)), [len(uniq[n]) for n in names])
+    rng.shuffle(labels)
+    slot_of: dict[str, dict[int, int]] = {n: {} for n in names}
+    counters = dict.fromkeys(names, 0)
+    for slot, lab in enumerate(labels):
+        n = names[lab]
+        slot_of[n][uniq[n][counters[n]]] = slot
+        counters[n] += 1
+    parts = []
+    for n in names:
+        t = tables[n]
+        new_off = pa.array([slot_of[n][o] for o in t["offset"].to_pylist()], pa.int64())
+        t = t.set_column(t.schema.get_field_index("offset"), "offset", new_off)
+        parts.append(t.append_column("tbl", pa.array([n] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts, promote_options="default")
+
+
 def sequential_apply(changelog: pa.Table) -> dict[tuple[str, str], dict]:
     """Trivial single-threaded oracle for merge-apply (FIXTURES.md F5):
     dict of key → latest event, last-writer-wins by offset, D deletes;

@@ -2229,6 +2229,85 @@ def _cdc_flagship_sql() -> str:
     return cdc_flagship_sql_for("/root/testdata/sf0.01")
 
 
+def _cdc_multi_changelog_path(sf_dir: str) -> str:
+    return _cdc_changelog_path(sf_dir).replace(".parquet", "_multi.parquet")
+
+
+def _ensure_cdc_multi_changelog(sf_dir: str) -> tuple[pa.Table, int]:
+    """A two-table multiplexed binlog (the cdc/demux.py shape): the
+    flagship changelog as table ``code`` interleaved with a second
+    seeded stream as table ``docs`` (which also schema-evolves
+    mid-stream), persisted where the SQL oracle reads it."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.cdc.generator import (
+        interleave_changelogs,
+        make_base_table,
+        make_changelog,
+    )
+
+    log, n_base = _ensure_cdc_changelog(sf_dir)
+    n_docs = max(40, n_base // 3)
+    docs = make_changelog(
+        make_base_table(n_docs, seed=17), max(200, n_docs * 3), seed=18,
+        dup_frac=0.03, evolve_at=max(100, n_docs),
+    )
+    combined = interleave_changelogs({"code": log, "docs": docs}, seed=19)
+    path = _cdc_multi_changelog_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(combined, tmp)
+        os.replace(tmp, path)  # atomic: concurrent writers both win
+    return combined, n_base
+
+
+def cdc_multitable(sf_dir: str):
+    """Multi-table CDC (cdc/demux.py): one shared binlog with a ``tbl``
+    column demuxes into per-table changelog directories (distributed
+    map, offsets preserved, deterministic segments) and each table's
+    lake runs the ordinary engine on its own stream. Returns the union
+    of both final states tagged with ``tbl``; the oracle is one LWW
+    window function partitioned by (tbl, repo, path) over the persisted
+    multiplexed changelog."""
+    import tempfile
+
+    from silk_ray.cdc.demux import run_multi
+    from silk_ray.cdc.engine import EngineConfig
+    from silk_ray.cdc.merge import state_table
+
+    combined, n_base = _ensure_cdc_multi_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_multi_")
+    ep = max(200, n_base // 2)
+    run_multi(
+        root, combined,
+        {n: EngineConfig(epoch_size=ep, num_partitions=8) for n in ("code", "docs")},
+        demux_epoch=ep * 2,
+    )
+    frames = []
+    for n in ("code", "docs"):
+        df = state_table(os.path.join(root, "lakes", n)).to_pandas()
+        df.insert(0, "tbl", n)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["tbl", "repo", "path"]).reset_index(drop=True)
+
+
+def cdc_multitable_sql_for(sf_dir: str) -> str:
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_multi_changelog(sf_dir)
+    return f"""
+SELECT tbl, repo, path, commit, lang, content, branch
+FROM (
+  SELECT tbl, repo, path, commit, lang, content, branch, op,
+         row_number() OVER (PARTITION BY tbl, repo, path ORDER BY "offset" DESC) AS rn
+  FROM (SELECT DISTINCT * FROM read_parquet('{_cdc_multi_changelog_path(sf_dir)}'))
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY tbl, repo, path
+"""
+
+
 def _cdc_txn_changelog_path(sf_dir: str) -> str:
     return _cdc_changelog_path(sf_dir).replace(".parquet", "_txn.parquet")
 
@@ -2818,6 +2897,7 @@ def build_queries():
         "learn_linkage_rule": learn_linkage_rule,
         "cdc_flagship": cdc_flagship,
         "cdc_txn": cdc_txn,
+        "cdc_multitable": cdc_multitable,
         "cdc_agg": cdc_agg,
         "cdc_egress": cdc_egress,
         "cdc_repartitioned": cdc_repartitioned,
@@ -2869,6 +2949,7 @@ def build_oracle_sql():
         "link_documents": LINK_DOCUMENTS_SQL,
         "cdc_flagship": _cdc_flagship_sql(),
         "cdc_txn": cdc_txn_sql_for("/root/testdata/sf0.01"),
+        "cdc_multitable": cdc_multitable_sql_for("/root/testdata/sf0.01"),
         "cdc_agg": cdc_agg_sql_for("/root/testdata/sf0.01"),
         "cdc_egress": cdc_egress_sql_for("/root/testdata/sf0.01"),
         "cdc_repartitioned": _cdc_flagship_sql(),

@@ -1,0 +1,135 @@
+"""Multi-table binlog demux (cdc/demux.py): one shared changelog with a
+``tbl`` column routes into per-table changelog directories (offsets
+preserved, deterministic segment bytes), and each table's lake runs the
+ordinary single-table engine — every exactly-once property composes per
+table."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from silk_ray.cdc.demux import (
+    demux_to_completion,
+    demux_window,
+    demuxed_tables,
+    read_demux_state,
+    run_multi,
+    table_dir,
+)
+from silk_ray.cdc.engine import EngineConfig
+from silk_ray.cdc.generator import (
+    assign_txns,
+    interleave_changelogs as interleave,
+    make_base_table,
+    make_changelog,
+    sequential_apply,
+)
+from silk_ray.cdc.merge import state_table
+
+KEYS = ("repo", "path", "commit", "lang", "content", "branch")
+
+
+@pytest.fixture(scope="module")
+def streams():
+    a = make_changelog(make_base_table(50, seed=71), 500, seed=72, dup_frac=0.05)
+    b = make_changelog(
+        make_base_table(30, seed=73), 350, seed=74, dup_frac=0.0, evolve_at=150
+    )
+    return {"code": a, "docs": b}
+
+
+def _strip(rows):
+    return [{k: r.get(k) for k in KEYS} for r in rows]
+
+
+def _oracle(log):
+    st = sequential_apply(log)
+    return _strip([st[k] for k in sorted(st)])
+
+
+def test_demux_routes_and_engines_converge(ray_session, streams, tmp_path):
+    combined = interleave(streams, seed=9)
+    root = str(tmp_path / "multi")
+    cfgs = {n: EngineConfig(epoch_size=120, num_partitions=4) for n in streams}
+    run_multi(root, combined, cfgs, demux_epoch=300)
+    for n, log in streams.items():
+        got = state_table(os.path.join(root, "lakes", n)).to_pylist()
+        assert _strip(got) == _oracle(log), n
+        assert "tbl" not in state_table(os.path.join(root, "lakes", n)).column_names
+    assert demuxed_tables(os.path.join(root, "demux")) == sorted(streams)
+
+
+def test_demux_crash_resume_rewrites_identical_segments(ray_session, streams, tmp_path):
+    combined = interleave(streams, seed=9)
+    out = str(tmp_path / "demux")
+    demux_window(out, combined, epoch_size=250)
+    demux_window(out, combined, epoch_size=250)
+    seg_bytes = {}
+    for n in demuxed_tables(out):
+        for f in sorted(os.listdir(table_dir(out, n))):
+            seg_bytes[(n, f)] = open(os.path.join(table_dir(out, n), f), "rb").read()
+    # crash between segment writes and the cursor commit: rewind the
+    # cursor one window and rerun — segments must rewrite byte-identical
+    st = read_demux_state(out)
+    import json
+
+    with open(os.path.join(out, "_demux.json"), "w") as f:
+        json.dump({"window": st["window"] - 1, "next_offset": st["next_offset"] - 250}, f)
+    demux_window(out, combined, epoch_size=250)
+    for (n, f), blob in seg_bytes.items():
+        assert open(os.path.join(table_dir(out, n), f), "rb").read() == blob, (n, f)
+    # finish and converge
+    demux_to_completion(out, combined, epoch_size=250)
+    from silk_ray.cdc.engine import run
+
+    for n, log in streams.items():
+        lake = str(tmp_path / f"lake_{n}")
+        run(lake, table_dir(out, n), EngineConfig(epoch_size=200, num_partitions=3))
+        assert _strip(state_table(lake).to_pylist()) == _oracle(log), n
+
+
+def test_unroutable_tbl_quarantines(ray_session, streams, tmp_path):
+    combined = interleave(streams, seed=9).to_pylist()
+    combined[3]["tbl"] = None
+    combined[10]["tbl"] = ""
+    combined[20]["tbl"] = "../evil"
+    log = pa.Table.from_pylist(combined)
+    out = str(tmp_path / "demux")
+    ms = demux_to_completion(out, log, epoch_size=400)
+    assert sum(m["dead_lettered"] for m in ms) == 3
+    dl_dir = os.path.join(out, "deadletter")
+    dead = pa.concat_tables(
+        [pq.read_table(os.path.join(dl_dir, f)) for f in sorted(os.listdir(dl_dir))]
+    )
+    assert sorted(dead["reason"].to_pylist()) == [
+        "invalid_tbl", "missing_tbl", "missing_tbl",
+    ]
+    routed = sum(
+        pq.read_table(os.path.join(table_dir(out, n), f)).num_rows
+        for n in demuxed_tables(out)
+        for f in os.listdir(table_dir(out, n))
+    )
+    assert routed == log.num_rows - 3
+
+
+def test_txn_atomicity_composes_per_table(ray_session, streams, tmp_path):
+    """Transactions assigned over the GLOBAL stream: each table sees a
+    contiguous sub-range, so per-table txn_atomic snapping works
+    unchanged and the lakes still converge to their oracles."""
+    combined = assign_txns(interleave(streams, seed=9), seed=10, mean_size=7)
+    root = str(tmp_path / "multi")
+    cfgs = {
+        n: EngineConfig(epoch_size=110, num_partitions=4, txn_atomic=True)
+        for n in streams
+    }
+    run_multi(root, combined, cfgs, demux_epoch=280)
+    for n, log in streams.items():
+        got = state_table(os.path.join(root, "lakes", n)).to_pylist()
+        assert _strip(got) == _oracle(log), n
+
+
+def test_missing_tbl_column_fails_loudly(ray_session, streams, tmp_path):
+    with pytest.raises(Exception, match="tbl"):
+        demux_to_completion(str(tmp_path / "d"), streams["code"], epoch_size=400)

@@ -47,6 +47,7 @@ def _tier_sql_builders() -> dict:
     return {
         "cdc_flagship": q.cdc_flagship_sql_for,
         "cdc_txn": q.cdc_txn_sql_for,
+        "cdc_multitable": q.cdc_multitable_sql_for,
         "cdc_agg": q.cdc_agg_sql_for,
         "cdc_clusters": q.cdc_clusters_sql_for,
         "cdc_deadletter": q.cdc_deadletter_sql_for,
