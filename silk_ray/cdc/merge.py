@@ -122,14 +122,50 @@ def _last_occurrence_mask(arr) -> pa.Array:
     return pa.concat_arrays([neq, pa.array([True])])
 
 
+class SchemaConflictError(ValueError):
+    """A payload column arrived with an Arrow type that cannot be
+    safely promoted against what the lake already holds."""
+
+
+def _promote_type(name: str, a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Deterministic safe type promotion (Arrow's permissive unify
+    lattice: null→anything, numeric widening int32+int64→int64,
+    int+float→float64). Order-independent, so replay under any epoch
+    shape converges to the same state schema. Incompatible kinds
+    (numeric vs string, …) fail LOUDLY with the remedies named —
+    the alternative is an opaque cast error deep in a merge task."""
+    if a.equals(b):
+        return a
+    try:
+        return pa.unify_schemas(
+            [pa.schema([pa.field(name, a)]), pa.schema([pa.field(name, b)])],
+            promote_options="permissive",
+        ).field(name).type
+    except Exception:
+        raise SchemaConflictError(
+            f"payload column {name!r} arrives as {b} but the lake holds {a} — no "
+            "safe promotion exists. Remedies: fix the producer; migrate the lake "
+            "to the new type through the binlog (rewrite_where with a typed "
+            "transform rule on every live key, then resume); or declare "
+            "payload_schema so lexically-invalid rows quarantine to the DLQ "
+            "instead of changing the column's type."
+        ) from None
+
+
 def _unify_chain_schema(tables: list[pa.Table]) -> pa.Schema:
     """Union of payload schemas across chain files (insertion order:
-    oldest file first, new columns appended as they appear)."""
+    oldest file first, new columns appended as they appear; same-name
+    fields with different types promote through the safe lattice)."""
     fields: dict[str, pa.Field] = {}
     for t in tables:
         for f in t.schema:
-            if f.name not in fields:
+            prev = fields.get(f.name)
+            if prev is None:
                 fields[f.name] = f
+            elif not prev.type.equals(f.type):
+                fields[f.name] = pa.field(
+                    f.name, _promote_type(f.name, prev.type, f.type)
+                )
     return pa.schema(list(fields.values()))
 
 
@@ -383,15 +419,21 @@ class MergePartition:
     def _state_schema(
         self, net: pa.Table, old: pa.Table | None, payload_cols: list[str]
     ) -> pa.Schema:
-        """Union of pre-epoch chain schema and event payload columns."""
+        """Union of pre-epoch chain schema and event payload columns;
+        a column arriving with a different Arrow type promotes through
+        the safe lattice or fails loudly (SchemaConflictError)."""
         fields: dict[str, pa.Field] = {}
         if old is not None:
             for f in old.schema:
                 if f.name not in ("_offset", "_kh", "_k"):
                     fields[f.name] = f
         for c in payload_cols:
-            if c not in fields:
-                fields[c] = pa.field(c, net.schema.field(c).type)
+            etype = net.schema.field(c).type
+            prev = fields.get(c)
+            if prev is None:
+                fields[c] = pa.field(c, etype)
+            elif not prev.type.equals(etype):
+                fields[c] = pa.field(c, _promote_type(c, prev.type, etype))
         return pa.schema(list(fields.values()))
 
     def _dirty_table(
