@@ -228,6 +228,46 @@ def cmd_cdc(args) -> int:
     return 0
 
 
+def cmd_cdc_multi(args) -> int:
+    """Multi-table binlog (cdc/demux.py): demux the shared changelog's
+    ``tbl`` column into per-table streams under ROOT/demux and tail
+    each declared table's lake at ROOT/lakes/<tbl>."""
+    _init_ray(args.num_cpus)
+    from silk_ray.cdc.demux import read_demux_state, run_multi
+    from silk_ray.cdc.engine import EngineConfig
+
+    tables = [t for t in args.tables.split(",") if t]
+    if not tables:
+        raise SystemExit("--tables requires a comma-separated list of table names")
+    t0 = time.perf_counter()
+    cfg = {
+        t: EngineConfig(
+            epoch_size=args.epoch_size,
+            num_partitions=args.num_partitions,
+            txn_atomic=bool(args.txn_atomic),
+        )
+        for t in tables
+    }
+    metrics = run_multi(args.root, args.changelog, cfg, demux_epoch=args.demux_epoch)
+    state = read_demux_state(os.path.join(args.root, "demux"))
+    out = {
+        "command": "cdc-multi",
+        "seconds": round(time.perf_counter() - t0, 3),
+        "demux_windows": state["window"],
+        "demux_next_offset": state["next_offset"],
+        "tables": {
+            t: {
+                "epochs": len(ms),
+                "events_applied": sum(m["events_applied"] for m in ms),
+                "dead_lettered": sum(m.get("dead_lettered", 0) for m in ms),
+            }
+            for t, ms in metrics.items()
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     if args.stats:
         from silk_ray.cdc.repartition import lake_stats, suggest_num_partitions
@@ -465,6 +505,26 @@ def main(argv=None) -> int:
         help="changelog offset the snapshot is consistent as of; tailing resumes at offset+1",
     )
     pc.set_defaults(fn=cmd_cdc)
+
+    pm = sub.add_parser(
+        "cdc-multi",
+        help="multi-table binlog: demux the changelog's tbl column into "
+             "per-table streams (ROOT/demux) and tail each declared table's "
+             "lake (ROOT/lakes/<tbl>)",
+    )
+    pm.add_argument("--root", required=True)
+    pm.add_argument("--changelog", required=True)
+    pm.add_argument(
+        "--tables", required=True,
+        help="comma-separated table names to ingest (others still demux and "
+             "wait for a future consumer)",
+    )
+    pm.add_argument("--epoch-size", type=int, default=100_000)
+    pm.add_argument("--num-partitions", type=int, default=16)
+    pm.add_argument("--demux-epoch", type=int, default=500_000)
+    pm.add_argument("--txn-atomic", action="store_true")
+    pm.add_argument("--num-cpus", type=int, default=None)
+    pm.set_defaults(fn=cmd_cdc_multi)
 
     pr = sub.add_parser(
         "repartition",

@@ -130,6 +130,29 @@ def test_txn_atomicity_composes_per_table(ray_session, streams, tmp_path):
         assert _strip(got) == _oracle(log), n
 
 
+def test_cli_cdc_multi_round_trip(ray_session, streams, tmp_path, capsys):
+    import json
+
+    from silk_ray.__main__ import main
+
+    combined = interleave(streams, seed=9)
+    log_path = str(tmp_path / "binlog.parquet")
+    pq.write_table(combined, log_path)
+    root = str(tmp_path / "multi")
+    assert main([
+        "cdc-multi", "--root", root, "--changelog", log_path,
+        "--tables", "code,docs", "--epoch-size", "150",
+        "--num-partitions", "4", "--demux-epoch", "300",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["command"] == "cdc-multi"
+    assert set(out["tables"]) == {"code", "docs"}
+    assert all(t["events_applied"] > 0 for t in out["tables"].values())
+    for n, log in streams.items():
+        got = state_table(os.path.join(root, "lakes", n)).to_pylist()
+        assert _strip(got) == _oracle(log), n
+
+
 def test_missing_tbl_column_fails_loudly(ray_session, streams, tmp_path):
     with pytest.raises(Exception, match="tbl"):
         demux_to_completion(str(tmp_path / "d"), streams["code"], epoch_size=400)
