@@ -333,8 +333,33 @@ def cmd_status(args) -> int:
     from silk_ray.cdc import checkpoint as ckpt
     from silk_ray.cdc.repartition import lake_stats
 
+    # multi-table root (cdc-multi layout): demux cursor + per-table lakes
+    if os.path.isdir(os.path.join(args.root, "demux")):
+        from silk_ray.cdc.demux import demuxed_tables, read_demux_state, table_dir
+        from silk_ray.cdc.merge import _changelog_max_offset
+
+        out = {
+            "command": "status", "root": args.root,
+            "demux": read_demux_state(os.path.join(args.root, "demux")),
+            "tables": {},
+        }
+        for tbl in demuxed_tables(os.path.join(args.root, "demux")):
+            lake = os.path.join(args.root, "lakes", tbl)
+            m = ckpt.read_manifest(lake)
+            # lag vs the table's OWN demuxed stream (footer stats only) —
+            # the global demux cursor overshoots every table's max offset
+            mx = _changelog_max_offset(table_dir(os.path.join(args.root, "demux"), tbl))
+            out["tables"][tbl] = {
+                "epoch": m.epoch, "next_offset": m.next_offset,
+                "num_partitions": m.num_partitions,
+                "demux_lag_offsets": max(0, (mx or 0) + 1 - m.next_offset)
+                if m.epoch else None,
+            }
+        print(json.dumps(out))
+        return 0
+
     manifest = ckpt.read_manifest(args.root)
-    out: dict = {"command": "status", "root": args.root}
+    out = {"command": "status", "root": args.root}
     if manifest.epoch == 0:
         out["lake"] = {"epoch": 0}
         print(json.dumps(out))

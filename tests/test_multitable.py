@@ -151,6 +151,13 @@ def test_cli_cdc_multi_round_trip(ray_session, streams, tmp_path, capsys):
     for n, log in streams.items():
         got = state_table(os.path.join(root, "lakes", n)).to_pylist()
         assert _strip(got) == _oracle(log), n
+    # status CLI understands the multi-table layout: caught-up tables
+    # show zero demux lag
+    assert main(["status", "--root", root]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(st["tables"]) == {"code", "docs"}
+    assert all(t["demux_lag_offsets"] == 0 for t in st["tables"].values())
+    assert st["demux"]["window"] > 0
 
 
 def test_missing_tbl_column_fails_loudly(ray_session, streams, tmp_path):
