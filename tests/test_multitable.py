@@ -160,6 +160,48 @@ def test_cli_cdc_multi_round_trip(ray_session, streams, tmp_path, capsys):
     assert st["demux"]["window"] > 0
 
 
+def test_multi_composes_with_egress_replicas_and_views(ray_session, streams, tmp_path):
+    """The composition claim, end to end: a multiplexed txn-tagged
+    binlog → demux → per-table lakes each running txn-atomic with a
+    maintained aggregate view AND egress — then each table's egress
+    stream rebuilds a byte-identical replica lake."""
+    from silk_ray.cdc.egress import egress_as_changelog, egress_table
+    from silk_ray.cdc.matview import AggViewSpec, agg_table
+    from silk_ray.cdc.merge import run_to_completion, state_sha256
+
+    combined = assign_txns(interleave(streams, seed=9), seed=12, mean_size=5)
+    root = str(tmp_path / "multi")
+    spec = AggViewSpec(group_by=("lang",), measures={}, count_col="n", num_shards=4)
+    cfgs = {
+        n: EngineConfig(
+            epoch_size=130, num_partitions=4, txn_atomic=True,
+            egress=True, egress_shards=4, agg_spec=spec,
+        )
+        for n in streams
+    }
+    run_multi(root, combined, cfgs, demux_epoch=320)
+    for n, log in streams.items():
+        lake = os.path.join(root, "lakes", n)
+        assert _strip(state_table(lake).to_pylist()) == _oracle(log), n
+        # maintained view == batch GROUP BY over the final state
+        view = {r["lang"]: r["n"] for r in agg_table(lake).to_pylist()}
+        langs = [r["lang"] for r in state_table(lake).to_pylist()]
+        batch = {}
+        for v in langs:
+            batch[v] = batch.get(v, 0) + 1
+        assert view == batch, n
+        # egress replica: byte-identical to the producer lake
+        replica = str(tmp_path / f"replica_{n}")
+        run_to_completion(
+            replica, egress_as_changelog(egress_table(lake)),
+            epoch_size=90, num_partitions=3,
+        )
+        a, b = state_table(replica), state_table(lake)
+        cols = sorted(a.column_names)
+        assert sorted(b.column_names) == cols, n
+        assert a.select(cols).equals(b.select(cols)), n
+
+
 def test_missing_tbl_column_fails_loudly(ray_session, streams, tmp_path):
     with pytest.raises(Exception, match="tbl"):
         demux_to_completion(str(tmp_path / "d"), streams["code"], epoch_size=400)
