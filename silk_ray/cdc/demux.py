@@ -203,6 +203,53 @@ def demux_to_completion(out_dir: str, changelog, epoch_size: int = 500_000) -> l
         out.append(m)
 
 
+def gc_demux(root: str, tables: list[str] | None = None, force: bool = False) -> int:
+    """Reclaim demuxed segments every consuming lake has fully applied.
+
+    Without GC a continuously-tailing multi-table root accumulates one
+    segment per (table, window) forever. A segment is reclaimable when
+    its footer max offset is below ITS table's lake cursor
+    (``lakes/<tbl>`` manifest ``next_offset``) — below-HWM redelivery
+    is a no-op, so nothing that matters can ever need it again. A
+    table with NO lake under the root is protected: its whole stream
+    is retained for a future consumer unless ``force`` drops it.
+    Returns the number of files removed. Footer-statistics only."""
+    from silk_ray.cdc import checkpoint as ckpt
+    from silk_ray.cdc.merge import _MAX_OFF_CACHE
+
+    demux_dir = os.path.join(root, "demux")
+    removed = 0
+    for tbl in tables if tables is not None else demuxed_tables(demux_dir):
+        lake = os.path.join(root, "lakes", tbl)
+        manifest = ckpt.read_manifest(lake)
+        if manifest.epoch == 0 and not force:
+            continue  # no consumer yet — retain the stream
+        floor = manifest.next_offset if manifest.epoch else None
+        d = table_dir(demux_dir, tbl)
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            if floor is not None:
+                md = pq.read_metadata(p)
+                mx = None
+                try:
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                        "offset"
+                    ]
+                    stats = [md.row_group(r).column(idx).statistics for r in range(md.num_row_groups)]
+                    if stats and all(s is not None and s.has_min_max for s in stats):
+                        mx = max(s.max for s in stats)
+                except KeyError:
+                    pass
+                if mx is None:
+                    mx = int(pc.max(pq.read_table(p, columns=["offset"])["offset"]).as_py())
+                if mx >= floor:
+                    continue
+            os.remove(p)
+            _MAX_OFF_CACHE.pop(p, None)
+            removed += 1
+    return removed
+
+
 def run_multi(
     root: str,
     changelog,

@@ -202,6 +202,30 @@ def test_multi_composes_with_egress_replicas_and_views(ray_session, streams, tmp
         assert a.select(cols).equals(b.select(cols)), n
 
 
+def test_gc_demux_reclaims_consumed_segments_only(ray_session, streams, tmp_path):
+    from silk_ray.cdc.demux import gc_demux
+
+    combined = interleave(streams, seed=9)
+    root = str(tmp_path / "multi")
+    # only `code` is consumed; `docs` has no lake and must be retained
+    run_multi(root, combined, {"code": EngineConfig(epoch_size=200, num_partitions=4)},
+              demux_epoch=250)
+    d = os.path.join(root, "demux")
+    docs_before = sorted(os.listdir(table_dir(d, "docs")))
+    n = gc_demux(root)
+    assert n > 0
+    assert sorted(os.listdir(table_dir(d, "docs"))) == docs_before  # protected
+    assert os.listdir(table_dir(d, "code")) == []  # fully consumed
+    # idempotent; the lake still reads, and a redelivered tail is a no-op
+    assert gc_demux(root) == 0
+    assert _strip(state_table(os.path.join(root, "lakes", "code")).to_pylist()) == _oracle(
+        streams["code"]
+    )
+    # force drops the unconsumed table's stream too
+    assert gc_demux(root, tables=["docs"], force=True) > 0
+    assert os.listdir(table_dir(d, "docs")) == []
+
+
 def test_missing_tbl_column_fails_loudly(ray_session, streams, tmp_path):
     with pytest.raises(Exception, match="tbl"):
         demux_to_completion(str(tmp_path / "d"), streams["code"], epoch_size=400)
