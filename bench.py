@@ -63,6 +63,10 @@ TIMED_QUERIES = [
     "link_documents",
     "link_names",
     "learn_linkage_rule",
+    # session-2 engine surfaces: the multi-table demux -> two-lake path
+    # and the txn-snapped window path (4.6 s / 1.1 s at sf0.1/32)
+    "cdc_multitable",
+    "cdc_txn",
 ]
 
 
