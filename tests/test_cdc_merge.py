@@ -68,6 +68,41 @@ def test_resume_from_checkpoint(ray_session, changelog, tmp_path):
     assert state_sha256(resumed_root) == state_sha256(full_root)
 
 
+def test_crash_between_merge_work_and_manifest_swap(
+    ray_session, changelog, tmp_path, monkeypatch
+):
+    """Kill the epoch at the worst moment: every delta/dirty/DLQ shard
+    is on disk but the manifest swap (the SOLE commit point) never
+    ran. The lake must still read at the old state, and a plain rerun
+    must converge to the straight-through run byte-for-byte."""
+    from silk_ray.cdc import checkpoint as ckpt_mod
+    from silk_ray.cdc import merge as merge_mod
+
+    straight = str(tmp_path / "straight")
+    run_to_completion(straight, changelog, epoch_size=400, num_partitions=8)
+
+    root = str(tmp_path / "crashy")
+    run_epoch(root, changelog, epoch_size=400, num_partitions=8)
+    sha_committed = state_sha256(root)
+
+    real_commit = ckpt_mod.commit_manifest
+    calls = {"n": 0}
+
+    def exploding_commit(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before the manifest swap")
+
+    monkeypatch.setattr(merge_mod.ckpt, "commit_manifest", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_epoch(root, changelog, epoch_size=400, num_partitions=8)
+    assert calls["n"] == 1
+    # uncommitted shards are invisible: the lake reads at the old state
+    assert state_sha256(root) == sha_committed
+    monkeypatch.setattr(merge_mod.ckpt, "commit_manifest", real_commit)
+    run_to_completion(root, changelog, epoch_size=400, num_partitions=8)
+    assert state_sha256(root) == state_sha256(straight)
+
+
 def test_epoch_replay_idempotent(ray_session, changelog, tmp_path):
     """Replaying an already-committed window is a no-op (per-partition
     HWM skips everything)."""
