@@ -355,6 +355,10 @@ def cmd_status(args) -> int:
                 "demux_lag_offsets": max(0, (mx or 0) + 1 - m.next_offset)
                 if m.epoch else None,
             }
+            if getattr(args, "schema", False) and m.epoch:
+                from silk_ray.cdc.merge import lake_schema
+
+                out["tables"][tbl]["schema"] = lake_schema(lake)
         print(json.dumps(out))
         return 0
 
@@ -411,6 +415,25 @@ def cmd_status(args) -> int:
     out["store_lag_epochs"] = {
         name: manifest.epoch - int(s["epoch"]) for name, s in stores.items()
     }
+    if getattr(args, "schema", False):
+        from silk_ray.cdc.merge import lake_schema
+
+        cur = lake_schema(args.root)
+        out["schema"] = cur
+        # evolution history over the retained time-travel window: only
+        # epochs whose schema differs from the next one are listed
+        history = {}
+        prev = cur
+        for e in range(manifest.epoch - 1, 0, -1):
+            try:
+                s = lake_schema(args.root, at_epoch=e)
+            except Exception:
+                break  # past the retention window
+            if s != prev:
+                history[e] = s
+            prev = s
+        if history:
+            out["schema_history"] = {str(k): v for k, v in sorted(history.items())}
     print(json.dumps(out))
     return 0
 
@@ -616,6 +639,11 @@ def main(argv=None) -> int:
              "(metadata reads only; no Ray session)",
     )
     pst.add_argument("--root", required=True)
+    pst.add_argument(
+        "--schema", action="store_true",
+        help="include the lake's unified payload schema (and each retained "
+             "epoch's, when they differ) — parquet footers only",
+    )
     pst.set_defaults(fn=cmd_status)
 
     args = p.parse_args(argv)

@@ -1437,6 +1437,28 @@ def lookup_keys(
     return out.drop_columns([c for c in ("_offset", "_kh") if c in out.column_names])
 
 
+def lake_schema(root: str, at_epoch: int | None = None) -> list[tuple[str, str]]:
+    """The lake's current (or as-of-epoch) unified payload schema —
+    parquet footers only, no data read. Same-name fields across chain
+    files promote through the same lattice the read path uses, so this
+    reports exactly the schema ``state_table``/``scan_dataset`` would
+    materialize. Internal columns omitted."""
+    fields: dict[str, pa.Field] = {}
+    for _pid, files in sorted(partition_chains(root, at_epoch).items()):
+        for f in files:
+            for fld in pq.read_metadata(f).schema.to_arrow_schema():
+                if fld.name in INTERNAL_COLS:
+                    continue
+                prev = fields.get(fld.name)
+                if prev is None:
+                    fields[fld.name] = fld
+                elif not prev.type.equals(fld.type):
+                    fields[fld.name] = pa.field(
+                        fld.name, _promote_type(fld.name, prev.type, fld.type)
+                    )
+    return [(f.name, str(f.type)) for f in fields.values()]
+
+
 def state_sha256(root: str, at_epoch: int | None = None) -> str:
     """Digest over the sorted state's per-row (repo, path, content sha256)
     — the replay-equality invariant (BASELINE.json input_hint)."""

@@ -222,3 +222,40 @@ def test_cli_status(ray_session, tmp_path, capsys):
     assert out["last_epoch"]["lag_offsets"] == 0
     assert out["stores"]["egress"]["epoch"] == 2
     assert out["store_lag_epochs"]["egress"] == 0
+
+
+def test_cli_status_schema(ray_session, tmp_path, capsys):
+    """`status --schema` reports the unified payload schema from
+    parquet footers, and the evolution history across retained epochs
+    (the pre-evolution epoch's schema lacks `branch`)."""
+    import json
+
+    from silk_ray.__main__ import main
+    from silk_ray.cdc.generator import make_base_table, make_changelog, write_changelog_segments
+
+    base = make_base_table(40, seed=15)
+    log = make_changelog(base, 250, seed=16, evolve_at=125)
+    # drop the all-null branch column from the pre-evolution window so
+    # epoch 1's files genuinely lack it
+    import pyarrow.compute as pc
+
+    pre = log.filter(pc.less(log["offset"], 125)).drop_columns(["branch"])
+    post = log.filter(pc.greater_equal(log["offset"], 125))
+    write_changelog_segments(pre, str(tmp_path / "cl"), segment_size=125)
+    write_changelog_segments(post, str(tmp_path / "cl2"), segment_size=125)
+    root = str(tmp_path / "lake")
+    from silk_ray.cdc.engine import EngineConfig, run
+
+    run(root, str(tmp_path / "cl"), EngineConfig(
+        epoch_size=125, num_partitions=3, retain_epochs=3))
+    run(root, str(tmp_path / "cl2"), EngineConfig(
+        epoch_size=125, num_partitions=3, retain_epochs=3))
+    assert main(["status", "--root", root, "--schema"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    names = [n for n, _ in out["schema"]]
+    assert "branch" in names and "content" in names
+    assert all(n not in names for n in ("_offset", "_deleted", "_kh"))
+    # epoch 1 predates the evolution: its schema has no branch
+    hist = out.get("schema_history", {})
+    assert "1" in hist
+    assert "branch" not in [n for n, _ in hist["1"]]
