@@ -164,6 +164,57 @@ def test_snap_is_noop_without_txn_column_or_on_singletons(ray_session):
     assert snap_txn_boundary(two, 0, 10) == 40
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 9), min_size=1, max_size=30),
+        nulls=st.lists(st.booleans(), min_size=30, max_size=30),
+        lo_rank=st.integers(0, 28),
+        win=st.integers(1, 40),
+    )
+    def test_snap_property(sizes, nulls, lo_rank, win):
+        """For any contiguous txn layout and any window: the snapped end
+        never splits a transaction, is > lo, and equals hi whenever hi
+        already sits on a boundary (no gratuitous movement)."""
+        import pyarrow as pa
+
+        from silk_ray.cdc.merge import snap_txn_boundary
+
+        txn, boundaries = [], {0}
+        for g, s in enumerate(sizes):
+            txn.extend([None if nulls[g % len(nulls)] else g] * s)
+            boundaries.add(len(txn))
+        n = len(txn)
+        # null txns are singletons: every position around them is a boundary
+        for i, t in enumerate(txn):
+            if t is None:
+                boundaries.add(i)
+                boundaries.add(i + 1)
+        log = pa.table(
+            {
+                "offset": pa.array(range(n), pa.int64()),
+                "op": pa.array(["I"] * n),
+                "repo": pa.array(["r"] * n),
+                "path": pa.array([f"p{i}" for i in range(n)]),
+                "txn": pa.array(txn, pa.int64()),
+            }
+        )
+        # lo must itself be a boundary (the engine guarantees this
+        # inductively); pick the nearest boundary <= lo_rank
+        lo = max(b for b in boundaries if b <= min(lo_rank, n - 1))
+        hi = lo + win
+        end = snap_txn_boundary(log, lo, hi)
+        assert end > lo
+        assert end in boundaries or end >= n
+        if min(hi, n) in boundaries or hi >= n:
+            assert end == hi
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_engine_config_plumbs_txn_atomic(ray_session, tagged, tmp_path):
     from silk_ray.cdc.engine import EngineConfig, run
 
