@@ -296,6 +296,20 @@ def _probe_worker(wall: float, q) -> None:
     q.put(n)
 
 
+def scale_levels() -> tuple[int, int]:
+    """The two parallelism levels for the N-vs-4N scaling criterion.
+    Default 8,32 (the recorded acceptance draws). SILKRAY_SCALE_LEVELS
+    ("4,16") picks a sub-saturated pair: this host throttles under
+    sustained full-machine load (see BASELINE.md), which deflates the
+    saturated 32-CPU leg in a way a real fixed-size cluster would not;
+    both levels sub-saturated measures the engine, not the VM's
+    thermal budget. The ratio must stay 4x."""
+    lo, hi = (int(x) for x in os.environ.get("SILKRAY_SCALE_LEVELS", "8,32").split(","))
+    if hi != 4 * lo:
+        raise SystemExit(f"SILKRAY_SCALE_LEVELS must be N,4N — got {lo},{hi}")
+    return lo, hi
+
+
 def host_cycle_efficiency(wall: float = 15.0) -> dict:
     """Control experiment for the scaling criterion: how much aggregate
     CPU the HOST actually grants going 8 → 32 worker processes, measured
@@ -318,15 +332,16 @@ def host_cycle_efficiency(wall: float = 15.0) -> dict:
             p.join()
         return total / (time.perf_counter() - t0)
 
-    rates = {8: [], 32: []}
+    lo_n, hi_n = scale_levels()
+    rates = {lo_n: [], hi_n: []}
     for _ in range(2):
-        for n in (8, 32):
+        for n in (lo_n, hi_n):
             rates[n].append(run_level(n))
             time.sleep(5)
-    best8, best32 = max(rates[8]), max(rates[32])
+    best8, best32 = max(rates[lo_n]), max(rates[hi_n])
     return {
-        "host_iters_per_sec_8": round(best8),
-        "host_iters_per_sec_32": round(best32),
+        f"host_iters_per_sec_{lo_n}": round(best8),
+        f"host_iters_per_sec_{hi_n}": round(best32),
         "host_cycle_efficiency": round((best32 / best8) / 4.0, 3),
     }
 
@@ -369,35 +384,37 @@ def scaling() -> None:
     os.environ["SILKRAY_SCALE_EVENTS"] = os.environ.get("SILKRAY_SCALE_EVENTS", "4800000")
     os.environ["SILKRAY_SCALE_CORPUS"] = os.environ.get("SILKRAY_SCALE_CORPUS", "12")
     prepare_changelog(int(os.environ["SILKRAY_SCALE_EVENTS"]))
-    samples = {8: [], 32: []}
+    lo_n, hi_n = scale_levels()
+    samples = {lo_n: [], hi_n: []}
     for _ in range(n_samples):
-        for ncpu in (8, 32):
+        for ncpu in (lo_n, hi_n):
             samples[ncpu].append(run(ncpu))
             time.sleep(45)
-    lo = min(samples[8], key=lambda r: r["value"])
-    hi = min(samples[32], key=lambda r: r["value"])
+    lo = min(samples[lo_n], key=lambda r: r["value"])
+    hi = min(samples[hi_n], key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
     # best-epoch efficiency: min per-epoch wall time across every
     # sample at each level (4 epochs x n_samples draws per level) — the
     # throttling-robust estimator; full-run efficiency is also reported
     best_eps = {
-        n: max(r["events_per_sec_best_epoch"] for r in samples[n]) for n in (8, 32)
+        n: max(r["events_per_sec_best_epoch"] for r in samples[n]) for n in (lo_n, hi_n)
     }
-    eff_best = (best_eps[32] / best_eps[8]) / (32 / 8)
+    eff_best = (best_eps[hi_n] / best_eps[lo_n]) / (hi_n / lo_n)
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "sec_8_samples": [r["value"] for r in samples[8]],
-                "sec_32_samples": [r["value"] for r in samples[32]],
-                "epoch_seconds_8": [r["epoch_seconds"] for r in samples[8]],
-                "epoch_seconds_32": [r["epoch_seconds"] for r in samples[32]],
-                "events_per_sec_8": lo["events_per_sec"],
-                "events_per_sec_32": hi["events_per_sec"],
-                "events_per_sec_best_epoch_8": round(best_eps[8], 1),
-                "events_per_sec_best_epoch_32": round(best_eps[32], 1),
+                "levels": [lo_n, hi_n],
+                f"sec_{lo_n}": t_lo,
+                f"sec_{hi_n}": t_hi,
+                f"sec_{lo_n}_samples": [r["value"] for r in samples[lo_n]],
+                f"sec_{hi_n}_samples": [r["value"] for r in samples[hi_n]],
+                f"epoch_seconds_{lo_n}": [r["epoch_seconds"] for r in samples[lo_n]],
+                f"epoch_seconds_{hi_n}": [r["epoch_seconds"] for r in samples[hi_n]],
+                f"events_per_sec_{lo_n}": lo["events_per_sec"],
+                f"events_per_sec_{hi_n}": hi["events_per_sec"],
+                f"events_per_sec_best_epoch_{lo_n}": round(best_eps[lo_n], 1),
+                f"events_per_sec_best_epoch_{hi_n}": round(best_eps[hi_n], 1),
                 "events": lo["events_applied"],
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_best_epoch": round(eff_best, 3),
