@@ -255,6 +255,7 @@ def run_multi(
     changelog,
     configs: dict[str, "object"],
     demux_epoch: int = 500_000,
+    parallel_tables: bool = True,
 ) -> dict[str, list[dict]]:
     """Demux + per-table engines under one root: tables land in
     ``root/demux/tables/<tbl>`` and each declared table's lake lives at
@@ -263,18 +264,38 @@ def run_multi(
     stream — so all lakes tail the shared binlog together, each with
     its own exactly-once cursor. Undeclared tables still demux (their
     segments wait for a future consumer); declared tables missing from
-    the stream simply stay empty."""
+    the stream simply stay empty.
+
+    ``parallel_tables`` runs the per-window catch-ups in one thread per
+    table: each engine spends its time in ``ray.get`` (GIL released),
+    the lakes are disjoint roots with their own writer leases, and Ray
+    supports task submission from multiple driver threads — so T
+    tables' epochs pipeline through the cluster instead of leaving it
+    idle between serial catch-ups. Set False to debug one table at a
+    time."""
     from silk_ray.cdc.engine import run
 
     demux_dir = os.path.join(root, "demux")
     metrics: dict[str, list[dict]] = {tbl: [] for tbl in configs}
+
+    def catch_up(tbl, cfg):
+        td = table_dir(demux_dir, tbl)
+        if not os.path.isdir(td):
+            return
+        metrics[tbl].extend(run(os.path.join(root, "lakes", tbl), td, cfg))
+
     while True:
         w = demux_window(demux_dir, changelog, demux_epoch)
         if w is None:
             break
-        for tbl, cfg in configs.items():
-            td = table_dir(demux_dir, tbl)
-            if not os.path.isdir(td):
-                continue
-            metrics[tbl].extend(run(os.path.join(root, "lakes", tbl), td, cfg))
+        if parallel_tables and len(configs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(configs))) as ex:
+                futures = [ex.submit(catch_up, t, c) for t, c in configs.items()]
+                for f in futures:
+                    f.result()  # surface the first failure loudly
+        else:
+            for tbl, cfg in configs.items():
+                catch_up(tbl, cfg)
     return metrics
