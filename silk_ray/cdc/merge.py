@@ -101,6 +101,22 @@ def _as_array(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _row_fingerprint(t: pa.Table) -> pa.Array:
+    """Deterministic per-row string fingerprint (all columns, sorted by
+    name, cast to string, null-marked, joined) — the tiebreak that makes
+    conflicting duplicate offsets resolve identically under ANY fragment
+    or row order. Only computed when duplicates are present."""
+    parts = []
+    for name in sorted(t.column_names):
+        col = t[name].combine_chunks()
+        try:
+            s = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+        except pa.ArrowInvalid:
+            s = pa.array([str(v) for v in col.to_pylist()], pa.string())
+        parts.append(pc.fill_null(s, "\x00"))
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
 def _first_occurrence_mask(arr) -> pa.Array:
     """True at rows whose value differs from the previous row (input
     must be sorted by this column)."""
@@ -297,7 +313,32 @@ class MergePartition:
         ev = ev.sort_by("offset")
         first = _first_occurrence_mask(ev["offset"].combine_chunks())
         dup_skipped = ev.num_rows - int(pc.sum(first).as_py() or 0)
-        ev = ev.filter(first)
+        if dup_skipped:
+            # duplicate offsets present: the survivor must not depend on
+            # fragment/read order, or a replay that reads segments in a
+            # different order diverges byte-wise. Verbatim duplicates
+            # (the normal redelivery case) are unaffected; CONFLICTING
+            # duplicates (a producer bug) deterministically resolve to
+            # the fingerprint-min row. The fingerprint is computed ONLY
+            # over the duplicated rows (dup_frac-sized, not window-sized)
+            # and a Python loop runs only over the duplicate groups.
+            o = ev["offset"].combine_chunks().to_numpy()
+            dup_mask = np.zeros(len(o), bool)
+            dup_mask[1:] = o[1:] == o[:-1]
+            dup_mask[:-1] |= dup_mask[1:]
+            idx = np.flatnonzero(dup_mask)
+            fp = _row_fingerprint(ev.take(pa.array(idx))).to_pylist()
+            keep = first.to_numpy(zero_copy_only=False).copy()
+            keep[idx] = False
+            start = 0
+            for i in range(1, len(idx) + 1):
+                if i == len(idx) or o[idx[i]] != o[idx[start]]:
+                    w = min(range(start, i), key=fp.__getitem__)
+                    keep[idx[w]] = True
+                    start = i
+            ev = ev.filter(pa.array(keep))
+        else:
+            ev = ev.filter(first)
         applied = ev.num_rows
         new_hwm = int(ev["offset"][-1].as_py()) if applied else hwm
         upserts = int(

@@ -68,6 +68,48 @@ def test_resume_from_checkpoint(ray_session, changelog, tmp_path):
     assert state_sha256(resumed_root) == state_sha256(full_root)
 
 
+def test_conflicting_duplicate_offsets_resolve_deterministically(
+    ray_session, tmp_path
+):
+    """A producer bug — two rows with the SAME offset but different
+    payloads — must resolve identically under ANY row order and epoch
+    shape (the survivor is the fingerprint-min row), or replay under a
+    different fragment order breaks byte-identical convergence.
+    Verbatim duplicates (normal redelivery) are unaffected."""
+    import itertools
+
+    rows = [
+        (0, "I", "r", "x", "base"),
+        (1, "U", "r", "x", "A"),
+        (1, "U", "r", "x", "B"),  # conflicting twin of offset 1
+        (2, "U", "r", "y", "z"),
+    ]
+
+    def tbl(order):
+        sel = [rows[i] for i in order]
+        return pa.table(
+            {
+                "offset": pa.array([r[0] for r in sel], pa.int64()),
+                "op": pa.array([r[1] for r in sel], pa.string()),
+                "repo": pa.array([r[2] for r in sel], pa.string()),
+                "path": pa.array([r[3] for r in sel], pa.string()),
+                "content": pa.array([r[4] for r in sel], pa.string()),
+            }
+        )
+
+    shas = set()
+    i = 0
+    for perm in itertools.permutations(range(4)):
+        for ep in (2, 4):
+            root = str(tmp_path / f"l{i}")
+            i += 1
+            run_to_completion(root, tbl(perm), epoch_size=ep, num_partitions=2)
+            shas.add(state_sha256(root))
+    assert len(shas) == 1
+    got = {r["path"]: r["content"] for r in state_table(root).to_pylist()}
+    assert got["x"] == "A"  # fingerprint-min, pinned
+
+
 def test_crash_between_merge_work_and_manifest_swap(
     ray_session, changelog, tmp_path, monkeypatch
 ):
