@@ -251,7 +251,17 @@ def update_windows(
         slices = _window_fragments(changelog, lo, hi)
 
     @ray.remote
-    def _read(frag, lo_: int, hi_: int):
+    def _offsets(frag, lo_: int, hi_: int):
+        if isinstance(frag, pa.Table):
+            return frag["offset"].combine_chunks().to_numpy()
+        t = pq.read_table(frag, columns=["offset"])
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["offset"], lo_), pc.less(t["offset"], hi_))
+        )
+        return t["offset"].combine_chunks().to_numpy()
+
+    @ray.remote
+    def _read(frag, lo_: int, hi_: int, keep):
         if isinstance(frag, pa.Table):
             t = frag  # already windowed by _window_fragments / slicing
         else:  # parquet fragment path (footer-pruned to candidates)
@@ -261,9 +271,36 @@ def update_windows(
                     pc.greater_equal(t["offset"], lo_), pc.less(t["offset"], hi_)
                 )
             )
+        if keep is not None:
+            t = t.filter(pa.array(keep))
         return _contribution(t, spec, wm_prev)
 
-    results = ray.get([_read.remote(s, lo, hi) for s in slices])
+    # exactly-once vs redelivery: a duplicate-offset event must not
+    # double-count in the aggregates. Wave A reads only the offset
+    # column; global first-occurrence winners are computed in
+    # deterministic slice order (sorted fragment paths / slice index)
+    # and wave B filters each slice to its winners. Duplicates always
+    # share the arrival window (windows are offset ranges), so
+    # same-epoch dedup is complete — the exact argument the merge path
+    # makes. Conflicting twins (same offset, different payload — a
+    # producer bug) resolve to the first slice's row; the LAKE is the
+    # authority for those (merge.py fingerprint-min), the window store
+    # is a derived view.
+    offs = ray.get([_offsets.remote(s, lo, hi) for s in slices])
+    lens = [len(o) for o in offs]
+    keeps: list = [None] * len(slices)
+    if lens:
+        all_off = np.concatenate(offs) if len(offs) > 1 else offs[0]
+        if len(all_off) != len(np.unique(all_off)):
+            first = np.zeros(len(all_off), bool)
+            first[np.unique(all_off, return_index=True)[1]] = True
+            pos = 0
+            for i, n_ in enumerate(lens):
+                keeps[i] = first[pos : pos + n_]
+                pos += n_
+    results = ray.get(
+        [_read.remote(s, lo, hi, keeps[i]) for i, s in enumerate(slices)]
+    )
     # deterministic combine order: task-index order (float sums)
     on_time = _merge_partials([r[0] for r in results], spec)
     late_parts = [r[1] for r in results if r[1] is not None and r[1].num_rows]

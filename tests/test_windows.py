@@ -117,6 +117,26 @@ def test_windows_equal_brute_oracle(root, ray_session, epoch_size, tmp_path):
     assert total == stream.num_rows
 
 
+def test_duplicate_offsets_do_not_double_count(ray_session, tmp_path):
+    """Exactly-once vs redelivery: verbatim duplicate-offset rows (the
+    generator's dup_frac shape — re-appended at the stream tail, so the
+    twins sit in DIFFERENT fragments/slices of the same window) must
+    not inflate any window aggregate. The noisy stream's finalized
+    windows and late rows equal the clean stream's exactly."""
+    stream = _stream(n=300, seed=11)
+    rng = np.random.default_rng(3)
+    idx = sorted(int(i) for i in rng.choice(stream.num_rows, size=30, replace=False))
+    noisy = pa.concat_tables([stream, stream.take(pa.array(idx))])
+    r_clean, r_noisy = str(tmp_path / "clean"), str(tmp_path / "noisy")
+    run_window_stream(r_clean, stream, SPEC, 75)
+    run_window_stream(r_noisy, noisy, SPEC, 75)
+    assert _ray_finalized(r_noisy) == _ray_finalized(r_clean)
+    lt_c, lt_n = late_table(r_clean), late_table(r_noisy)
+    assert (lt_n["offset"].to_pylist() if lt_n.num_rows else []) == (
+        lt_c["offset"].to_pylist() if lt_c.num_rows else []
+    )
+
+
 def test_windows_no_late_under_large_lateness(root, ray_session):
     spec = WindowSpec(ts_col="ts", width_s=WIDTH_S, allowed_lateness_s=10**6,
                       group_by=("key",), count_col="n", sums={"sum_val": "val"})
