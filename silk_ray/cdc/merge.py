@@ -113,7 +113,13 @@ def _row_fingerprint(t: pa.Table) -> pa.Array:
             s = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
         except pa.ArrowInvalid:
             s = pa.array([str(v) for v in col.to_pylist()], pa.string())
-        parts.append(pc.fill_null(s, "\x00"))
+        # length-prefix each part so the encoding is injective — a bare
+        # separator join would collide when a value contains the
+        # separator, re-admitting order dependence for that pair
+        s = pc.fill_null(s, "\x00")
+        parts.append(pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(s), pa.string()), s, ":"
+        ))
     return pc.binary_join_element_wise(*parts, "\x1f")
 
 
