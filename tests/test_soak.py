@@ -39,7 +39,7 @@ def _engine_rows(root):
     return [{k: r.get(k) for k in KEYS} for r in rows]
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606])
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606, 707, 909])
 def test_randomized_stream_soak(ray_session, tmp_path, seed):
     rng = np.random.default_rng(seed)
     n_base = int(rng.integers(40, 160))
