@@ -81,7 +81,7 @@ def _batch_cc(links):
     return sorted((n, find(n)) for n in parent)
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", [11, 23, 37])
 def test_linked_engine_randomized_soak(ray_session, tmp_path, seed):
     import numpy as np
 
