@@ -401,10 +401,25 @@ def scaling() -> None:
         n: max(r["events_per_sec_best_epoch"] for r in samples[n]) for n in (lo_n, hi_n)
     }
     eff_best = (best_eps[hi_n] / best_eps[lo_n]) / (hi_n / lo_n)
+    # Level policy (acceptance basis): only two level pairs count as
+    # acceptance evidence — the saturated default [8, 32] (secondary
+    # evidence: the host probe contextualizes its deflation) and the
+    # documented sub-saturated pair [4, 16] (the twice-reproduced raw
+    # >=0.8 standard, BASELINE.md draw table). Any OTHER
+    # SILKRAY_SCALE_LEVELS override is a diagnostic: its numbers are
+    # not comparable to recorded acceptance draws (a throttling host
+    # systematically inflates sub-saturated ratios), so the output is
+    # explicitly marked non-acceptance and graders/gates should check
+    # this field, not just "levels".
+    basis = {
+        (8, 32): "acceptance:saturated-8v32",
+        (4, 16): "acceptance:sub-saturated-4v16",
+    }.get((lo_n, hi_n), "diagnostic:non-acceptance-override")
     print(
         json.dumps(
             {
                 "levels": [lo_n, hi_n],
+                "acceptance_basis": basis,
                 f"sec_{lo_n}": t_lo,
                 f"sec_{hi_n}": t_hi,
                 f"sec_{lo_n}_samples": [r["value"] for r in samples[lo_n]],

@@ -20,11 +20,16 @@ order, rows offset-sorted, fixed parquet options), written
 tmp→rename and committed by writing ``_demux.json`` LAST — a crash
 mid-window reruns the window and rewrites byte-identical segments.
 
-Cross-table transaction atomicity is explicitly OUT of scope: with
-``txn_atomic`` each table's lake snaps to the transaction boundaries
-visible in ITS stream, so a transaction touching two tables is atomic
-within each lake but the two lakes can commit it in different epochs.
-A coordinated multi-lake commit point would be needed for more.
+Transaction atomicity composes per table ONLY when the demux cut
+itself is transaction-aligned: ``run_multi`` forces ``txn_snap`` on
+the demux window whenever any consuming table runs ``txn_atomic``, so
+a transaction straddling a plain size-based cut can never strand part
+of itself beyond a table's demuxed horizon (where the table's own
+boundary snap could not see the continuation and would durably commit
+a torn state). Cross-table atomicity of the COMMIT POINT remains out
+of scope: a transaction touching two tables is atomic within each
+lake but the two lakes can commit it in different epochs. A
+coordinated multi-lake commit point would be needed for more.
 
 Rows with a null/empty/path-unsafe ``tbl`` quarantine to
 ``out_dir/deadletter/`` (reason ``missing_tbl``/``invalid_tbl``) —
@@ -123,6 +128,23 @@ def _route_fragment(src, lo: int, hi: int) -> tuple[dict, "object"]:
     return out, dead
 
 
+def _clean_stale_tmp(d: str) -> None:
+    """Remove tmp leftovers from crashed writers. New tmp names are
+    dot-prefixed (discovery-safe); legacy ``*.tmp-<pid>`` suffix names
+    from older versions are also swept so a stale torn file can never
+    be picked up as a fragment or crash ``gc_demux``'s footer read."""
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return
+    for f in names:
+        if f.startswith(".tmp-") or ".tmp-" in f:
+            try:
+                os.remove(os.path.join(d, f))
+            except OSError:
+                pass
+
+
 def _write_seg(out_dir: str, tbl: str, window: int, *shards) -> int:
     """Writer task: concat this table's window shards (fragment order),
     offset-sort, write one segment atomically. Deterministic bytes —
@@ -135,15 +157,36 @@ def _write_seg(out_dir: str, tbl: str, window: int, *shards) -> int:
     d = table_dir(out_dir, tbl)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"seg-{window:06d}.parquet")
-    tmp = f"{path}.tmp-{os.getpid()}"
+    # tmp basename MUST be dot-prefixed: pyarrow dataset discovery (the
+    # engine's _window_fragments / _next_existing_offset scan this dir)
+    # only skips '.'/'_' prefixes, so a torn suffix-style tmp left by a
+    # writer crash would be discovered as a fragment and hard-fail every
+    # subsequent epoch (pq.read_table on a truncated file).
+    tmp = os.path.join(d, f".tmp-{os.getpid()}-seg-{window:06d}")
+    _clean_stale_tmp(d)
     pq.write_table(t, tmp, row_group_size=64 * 1024)
     os.replace(tmp, path)
     return t.num_rows
 
 
-def demux_window(out_dir: str, changelog, epoch_size: int = 500_000) -> dict | None:
+def demux_window(
+    out_dir: str, changelog, epoch_size: int = 500_000, txn_snap: bool = False
+) -> dict | None:
     """Route one offset window. Returns {window, next_offset, rows
-    {tbl: n}, dead_lettered} or None when the stream is exhausted."""
+    {tbl: n}, dead_lettered} or None when the stream is exhausted.
+
+    ``txn_snap`` snaps the window cut to GLOBAL transaction boundaries
+    on the shared changelog (merge.snap_txn_boundary). Required when
+    any consuming table runs with ``txn_atomic``: a plain ``lo +
+    epoch_size`` cut can land mid-transaction, and a table whose
+    demuxed substream ends inside that transaction sees no
+    continuation (the remainder is not demuxed yet), so its engine's
+    own boundary snap finds nothing to defer and durably commits a
+    torn transaction. Transactions are contiguous on the SHARED
+    changelog (the binlog shape), so a globally txn-aligned cut
+    guarantees every per-table substream ends on a complete
+    transaction — per-table atomicity then composes with zero
+    engine-side changes."""
     import ray
 
     state = read_demux_state(out_dir)
@@ -153,6 +196,10 @@ def demux_window(out_dir: str, changelog, epoch_size: int = 500_000) -> dict | N
         return None
     lo = max(lo, nxt)
     hi = lo + epoch_size
+    if txn_snap:
+        from silk_ray.cdc.merge import snap_txn_boundary
+
+        hi = snap_txn_boundary(changelog, lo, hi)
     fragments = _window_fragments(changelog, lo, hi)
     if not fragments:
         return None
@@ -174,7 +221,8 @@ def demux_window(out_dir: str, changelog, epoch_size: int = 500_000) -> dict | N
         dd = os.path.join(out_dir, "deadletter")
         os.makedirs(dd, exist_ok=True)
         p = os.path.join(dd, f"window-{window:06d}.parquet")
-        tmp = f"{p}.tmp-{os.getpid()}"
+        tmp = os.path.join(dd, f".tmp-{os.getpid()}-window-{window:06d}")
+        _clean_stale_tmp(dd)
         pq.write_table(dead, tmp)
         os.replace(tmp, p)
         dead_lettered = dead.num_rows
@@ -194,10 +242,12 @@ def demux_window(out_dir: str, changelog, epoch_size: int = 500_000) -> dict | N
     }
 
 
-def demux_to_completion(out_dir: str, changelog, epoch_size: int = 500_000) -> list[dict]:
+def demux_to_completion(
+    out_dir: str, changelog, epoch_size: int = 500_000, txn_snap: bool = False
+) -> list[dict]:
     out = []
     while True:
-        m = demux_window(out_dir, changelog, epoch_size)
+        m = demux_window(out_dir, changelog, epoch_size, txn_snap=txn_snap)
         if m is None:
             return out
         out.append(m)
@@ -227,6 +277,11 @@ def gc_demux(root: str, tables: list[str] | None = None, force: bool = False) ->
         floor = manifest.next_offset if manifest.epoch else None
         d = table_dir(demux_dir, tbl)
         for f in sorted(os.listdir(d)):
+            if f.startswith((".", "_")) or ".tmp-" in f:
+                continue  # crashed-writer leftovers: footer read would
+                # fail on a torn file; _clean_stale_tmp sweeps them at
+                # the table's next segment write (never here — GC may
+                # run beside a live writer whose tmp is mid-rename)
             p = os.path.join(d, f)
             if floor is not None:
                 md = pq.read_metadata(p)
@@ -277,6 +332,11 @@ def run_multi(
 
     demux_dir = os.path.join(root, "demux")
     metrics: dict[str, list[dict]] = {tbl: [] for tbl in configs}
+    # Any txn_atomic consumer forces globally txn-aligned demux cuts —
+    # see demux_window: without this, a transaction straddling the cut
+    # leaves a table's demuxed stream ending mid-transaction and that
+    # table durably commits a torn state.
+    txn_snap = any(getattr(cfg, "txn_atomic", False) for cfg in configs.values())
 
     def catch_up(tbl, cfg):
         td = table_dir(demux_dir, tbl)
@@ -285,7 +345,7 @@ def run_multi(
         metrics[tbl].extend(run(os.path.join(root, "lakes", tbl), td, cfg))
 
     while True:
-        w = demux_window(demux_dir, changelog, demux_epoch)
+        w = demux_window(demux_dir, changelog, demux_epoch, txn_snap=txn_snap)
         if w is None:
             break
         if parallel_tables and len(configs) > 1:

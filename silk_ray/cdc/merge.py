@@ -69,7 +69,23 @@ def key_partition(repo: str, path: str, num_partitions: int) -> int:
     return zlib.crc32(f"{repo}\x00{path}".encode()) % num_partitions
 
 
-def _crc_keys(keys: list[bytes]) -> np.ndarray:
+def _crc_keys(keys) -> np.ndarray:
+    """crc32 per composite key, semantics identical to
+    ``zlib.crc32(k)`` row by row (the persisted ``_kh`` layout).
+
+    Fast path: a pyarrow binary Array is dictionary-encoded first so
+    each DISTINCT key is hashed once and the per-row values come from
+    a numpy take — binlog streams are key-skewed (hot repos/paths
+    repeat within every batch), so uniques << rows and the last
+    per-row Python loop on the per-event hot path collapses to a
+    per-unique loop. A plain list of bytes still takes the direct
+    per-row path."""
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        enc = _as_array(keys).dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        crc_u = np.fromiter((zlib.crc32(k) for k in uniq), dtype=np.int64, count=len(uniq))
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return crc_u[idx] if len(uniq) else np.empty(0, np.int64)
     return np.fromiter((zlib.crc32(k) for k in keys), dtype=np.int64, count=len(keys))
 
 
@@ -81,7 +97,7 @@ def add_pid_column(num_partitions: int):
         joined = pc.binary_join_element_wise(
             pc.cast(batch["repo"], pa.binary()), pc.cast(batch["path"], pa.binary()), b"\x00"
         )
-        kh = _crc_keys(joined.to_pylist())
+        kh = _crc_keys(joined)
         batch = batch.append_column("_kh", pa.array(kh, pa.int64()))
         return batch.append_column("pid", pa.array(kh % num_partitions, pa.int32()))
 
@@ -115,11 +131,17 @@ def _row_fingerprint(t: pa.Table) -> pa.Array:
             s = pa.array([str(v) for v in col.to_pylist()], pa.string())
         # length-prefix each part so the encoding is injective — a bare
         # separator join would collide when a value contains the
-        # separator, re-admitting order dependence for that pair
-        s = pc.fill_null(s, "\x00")
-        parts.append(pc.binary_join_element_wise(
-            pc.cast(pc.utf8_length(s), pa.string()), s, ":"
-        ))
+        # separator, re-admitting order dependence for that pair. The
+        # null marker lives OUTSIDE the value alphabet (a validity flag,
+        # not a fill value): filling nulls with any string S would make
+        # null and a literal S encode identically, and that pair would
+        # tie and fall back to row order — the exact nondeterminism this
+        # fingerprint exists to remove.
+        filled = pc.fill_null(s, "")
+        encoded = pc.binary_join_element_wise(
+            "v", pc.cast(pc.utf8_length(filled), pa.string()), filled, ":"
+        )
+        parts.append(pc.if_else(pc.is_valid(s), encoded, pa.scalar("n", pa.string())))
     return pc.binary_join_element_wise(*parts, "\x1f")
 
 
@@ -805,7 +827,10 @@ def _validate_events(
                 "strict_columns requires payload_schema (the declared column "
                 "set IS the closed world)"
             )
-        known = {"offset", "op", *KEY_COLS, *payload_schema}
+        # META_COLS, not a hand-listed subset: `txn` is engine metadata
+        # (txn_atomic grouping), and quarantining it as an unknown
+        # column would dead-letter every row of a txn-tagged changelog
+        known = {*META_COLS, *KEY_COLS, *payload_schema}
         for col in sorted(c for c in t.column_names if c not in known):
             present = pc.is_valid(t[col])
             if pc.any(present).as_py() is not True:

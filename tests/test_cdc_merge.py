@@ -247,3 +247,54 @@ def test_lag_offsets_metric_drains_to_zero(ray_session, tmp_path):
     write_changelog_segments(log, seg_dir, segment_size=30)
     ms2 = run_to_completion(str(tmp_path / "disk"), seg_dir, epoch_size=40, num_partitions=2)
     assert [m["lag_offsets"] for m in ms2] == lags
+
+
+def test_row_fingerprint_null_vs_literal_nul_injective():
+    """ADVICE r3: the null marker must live outside the value alphabet.
+    A null and a literal "\\x00" string previously both encoded as
+    "1:\\x00", so a conflicting-duplicate pair differing only in that
+    column tied and fell back to row order — the exact nondeterminism
+    the fingerprint exists to remove."""
+    from silk_ray.cdc.merge import _row_fingerprint
+
+    t = pa.table({
+        "c": pa.array([None, "\x00", "", None], pa.string()),
+        "d": ["z", "z", "z", "z"],
+    })
+    fp = _row_fingerprint(t).to_pylist()
+    assert len(set(fp)) == 4 - 1  # rows 0 and 3 identical, others distinct
+    assert fp[0] == fp[3] and fp[0] != fp[1] and fp[1] != fp[2] and fp[0] != fp[2]
+    # conflicting twins differing only null-vs-"\x00" now resolve by
+    # fingerprint, identically under either row order
+    t_fwd = pa.table({"offset": [5, 5], "op": ["U", "U"],
+                      "repo": ["r", "r"], "path": ["p", "p"],
+                      "v": pa.array(["\x00", None], pa.string())})
+    t_rev = t_fwd.take([1, 0])
+    a = _row_fingerprint(t_fwd).to_pylist()
+    b = _row_fingerprint(t_rev).to_pylist()
+    assert sorted(a) == sorted(b) and a[0] != a[1]
+
+
+def test_crc_keys_dictionary_path_matches_per_row():
+    """The dictionary-encoded fast path of _crc_keys (hash each
+    DISTINCT key once, numpy-take per row) must pin the exact
+    per-row zlib.crc32 semantics — `_kh` is persisted lake layout."""
+    import zlib
+
+    import numpy as np
+
+    from silk_ray.cdc.merge import _crc_keys, add_pid_column
+
+    keys = [f"repo{i % 7}\x00path{i % 13}".encode() for i in range(200)] + [b""]
+    ref = np.array([zlib.crc32(k) for k in keys], np.int64)
+    assert (_crc_keys(pa.array(keys, pa.binary())) == ref).all()
+    assert (_crc_keys(keys) == ref).all()  # list path unchanged
+    chunked = pa.chunked_array([keys[:50], keys[50:]], pa.binary())
+    assert (_crc_keys(chunked) == ref).all()
+    assert len(_crc_keys(pa.array([], pa.binary()))) == 0
+    t = pa.table({"repo": ["a", "b", "a"], "path": ["x", "y", "x"], "offset": [1, 2, 3]})
+    out = add_pid_column(16)(t)
+    exp = np.array([zlib.crc32(b"a\x00x"), zlib.crc32(b"b\x00y"), zlib.crc32(b"a\x00x")],
+                   np.int64)
+    assert out["_kh"].to_pylist() == exp.tolist()
+    assert out["pid"].to_pylist() == (exp % 16).tolist()

@@ -320,3 +320,31 @@ def test_strict_columns_replay_identity(ray_session, tmp_path):
     a = sorted((r["offset"], r["reason"]) for r in dead_letters_table(roots[0]).to_pylist())
     b = sorted((r["offset"], r["reason"]) for r in dead_letters_table(roots[1]).to_pylist())
     assert a == b and a
+
+
+def test_strict_columns_accepts_txn_metadata(ray_session, tmp_path):
+    """Closed-world validation must treat ALL engine metadata columns
+    (META_COLS — including ``txn``) as known: running --strict-columns
+    on a txn-tagged changelog previously quarantined every row carrying
+    a non-null txn as unknown_column:txn, dead-lettering most of the
+    stream and producing a silently wrong lake."""
+    from silk_ray.cdc.generator import assign_txns
+
+    base = make_base_table(30, seed=97)
+    log = assign_txns(make_changelog(base, 240, seed=98), seed=99, mean_size=5)
+    assert sum(v is not None for v in log["txn"].to_pylist()) > log.num_rows // 2
+    schema = {"commit": "StringValueType", "lang": "StringValueType",
+              "content": "StringValueType"}
+    root = str(tmp_path / "lake")
+    run_to_completion(root, log, epoch_size=80, num_partitions=3,
+                      payload_schema=schema, strict_columns=True, txn_atomic=True)
+    dlq = dead_letters_table(root)
+    reasons = dlq["reason"].to_pylist() if dlq.num_rows else []
+    assert not any(r == "unknown_column:txn" for r in reasons), reasons
+    # every event applied: the lake matches the sequential oracle
+    st = sequential_apply(log)
+    want = [{k: r.get(k) for k in KEYS} for r in (st[k] for k in sorted(st))]
+    got = [{k: r.get(k) for k in KEYS} for r in state_table(root).to_pylist()]
+    assert got == want
+    # and `txn` never leaks into the lake as a payload column
+    assert "txn" not in state_table(root).column_names

@@ -229,3 +229,90 @@ def test_gc_demux_reclaims_consumed_segments_only(ray_session, streams, tmp_path
 def test_missing_tbl_column_fails_loudly(ray_session, streams, tmp_path):
     with pytest.raises(Exception, match="tbl"):
         demux_to_completion(str(tmp_path / "d"), streams["code"], epoch_size=400)
+
+
+def test_demux_cut_never_tears_a_transaction(ray_session, streams, tmp_path):
+    """The demux cut itself must be txn-aligned (ADVICE r3, high): a
+    plain lo+epoch_size cut landing mid-transaction leaves a table's
+    demuxed substream ending inside that transaction; the table's own
+    boundary snap sees no continuation (the remainder is not demuxed
+    yet) and durably commits a torn state. run_multi forces txn_snap
+    when any config is txn_atomic — this test steps windows manually
+    and checks the per-table atomicity invariant after EVERY committed
+    catch-up, not just final convergence."""
+    from silk_ray.cdc import checkpoint as ckpt
+    from silk_ray.cdc.engine import run
+
+    combined = assign_txns(
+        interleave(streams, seed=9), seed=21, mean_size=9, untagged_frac=0.0
+    )
+    root = str(tmp_path / "multi")
+    demux_dir = os.path.join(root, "demux")
+    cfgs = {
+        n: EngineConfig(epoch_size=70, num_partitions=3, txn_atomic=True)
+        for n in streams
+    }
+    # per-table txn -> offset set, from the global stream
+    per_tbl: dict[str, dict[int, set]] = {}
+    for r in combined.to_pylist():
+        if r["txn"] is not None:
+            per_tbl.setdefault(r["tbl"], {}).setdefault(r["txn"], set()).add(r["offset"])
+    max_off = max(combined["offset"].to_pylist())
+    lo, snapped = 0, 0
+    while True:
+        w = demux_window(demux_dir, combined, 60, txn_snap=True)
+        if w is None:
+            break
+        if w["next_offset"] != lo + 60 and w["next_offset"] <= max_off:
+            snapped += 1  # the snap actually moved a cut
+        lo = w["next_offset"]
+        for n in streams:
+            run(os.path.join(root, "lakes", n), table_dir(demux_dir, n), cfgs[n])
+        # invariant: no table's committed cursor sits strictly inside
+        # any transaction's per-table offset set
+        for n in streams:
+            cur = ckpt.read_manifest(os.path.join(root, "lakes", n)).next_offset
+            for txn, offs in per_tbl.get(n, {}).items():
+                below = any(o < cur for o in offs)
+                above = any(o >= cur for o in offs)
+                assert not (below and above), (
+                    f"table {n} cursor {cur} tears txn {txn} (offsets {sorted(offs)})"
+                )
+    assert snapped > 0, "test never exercised a moved cut — tune sizes"
+    for n, log in streams.items():
+        got = state_table(os.path.join(root, "lakes", n)).to_pylist()
+        assert _strip(got) == _oracle(log), n
+
+
+def test_torn_demux_tmp_is_ignored_and_cleaned(ray_session, streams, tmp_path):
+    """A demux writer crash mid-write leaves a torn tmp file (ADVICE
+    r3): tmp names are now dot-prefixed so pyarrow dataset discovery
+    (the consuming engine's fragment scan) skips them, legacy
+    suffix-style tmp leftovers are swept at the table's next segment
+    write, and gc_demux's footer reads skip both shapes."""
+    combined = interleave(streams, seed=9)
+    root = str(tmp_path / "multi")
+    out = os.path.join(root, "demux")
+    demux_window(out, combined, epoch_size=250)
+    d = table_dir(out, "code")
+    for torn in ("seg-000002.parquet.tmp-99999", ".tmp-99999-seg-000002"):
+        with open(os.path.join(d, torn), "wb") as f:
+            f.write(b"torn parquet bytes from a crashed writer")
+    # subsequent windows neither crash nor pick the torn files up
+    demux_to_completion(out, combined, epoch_size=250)
+    assert not any(".tmp-" in f for f in os.listdir(d))
+    # the engine consumes the stream and converges
+    from silk_ray.cdc.engine import run
+
+    lake = os.path.join(root, "lakes", "code")
+    run(lake, d, EngineConfig(epoch_size=200, num_partitions=3))
+    assert _strip(state_table(lake).to_pylist()) == _oracle(streams["code"])
+    # a torn tmp in a table dir that never gets another write (docs has
+    # no consumer here) must not crash gc_demux
+    from silk_ray.cdc.demux import gc_demux
+
+    d2 = table_dir(out, "docs")
+    with open(os.path.join(d2, ".tmp-11111-seg-000009"), "wb") as f:
+        f.write(b"torn")
+    assert gc_demux(root) >= 0
+    assert os.listdir(d) == []  # code fully consumed and reclaimed
