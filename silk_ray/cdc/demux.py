@@ -230,15 +230,32 @@ def demux_window(
         return None
     write = ray.remote(_write_seg)
     os.makedirs(out_dir, exist_ok=True)
-    counts = ray.get(
-        [write.remote(out_dir, tbl, window, *refs) for tbl, refs in sorted(by_tbl.items())]
-    )
+    # Writer tasks run in bounded WAVES, and each table's shard refs are
+    # RELEASED as its wave completes: a 10^3-live-table deployment would
+    # otherwise submit 10^3 concurrent writers and keep every routed
+    # shard pinned in the object store until the slowest write finished
+    # — driver-side in-flight state is now O(wave), not O(tables), and
+    # object-store pinning drains progressively. (The {tbl: ref} maps
+    # themselves are ~100 bytes/entry — the F×T dict is MBs at 10^3
+    # tables and is the exchange's inherent driver footprint.)
+    wave_size = max(1, int(os.environ.get("SILKRAY_DEMUX_WRITE_WAVE", "64")))
+    tables = sorted(by_tbl)
+    counts: dict[str, int] = {}
+    waves = 0
+    for i in range(0, len(tables), wave_size):
+        wave = tables[i : i + wave_size]
+        got = ray.get([write.remote(out_dir, t, window, *by_tbl[t]) for t in wave])
+        counts.update(zip(wave, got))
+        for t in wave:
+            del by_tbl[t]  # unpin this table's routed shards now
+        waves += 1
     _commit_demux_state(out_dir, window, hi)  # the sole commit point
     return {
         "window": window,
         "next_offset": hi,
-        "rows": dict(zip(sorted(by_tbl), counts)),
+        "rows": counts,
         "dead_lettered": dead_lettered,
+        "write_waves": waves,
     }
 
 

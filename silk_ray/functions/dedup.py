@@ -507,13 +507,10 @@ def simhash64(text: str) -> int:
     counts = Counter(_tokens(text))
     if not counts:
         return 0
-    hashes = np.array(
-        [
-            int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
-            for tok in counts
-        ],
-        dtype=np.uint64,
-    )
+    # _md5_lower64 IS this expression (utf-8 surrogatepass encode is
+    # identical for valid text) — routed through it for the shared
+    # process-level token→hash LRU (Zipfian token reuse across docs)
+    hashes = np.array([_md5_lower64(tok) for tok in counts], dtype=np.uint64)
     weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     # (T, 64) bit matrix via unpackbits on the big-endian byte view
     bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1, bitorder="little")

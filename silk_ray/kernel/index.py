@@ -28,6 +28,8 @@ created per entity inside ``map_batches`` workers.
 
 from __future__ import annotations
 
+import functools
+
 INT_MAX = 2**31 - 1
 _MASK64 = (1 << 64) - 1
 
@@ -54,11 +56,21 @@ def stable_str_hash(s: str) -> int:
     return zlib.crc32(s.encode("utf-8", "surrogatepass"))
 
 
+@functools.lru_cache(maxsize=1 << 18)
 def md5_lower64(s: str) -> int:
     """Lower 64 bits of md5 (little-endian of digest bytes 8..16) —
     equals DuckDB's ``md5_number_lower``. Used wherever a pipeline hash
     must be reproducible by the SQL oracles (kmvTokens sketch order,
-    MinHash/SimHash token hashing, jaccardMinhashLSH signatures)."""
+    MinHash/SimHash token hashing, jaccardMinhashLSH signatures).
+
+    lru_cache (process-level, so shared across batches within a Ray
+    worker): the inputs are natural-language shingles/tokens, whose
+    reuse is Zipfian — at corpus scale the per-shingle md5 was the
+    dominant CPU of the MinHash/KMV/SimHash family (~10^11 calls at
+    100 TB), and most of them are repeats of a small hot vocabulary.
+    256k entries of short shingles is a few tens of MB per worker —
+    bounded and a pure win; the value is deterministic so caching is
+    semantically invisible (the SQL oracles stay exact)."""
     import hashlib
 
     return int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:], "little")

@@ -22,10 +22,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _strip_schema_meta(t):
+    """Drop file-level schema metadata (the ``pandas`` blob pyarrow
+    embeds at write time). A pa.Schema carrying that metadata is
+    UNHASHABLE (its metadata dict defeats ``hash(schema)``), which
+    breaks Ray Data's schema-dedup cache in every sort/groupby reduce
+    — each reduce task then logs "Failed to hash the schemas" and
+    falls back to full schema unification. Zero-copy: only the schema
+    object is replaced, buffers are shared."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _rp(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # broadcast-vs-shuffle planning rule shared by q3/q5/q10: the orders

@@ -28,7 +28,14 @@ import pyarrow as pa
 def _read_parquet(paths, columns=None, **kw):
     import ray.data as rd
 
-    return rd.read_parquet(paths, columns=columns, **kw)
+    from silk_ray.pipelines.queries import _strip_schema_meta
+
+    # strip file-level schema metadata (pandas blob): a schema carrying
+    # it is unhashable and defeats Ray Data's schema-dedup cache in
+    # every downstream sort/groupby reduce (see _strip_schema_meta)
+    return rd.read_parquet(paths, columns=columns, **kw).map_batches(
+        _strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _read_csv(paths, columns=None, **kw):

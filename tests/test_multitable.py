@@ -316,3 +316,39 @@ def test_torn_demux_tmp_is_ignored_and_cleaned(ray_session, streams, tmp_path):
         f.write(b"torn")
     assert gc_demux(root) >= 0
     assert os.listdir(d) == []  # code fully consumed and reclaimed
+
+
+def test_demux_write_waves_bound_driver_state(ray_session, tmp_path, monkeypatch):
+    """Adversarial live-table count: writer tasks run in bounded waves
+    (SILKRAY_DEMUX_WRITE_WAVE) with each table's routed shard refs
+    released as its wave completes — driver in-flight state is
+    O(wave), not O(tables). 300 tables with a wave of 16 must take
+    ceil(300/16) waves and still route every row to the right table."""
+    import math
+
+    monkeypatch.setenv("SILKRAY_DEMUX_WRITE_WAVE", "16")
+    n_tables, rows_per = 300, 3
+    rows = []
+    off = 0
+    for i in range(n_tables):
+        for j in range(rows_per):
+            rows.append({
+                "offset": off, "op": "U", "tbl": f"t{i:03d}",
+                "repo": f"r{j}", "path": f"p{j}", "commit": f"c{off}",
+            })
+            off += 1
+    # interleave tables in offset order so every fragment sees many tables
+    rows.sort(key=lambda r: (r["offset"] * 7919) % 104729)
+    for k, r in enumerate(rows):
+        r["offset"] = k
+    log = pa.Table.from_pylist(rows)
+    out = str(tmp_path / "demux")
+    ms = demux_to_completion(out, log, epoch_size=n_tables * rows_per)
+    assert len(ms) == 1
+    m = ms[0]
+    assert m["write_waves"] == math.ceil(n_tables / 16)
+    assert len(m["rows"]) == n_tables
+    assert all(v == rows_per for v in m["rows"].values())
+    # spot-check routing: every row of t007 landed in t007's segment
+    seg = pq.read_table(os.path.join(table_dir(out, "t007"), "seg-000001.parquet"))
+    assert seg.num_rows == rows_per and "tbl" not in seg.column_names
