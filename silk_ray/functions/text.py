@@ -17,12 +17,16 @@ _WS = re.compile(r"\s+")
 
 
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-doc token/char counts (whitespace tokenization)."""
-    texts = batch[text_col].to_pylist()
-    n_tokens = [len([t for t in _WS.split(x or "") if t]) for x in texts]
-    n_chars = pc.utf8_length(batch[text_col])
+    """Per-doc token/char counts (whitespace tokenization).
+
+    Fully vectorized: token count = number of ``\\S+`` runs via
+    Arrow's RE2 kernel (the same regex family the DuckDB oracle's
+    ``string_split_regex(trim(text), '\\s+')`` uses), no Python loop
+    over docs."""
+    n_tokens = pc.fill_null(pc.count_substring_regex(batch[text_col], r"\S+"), 0)
+    n_chars = pc.fill_null(pc.utf8_length(batch[text_col]), 0)
     out = batch.select([c for c in batch.column_names if c != text_col])
-    out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
     out = out.append_column("n_chars_computed", pc.cast(n_chars, pa.int64()))
     return out
 
@@ -73,8 +77,20 @@ class RollingFingerprint:
 
 class QualityScorer:
     """Heuristic quality signals: length, punctuation ratio, stopword
-    ratio, mean word length, uppercase ratio. Regexes compiled once per
-    actor (stateful-stage pattern)."""
+    ratio, mean word length, uppercase ratio.
+
+    Fully vectorized (round-4: no per-char/per-word Python loops):
+    every signal is an Arrow RE2 count-kernel expression. Character
+    classes are therefore RE2's (ASCII ``\\w``; uppercase =
+    ``\\p{Lu}``) — the same family the engine's DuckDB SQL oracles
+    use, so the definitions stay SQL-expressible. The stopword count
+    uses a boundary-padding trick instead of per-word membership:
+    non-letter runs become DOUBLE spaces (so adjacent words both keep
+    a boundary character), the text is lowercased and space-padded,
+    and each stopword is counted as a plain `` word `` substring —
+    exactly the whole-word semantics of splitting on ``[A-Za-z]+``
+    runs. Mean word length = letters / letter-runs (a word's length
+    sums to its letter count because words ARE maximal letter runs)."""
 
     STOPWORDS = frozenset(
         "the a an and or of to in is are was were be been has have had it its "
@@ -83,34 +99,42 @@ class QualityScorer:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[A-Za-z]+")
-        self.punct = re.compile(r"[^\w\s]")
+        self._stop_needles = [f" {w} " for w in sorted(self.STOPWORDS)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        punct_ratio = [0.0] * n
-        stop_ratio = [0.0] * n
-        mean_word_len = [0.0] * n
-        upper_ratio = [0.0] * n
-        for i, t in enumerate(texts):
-            t = t or ""
-            if not t:
-                continue
-            words = self.word.findall(t)
-            punct_ratio[i] = len(self.punct.findall(t)) / len(t)
-            upper_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
-            if words:
-                stop_ratio[i] = sum(1 for w in words if w.lower() in self.STOPWORDS) / len(words)
-                mean_word_len[i] = sum(len(w) for w in words) / len(words)
+        txt = batch[self.text_col]
+        f64 = pa.float64()
+        n_chars = pc.cast(pc.utf8_length(txt), f64)
+        punct = pc.cast(pc.count_substring_regex(txt, r"[^\w\s]"), f64)
+        upper = pc.cast(pc.count_substring_regex(txt, r"\p{Lu}"), f64)
+        n_words = pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]+"), f64)
+        alpha = pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]"), f64)
+        padded = pc.binary_join_element_wise(
+            " ",
+            pc.utf8_lower(pc.replace_substring_regex(txt, "[^A-Za-z]+", "  ")),
+            " ",
+            "",
+        )
+        stops = None
+        for needle in self._stop_needles:
+            c = pc.count_substring(padded, needle)
+            stops = c if stops is None else pc.add(stops, c)
+        stops = pc.cast(stops, f64)
+
+        def ratio(num, den):
+            return pc.fill_null(
+                pc.if_else(pc.greater(den, 0.0), pc.divide(num, den), pa.scalar(0.0)),
+                0.0,
+            )
+
         out = batch.select([c for c in batch.column_names if c != self.text_col])
         for name, vals in (
-            ("punct_ratio", punct_ratio),
-            ("stop_ratio", stop_ratio),
-            ("mean_word_len", mean_word_len),
-            ("upper_ratio", upper_ratio),
+            ("punct_ratio", ratio(punct, n_chars)),
+            ("stop_ratio", ratio(stops, n_words)),
+            ("mean_word_len", ratio(alpha, n_words)),
+            ("upper_ratio", ratio(upper, n_chars)),
         ):
-            out = out.append_column(name, pa.array(vals, pa.float64()))
+            out = out.append_column(name, pc.cast(vals, f64))
         return out
 
 

@@ -1046,25 +1046,34 @@ GROUP BY text ORDER BY doc_id
 
 
 def doc_quality(sf_dir: str):
-    """Quality ratios with regex definitions shared with the SQL oracle."""
-    import re
+    """Quality ratios with regex definitions shared with the SQL oracle.
 
-    word_re = re.compile(r"[^\w\s]")
-    upper_re = re.compile(r"[A-Z]")
+    Vectorized: Arrow's RE2 count kernels ARE the oracle's regex
+    engine (DuckDB regexp_* is RE2 too), and ``pc.round`` defaults to
+    half-to-even like Python ``round`` — the per-doc Python loop this
+    replaces is bit-identical on the division/round path (two exact
+    ints divided, rounded to 6)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        pr, ur = [], []
-        for t in texts:
-            t = t or ""
-            n = len(t)
-            pr.append(round(len(word_re.findall(t)) / n, 6) if n else 0.0)
-            ur.append(round(len(upper_re.findall(t)) / n, 6) if n else 0.0)
+        txt = batch["text"]
+        f64 = pa.float64()
+        n = pc.cast(pc.utf8_length(txt), f64)
+        punct = pc.cast(pc.count_substring_regex(txt, r"[^\w\s]"), f64)
+        upper = pc.cast(pc.count_substring_regex(txt, "[A-Z]"), f64)
+
+        def ratio(num):
+            return pc.fill_null(
+                pc.if_else(
+                    pc.greater(n, 0.0), pc.round(pc.divide(num, n), 6), pa.scalar(0.0)
+                ),
+                0.0,
+            )
+
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "punct_ratio": pa.array(pr, pa.float64()),
-                "upper_ratio": pa.array(ur, pa.float64()),
+                "punct_ratio": pc.cast(ratio(punct), f64),
+                "upper_ratio": pc.cast(ratio(upper), f64),
             }
         )
 

@@ -291,3 +291,41 @@ def test_memoized_evaluation_equals_compiled(name_ref):
             direct = rule.apply(s, t, limit=0.0)
             memo = _eval_op_memo(spec["operator"], s, t, (fprint, kind, i))
             assert memo == direct, (spec, kind, i, memo, direct)
+
+
+def test_fixed_seed_end_to_end_fingerprint():
+    """Pinned GA fingerprint (VERDICT r3 #8): learn_linkage_rule is the
+    one driver query without a SQL oracle, so a silent behavior change
+    in the genetic algorithm would only trip invariant tests. This pins
+    the EXACT learned rule (sha256 of its sorted-JSON spec), fitness
+    and iteration count for a fixed seed on a run that exercises 25
+    real evolution iterations — verified identical under varied
+    PYTHONHASHSEED. If you INTENTIONALLY change GA semantics
+    (operators, fitness, reproduction schedule), re-pin these values
+    and say so in the commit message; any other failure here is a
+    silent-behavior-change bug."""
+    import hashlib
+    import json
+
+    rng = random.Random(3)
+    names = [f"Person {chr(65 + i)}{i}" for i in range(12)]
+    cities = [f"City {chr(77 + i)}{i * 7}" for i in range(12)]
+    pos = [
+        ({"name": [n], "city": [c]}, {"name2": [_noisy(rng, n)], "city2": [_noisy(rng, c)]})
+        for n, c in zip(names, cities)
+    ]
+    neg = [
+        ({"name": [n], "city": [cities[i]]}, {"name2": [_noisy(rng, n)], "city2": [cities[(i + 3) % 12]]})
+        for i, n in enumerate(names)
+    ] + [
+        ({"name": [names[i]], "city": [c]}, {"name2": [names[(i + 4) % 12]], "city2": [_noisy(rng, c)]})
+        for i, c in enumerate(cities)
+    ]
+    ref = ReferenceEntities(positive=pos, negative=neg)
+    res = learn(ref, LearningConfig(population_size=24, max_iterations=25, seed=7))
+    fp = hashlib.sha256(json.dumps(res.best_rule, sort_keys=True).encode()).hexdigest()
+    assert fp == "c44926874d983284314a91459650c969381dfddddfb85805188368cbc1077445"
+    assert res.iterations == 25
+    assert round(res.best_fitness, 9) == 0.495
+    assert round(res.evaluation.f_measure, 9) == 0.666666667
+    assert res.status == "maximum_iterations"
