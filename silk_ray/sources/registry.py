@@ -128,6 +128,18 @@ def _read_ntriples(paths, columns=None, **kw):
     return read_ntriples(paths, columns=columns, **kw)
 
 
+def _read_xml_streaming(paths, columns=None, **kw):
+    from silk_ray.sources.streaming import read_xml_streaming
+
+    return read_xml_streaming(paths, columns=columns, **kw)
+
+
+def _read_json_streaming(paths, columns=None, **kw):
+    from silk_ray.sources.streaming import read_json_streaming
+
+    return read_json_streaming(paths, columns=columns, **kw)
+
+
 DATASET_FORMATS = {
     "parquet": _read_parquet,
     "csv": _read_csv,
@@ -135,6 +147,11 @@ DATASET_FORMATS = {
     "text_files": _read_text_files,
     "lines": _read_lines,
     "xml": _read_xml,
+    # pull-parser variants for documents larger than worker memory
+    # (XmlSourceStreaming.scala / JsonSourceStreaming.scala): same row
+    # semantics as "xml"/"json", memory bounded by one record
+    "xml_stream": _read_xml_streaming,
+    "json_stream": _read_json_streaming,
     "ntriples": _read_ntriples,
     # reference plugin-id aliases (TextFileDataset.scala id="text",
     # RdfFileDataset.scala id="file")
