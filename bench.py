@@ -67,6 +67,8 @@ TIMED_QUERIES = [
     # and the txn-snapped window path (4.6 s / 1.1 s at sf0.1/32)
     "cdc_multitable",
     "cdc_txn",
+    # round-4: streaming JSON source conformance (pull-parsed array)
+    "source_json_stream",
 ]
 
 

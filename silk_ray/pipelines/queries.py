@@ -1917,6 +1917,62 @@ def learn_linkage_rule(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# streaming-source conformance (sources/streaming.py)
+# ---------------------------------------------------------------------------
+
+_JSON_EXPORT_V = 1
+
+
+def _json_export_path(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/silkray_json_oracle/documents_{h}_v{_JSON_EXPORT_V}.json"
+
+
+def _ensure_documents_json(sf_dir: str) -> str:
+    """Deterministic JSON-array export of the documents table — the
+    shared input both the streaming reader and the DuckDB oracle
+    consume (same handshake idiom as the cdc changelog cache)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    p = _json_export_path(sf_dir)
+    if not os.path.exists(p):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+        ).sort_by([("doc_id", "ascending")])
+        tmp = f"{p}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump(t.to_pylist(), f, ensure_ascii=False)
+        os.replace(tmp, p)
+    return p
+
+
+def source_json_stream(sf_dir: str):
+    """Streaming JSON source conformance (JsonSourceStreaming.scala
+    semantics, sources/streaming.py): the documents table exported as
+    ONE top-level JSON array is pull-parsed record by record (memory
+    bounded by one record + one read chunk, never the file) and must
+    reproduce the table exactly — DuckDB's read_json_auto over the
+    same file is the oracle."""
+    from silk_ray.sources.registry import read_dataset
+
+    p = _ensure_documents_json(sf_dir)
+    out = read_dataset(p, format="json_stream").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def source_json_stream_sql_for(sf_dir: str) -> str:
+    p = _ensure_documents_json(sf_dir)
+    return f"""
+SELECT doc_id, lang, text FROM read_json_auto('{p}') ORDER BY doc_id
+"""
+
+
 # bump when make_changelog/base_from_documents semantics change — the
 # cached parquet must always equal what the generator produces today
 _CDC_ORACLE_V = 1
@@ -2931,6 +2987,7 @@ def build_queries():
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
+        "source_json_stream": source_json_stream,
     }
 
 
@@ -2949,6 +3006,7 @@ def build_oracle_sql():
         "events_asof_prev": EVENTS_ASOF_SQL,
         "events_window_pairs": EVENTS_WINDOW_PAIRS_SQL,
         "events_windowed": events_windowed_sql_for("/root/testdata/sf0.01"),
+        "source_json_stream": source_json_stream_sql_for("/root/testdata/sf0.01"),
         "events_windowed_late": events_windowed_late_sql_for("/root/testdata/sf0.01"),
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": DOC_FINGERPRINT_SQL,

@@ -133,8 +133,6 @@ def read_xml_streaming(
 ):
     """Streaming XmlSource: dataset of file paths -> one read task per
     file -> generator of ``batch_size``-row Arrow tables."""
-    import os
-
     import ray.data as rd
 
     files = _expand(paths)

@@ -352,3 +352,76 @@ def test_demux_write_waves_bound_driver_state(ray_session, tmp_path, monkeypatch
     # spot-check routing: every row of t007 landed in t007's segment
     seg = pq.read_table(os.path.join(table_dir(out, "t007"), "seg-000001.parquet"))
     assert seg.num_rows == rows_per and "tbl" not in seg.column_names
+
+
+@pytest.mark.parametrize("seed", [11, 24])
+def test_demux_randomized_soak(ray_session, tmp_path, seed):
+    """Randomized demux soak (round 4): 2-4 tables with random stream
+    shapes multiplexed into one binlog — txn-tagged on odd seeds so the
+    txn-aligned cut path runs — driven through a random demux epoch,
+    then a demux-cursor rewind (crash replay) that must rewrite
+    byte-identical segments and leave every lake sha unchanged."""
+    import hashlib
+    import json
+
+    import numpy as np
+
+    from silk_ray.cdc.generator import assign_txns
+    from silk_ray.cdc.merge import state_sha256
+
+    rng = np.random.default_rng(seed)
+    n_tables = int(rng.integers(2, 5))
+    streams = {}
+    for i in range(n_tables):
+        n_base = int(rng.integers(20, 60))
+        n_events = int(rng.integers(150, 450))
+        streams[f"t{i}"] = make_changelog(
+            make_base_table(n_base, seed=seed * 10 + i),
+            n_events,
+            seed=seed * 10 + i + 1,
+            dup_frac=float(rng.uniform(0, 0.1)),
+            evolve_at=int(rng.integers(50, n_events)) if i % 2 else None,
+        )
+    combined = interleave(streams, seed=seed)
+    txn = bool(seed % 2)
+    if txn:
+        combined = assign_txns(combined, seed=seed + 5, mean_size=int(rng.integers(3, 9)))
+    root = str(tmp_path / "multi")
+    cfgs = {
+        n: EngineConfig(
+            epoch_size=int(rng.integers(60, 160)), num_partitions=int(rng.integers(2, 6)),
+            txn_atomic=txn,
+        )
+        for n in streams
+    }
+    demux_epoch = int(rng.integers(120, 400))
+    out = os.path.join(root, "demux")
+    windows = demux_to_completion(out, combined, demux_epoch, txn_snap=txn)
+    assert windows
+    from silk_ray.cdc.engine import run
+
+    for n, cfg in cfgs.items():
+        run(os.path.join(root, "lakes", n), table_dir(out, n), cfg)
+    shas = {n: state_sha256(os.path.join(root, "lakes", n)) for n in streams}
+    for n, log in streams.items():
+        assert _strip(state_table(os.path.join(root, "lakes", n)).to_pylist()) == _oracle(log), n
+    # crash replay of the LAST window: restore the cursor to that
+    # window's actual start (txn snapping makes widths variable, so use
+    # the recorded boundary, exactly what a crashed state file holds) —
+    # segments rewrite byte-identically, redelivery is a lake no-op
+    seg_bytes = {
+        (n, f): open(os.path.join(table_dir(out, n), f), "rb").read()
+        for n in demuxed_tables(out)
+        for f in sorted(os.listdir(table_dir(out, n)))
+    }
+    last_lo = windows[-2]["next_offset"] if len(windows) > 1 else 0
+    with open(os.path.join(out, "_demux.json"), "w") as f:
+        json.dump({"window": windows[-1]["window"] - 1, "next_offset": last_lo}, f)
+    demux_to_completion(out, combined, demux_epoch, txn_snap=txn)
+    for n, cfg in cfgs.items():
+        run(os.path.join(root, "lakes", n), table_dir(out, n), cfg)
+    for (n, fname), blob in seg_bytes.items():
+        p = os.path.join(table_dir(out, n), fname)
+        assert hashlib.sha256(open(p, "rb").read()).hexdigest() == hashlib.sha256(blob).hexdigest(), (n, fname)
+    for n in streams:
+        assert state_sha256(os.path.join(root, "lakes", n)) == shas[n], n

@@ -61,6 +61,7 @@ def _tier_sql_builders() -> dict:
         "cdc_strict": q.cdc_strict_sql_for,
         "events_windowed": q.events_windowed_sql_for,
         "events_windowed_late": q.events_windowed_late_sql_for,
+        "source_json_stream": q.source_json_stream_sql_for,
     }
 
 
