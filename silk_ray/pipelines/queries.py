@@ -33,12 +33,40 @@ def _strip_schema_meta(t):
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def clean_read_schema(path: str, columns=None):
+    """Metadata-free Arrow schema for ``read_parquet(schema=)``,
+    restricted to ``columns`` when a projection is given (the reader
+    validates projected batches against the passed schema).
+
+    Stripping has to happen AT the read, not in a downstream
+    map_batches: the read operator itself unifies block schemas
+    (SplitBlocks) before any user stage runs, so an unhashable
+    pandas-metadata schema already defeats the dedup cache inside the
+    read tasks. One driver-side footer read per plan; None when the
+    footer carries no metadata (let the reader infer as usual)."""
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(path)
+    except Exception:
+        return None
+    if not sch.metadata and not any(f.metadata for f in sch):
+        return None
+    import pyarrow as _pa
+
+    fields = (
+        [sch.field(c) for c in columns] if columns else list(sch)
+    )
+    return _pa.schema([f.remove_metadata() for f in fields])
+
+
 def _rp(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
     return rd.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(_strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
+        path, columns=columns, schema=clean_read_schema(path, columns)
+    )
 
 
 # broadcast-vs-shuffle planning rule shared by q3/q5/q10: the orders

@@ -26,16 +26,28 @@ import pyarrow as pa
 
 
 def _read_parquet(paths, columns=None, **kw):
+    import os
+
     import ray.data as rd
 
-    from silk_ray.pipelines.queries import _strip_schema_meta
+    # strip file-level schema metadata (pandas blob) AT the read: such
+    # a schema is unhashable and defeats Ray Data's schema-dedup cache
+    # inside the read operator and every downstream sort/groupby reduce
+    # (see pipelines.queries.clean_read_schema)
+    if "schema" not in kw:
+        from silk_ray.pipelines.queries import clean_read_schema
 
-    # strip file-level schema metadata (pandas blob): a schema carrying
-    # it is unhashable and defeats Ray Data's schema-dedup cache in
-    # every downstream sort/groupby reduce (see _strip_schema_meta)
-    return rd.read_parquet(paths, columns=columns, **kw).map_batches(
-        _strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True
-    )
+        probe = paths if isinstance(paths, (str, bytes)) else paths[0]
+        if os.path.isdir(probe):
+            cand = sorted(
+                f for f in os.listdir(probe) if not f.startswith((".", "_"))
+            )
+            probe = os.path.join(probe, cand[0]) if cand else None
+        if probe:
+            sch = clean_read_schema(probe, columns)
+            if sch is not None:
+                kw["schema"] = sch
+    return rd.read_parquet(paths, columns=columns, **kw)
 
 
 def _read_csv(paths, columns=None, **kw):

@@ -177,14 +177,21 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
     chunk in memory."""
     dec = json.JSONDecoder()
     with open(path, encoding="utf-8") as f:
-        buf = ""
-        pos = 0
+        buf, pos, eof = "", 0, False
         in_array = None  # unknown until the first non-space char
+
+        def refill() -> bool:
+            nonlocal buf, pos, eof
+            more = f.read(chunk_size)
+            if not more:
+                eof = True
+                return False
+            buf, pos = buf[pos:] + more, 0
+            return True
+
         while True:
-            # ensure unconsumed data, refilling from the file
             if pos >= len(buf):
-                buf, pos = f.read(chunk_size), 0
-                if not buf:
+                if not refill():
                     return
             # skip inter-value syntax
             c = buf[pos]
@@ -203,15 +210,28 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
             try:
                 val, end = dec.raw_decode(buf, pos)
             except ValueError:
-                more = f.read(chunk_size)
-                if not more:
-                    tail = buf[pos:].strip()
-                    if tail:
-                        raise ValueError(
-                            f"truncated JSON value at end of {path!r}"
-                        ) from None
-                    return
-                buf, pos = buf[pos:] + more, 0
+                if not eof and refill():
+                    continue
+                if buf[pos:].strip():
+                    raise ValueError(
+                        f"truncated JSON value at end of {path!r}"
+                    ) from None
+                return
+            if (
+                not eof
+                and isinstance(val, (bool, int, float))
+                and all(ch in "0123456789.eE+-" for ch in buf[end:])
+            ):
+                # JSON numbers are not self-delimiting: a number whose
+                # remaining buffer tail could still EXTEND it may be cut
+                # by the chunk edge — "-100" split "-10|0" would decode
+                # as TWO records (-10, 0), and "0.0" split "0.|0" stops
+                # at "0" leaving ".". Whenever everything between the
+                # value's end and the buffer edge is number-alphabet,
+                # extend the buffer and re-decode before accepting.
+                # (bools ride along via isinstance(True, int) — the
+                # re-decode is merely a no-op refill for them.)
+                refill()
                 continue
             yield val
             pos = end

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hypothesis.strategies as st
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 
 # ---------------------------------------------------------------------------
 # blocking completeness
@@ -240,3 +240,56 @@ def test_range_emit_matches_bruteforce(l_vals, r_vals, lo, width):
         if lv + lo <= rv < lv + hi
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.recursive(
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(min_value=-(10**12), max_value=10**12),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                st.text(max_size=40),
+            ),
+            lambda inner: st.one_of(
+                st.lists(inner, max_size=4),
+                st.dictionaries(st.text(max_size=8), inner, max_size=4),
+            ),
+            max_leaves=8,
+        ),
+        max_size=12,
+    ),
+    st.sampled_from(["array", "ndjson", "concat"]),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_json_stream_round_trips_arbitrary_values(tmp_path_factory, values, shape, chunk):
+    """Property: iter_json_records over any of the three producer
+    shapes yields exactly json.loads' values, for ANY top-level value
+    list and ANY chunk size (the resume/refill seams can't drop,
+    duplicate or reorder a record)."""
+    import json as _json
+    import os
+
+    from silk_ray.sources.streaming import iter_json_records
+
+    # a non-array file whose FIRST value is a list opens with '[' and
+    # is (correctly, documented) parsed as the array-wrapper shape —
+    # genuinely ambiguous input, excluded from the property
+    assume(shape == "array" or not (values and isinstance(values[0], list)))
+    d = tmp_path_factory.mktemp("jsprop")
+    p = os.path.join(str(d), "f.json")
+    if shape == "array":
+        body = _json.dumps(values)
+    elif shape == "ndjson":
+        body = "\n".join(_json.dumps(v) for v in values)
+    else:
+        body = " ".join(_json.dumps(v) for v in values)
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(body)
+    got = list(iter_json_records(p, chunk_size=chunk))
+    # NDJSON/concat of a top-level list value is indistinguishable from
+    # an array element stream only in the array shape; keep shapes with
+    # non-dict/list top-level values honest too
+    assert got == values
