@@ -129,8 +129,14 @@ def engine_scenario(tmp: str) -> dict:
 
 def demux_scenario(tmp: str) -> dict:
     """Shared txn-tagged binlog → demux (txn-aligned cuts) → two
-    per-table txn-atomic engines under one root."""
+    per-table txn-atomic engines under one root, each ALSO maintaining
+    an aggregate matview and an egress changelog — the full per-table
+    subsystem set executing cross-node, with the egress stream's
+    deterministic sha folded into the compared fingerprint."""
+    import hashlib
+
     from silk_ray.cdc.demux import run_multi
+    from silk_ray.cdc.egress import egress_table
     from silk_ray.cdc.engine import EngineConfig
     from silk_ray.cdc.generator import (
         assign_txns,
@@ -138,6 +144,7 @@ def demux_scenario(tmp: str) -> dict:
         make_base_table,
         make_changelog,
     )
+    from silk_ray.cdc.matview import AggViewSpec, agg_table
     from silk_ray.cdc.merge import state_sha256
 
     a = make_changelog(make_base_table(60, seed=311), 420, seed=312, dup_frac=0.05)
@@ -146,18 +153,29 @@ def demux_scenario(tmp: str) -> dict:
         interleave_changelogs({"code": a, "docs": b}, seed=9), seed=315, mean_size=6
     )
     root = os.path.join(tmp, "multi")
+    spec = AggViewSpec(group_by=("lang",), measures={}, count_col="n", num_shards=4)
     cfgs = {
-        n: EngineConfig(epoch_size=120, num_partitions=4, txn_atomic=True)
+        n: EngineConfig(
+            epoch_size=120, num_partitions=4, txn_atomic=True,
+            egress=True, egress_shards=4, agg_spec=spec,
+        )
         for n in ("code", "docs")
     }
     t0 = time.perf_counter()
     run_multi(root, combined, cfgs, demux_epoch=240)
     wall = time.perf_counter() - t0
-    return {
-        "sha_code": state_sha256(os.path.join(root, "lakes", "code")),
-        "sha_docs": state_sha256(os.path.join(root, "lakes", "docs")),
-        "demux_wall_s": round(wall, 2),
-    }
+    out = {"demux_wall_s": round(wall, 2)}
+    for n in ("code", "docs"):
+        lake = os.path.join(root, "lakes", n)
+        out[f"sha_{n}"] = state_sha256(lake)
+        view = sorted(
+            (r["lang"], r["n"]) for r in agg_table(lake).to_pylist()
+        )
+        eg = egress_table(lake).sort_by([("seq", "ascending")])
+        out[f"sha_view_egress_{n}"] = hashlib.sha256(
+            (repr(view) + "|" + repr(eg.to_pylist())).encode()
+        ).hexdigest()
+    return out
 
 
 SCENARIOS = {"engine": engine_scenario, "demux": demux_scenario}
