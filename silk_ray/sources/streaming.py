@@ -179,10 +179,16 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
     with open(path, encoding="utf-8") as f:
         buf, pos, eof = "", 0, False
         in_array = None  # unknown until the first non-space char
+        grow = 1  # exponential refill factor while one value stays incomplete
 
         def refill() -> bool:
+            # `grow` doubles on each consecutive incomplete decode of
+            # the SAME value: every retry re-scans the value from its
+            # start, so linear refills would make a record of R bytes
+            # cost O(R²/chunk) — exponential growth bounds the retries
+            # at O(log(R/chunk)) and the total scan at O(R)
             nonlocal buf, pos, eof
-            more = f.read(chunk_size)
+            more = f.read(chunk_size * grow)
             if not more:
                 eof = True
                 return False
@@ -211,6 +217,7 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
                 val, end = dec.raw_decode(buf, pos)
             except ValueError:
                 if not eof and refill():
+                    grow = min(grow * 2, 4096)
                     continue
                 if buf[pos:].strip():
                     raise ValueError(
@@ -233,6 +240,7 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
                 # re-decode is merely a no-op refill for them.)
                 refill()
                 continue
+            grow = 1
             yield val
             pos = end
 
