@@ -8,9 +8,11 @@ Decode / resize / feature-extract / frame-sample are **actor-pool**
 
 Codec reality in this container: WAV audio decode is REAL (stdlib
 ``wave`` → PCM → per-frame RMS, exercised in tests on synthesized
-tones), and PNG image decode is REAL (pure stdlib ``zlib``/``struct``
+tones), PNG image decode is REAL (pure stdlib ``zlib``/``struct``
 codec below: 8-bit gray/RGB/RGBA/gray-alpha, all five row filters,
-non-interlaced — round-trip- and cross-filter-tested). Other image
+non-interlaced — round-trip- and cross-filter-tested), and BMP decode
+is REAL (uncompressed 24-bit BI_RGB, top-down and bottom-up,
+vectorized row unpadding — round-trip-tested). Other image
 formats and video codecs are not available, so those calls are STUBBED
 behind ``import``-guards: when neither PIL nor the PNG path applies,
 each stage falls back to a clearly-marked deterministic fake so the
@@ -57,24 +59,28 @@ def synth_wav(duration_ms: int, freq_hz: float = 440.0, rate: int = 8000) -> byt
 
 def synth_media_table(n: int, seed: int = 9) -> pa.Table:
     """Deterministic media rows for tests: audio rows carry real
-    (decodable) WAV payloads, image rows real PNG payloads (gradient +
-    noise, gray or RGB, true width/height metadata), video rows opaque
-    random bytes (no video codec in this container)."""
+    (decodable) WAV payloads, image rows real PNG or BMP payloads
+    (gradient + noise, gray or RGB, true width/height metadata), video
+    rows opaque random bytes (no video codec in this container)."""
     rng = np.random.default_rng(seed)
-    types = ["image/png", "audio/wav", "video/mp4"]
+    types = ["image/png", "audio/wav", "video/mp4", "image/bmp"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
-        t = types[i % 3]
+        t = types[i % 4]
         w = h = 0
         if t == "audio/wav":
             payload = synth_wav(int(rng.integers(20, 200)), freq_hz=float(rng.integers(100, 2000)))
-        elif t == "image/png":
+        elif t.startswith("image/"):
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             grad = np.add.outer(np.arange(h), np.arange(w)) * 3
             img = ((grad + rng.integers(0, 64, size=(h, w))) % 256).astype(np.uint8)
-            if i % 2:  # alternate gray / RGB
-                img = np.stack([img, np.flipud(img), np.fliplr(img)], axis=2)
-            payload = encode_png(img)
+            if t == "image/bmp":
+                rgb = np.stack([img, np.flipud(img), np.fliplr(img)], axis=2)
+                payload = encode_bmp(rgb)
+            else:
+                if i % 2:  # alternate gray / RGB
+                    img = np.stack([img, np.flipud(img), np.fliplr(img)], axis=2)
+                payload = encode_png(img)
         else:
             payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
@@ -237,6 +243,53 @@ def decode_png(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def encode_bmp(arr) -> bytes:
+    """Uncompressed 24-bit BI_RGB Windows BMP from an (H, W, 3) uint8
+    RGB array — pure stdlib/numpy, fully vectorized (row padding to 4
+    bytes, bottom-up row order, BGR channel order per the format)."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8 RGB")
+    h, w = a.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_len), np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pixels = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Decode the uncompressed 24-bit BI_RGB BMP subset (top-down or
+    bottom-up) to an (H, W, 3) uint8 RGB array; None when the payload
+    is not a BMP this subset covers — the dispatch-chain contract every
+    codec here follows."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        (hdr_size, w, h, planes, bpp, compression) = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+    except struct.error:
+        return None
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0 or w <= 0:
+        return None
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    if len(payload) < offset + row_len * h:
+        return None
+    rows = np.frombuffer(payload, np.uint8, row_len * h, offset).reshape(h, row_len)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (img[::-1] if flip else img).copy()
+
+
 def _have_pil() -> bool:
     try:
         import PIL  # noqa: F401
@@ -249,7 +302,7 @@ def _have_pil() -> bool:
 class ImageDecodeResize:
     """Actor-pool stage: decode + resize images to (size × size) float
     grayscale arrays. Decode order: PIL (any format, if installed) →
-    the pure-stdlib PNG codec above (REAL in this container) → a
+    the pure-stdlib PNG / BMP codecs above (REAL in this container) → a
     DETERMINISTIC FAKE (payload-hash-seeded pixels) for payloads no
     decoder handles, so downstream plumbing is always exercised."""
 
@@ -280,7 +333,9 @@ class ImageDecodeResize:
             img = Image.open(io.BytesIO(payload)).convert("L").resize((self.size, self.size))
             return np.asarray(img, dtype=np.float32) / 255.0
         arr = decode_png(payload)
-        if arr is not None:  # REAL stdlib decode
+        if arr is None:
+            arr = decode_bmp(payload)
+        if arr is not None:  # REAL stdlib decode (PNG or BMP)
             return self._gray_resize(arr)
         # STUB: deterministic fake pixels from the payload hash
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")

@@ -170,14 +170,15 @@ def test_multimodal_plumbing(ray_session):
     ds = rd.from_arrow(media)
 
     imgs = decode_pipeline(ds, size=8).to_pandas()
-    assert len(imgs) == 10  # a third are images
+    # types cycle png/wav/mp4/bmp: 8 png + 7 bmp image rows in 30
+    assert len(imgs) == 15
     assert all(len(p) == 64 for p in imgs.pixels)
     # deterministic stub: same payload → same pixels across runs
     imgs2 = decode_pipeline(rd.from_arrow(media), size=8).to_pandas()
     assert imgs.pixels.iloc[0] == pytest.approx(imgs2.pixels.iloc[0])
 
     audio = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1).to_pandas()
-    assert len(audio) == 10 and all(len(f) == 16 for f in audio.frame_energy)
+    assert len(audio) == 8 and all(len(f) == 16 for f in audio.frame_energy)
     # synth audio rows are real WAV: the genuine stdlib decode path ran
     assert audio.decoded.all()
     # RMS of a 0.5-amplitude sine ≈ 0.354 in every full frame
@@ -190,7 +191,7 @@ def test_multimodal_plumbing(ray_session):
     assert decode_wav(b"not a wav at all") is None
 
     frames = ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=1).to_pandas()
-    assert len(frames) == 10 * 4
+    assert len(frames) == 7 * 4  # 7 video rows in the 4-type cycle
 
 
 def test_execution_methods(ray_session):
@@ -335,7 +336,7 @@ def test_image_decode_is_real_for_png(ray_session):
         got = np.asarray(out.loc[r["media_id"], "pixels"], dtype=np.float32)
         assert np.allclose(got, expect, atol=1e-6)
         checked += 1
-    assert checked == 4
+    assert checked == 3  # 3 png rows in a 12-row 4-type cycle
 
 
 def test_png_decode_alpha_color_types():
@@ -362,3 +363,48 @@ def test_png_decode_alpha_color_types():
         got = decode_png(payload)
         assert got is not None and got.shape == (h, w, ch)
         assert np.array_equal(got, img)
+
+
+def test_bmp_codec_round_trip_and_dispatch(ray_session):
+    """The pure-stdlib BMP codec (uncompressed 24-bit BI_RGB): exact
+    round-trip at odd widths (row padding), top-down negative-height
+    decode, graceful None on non-BMPs, and ImageDecodeResize really
+    decoding image/bmp payloads (distinct inputs -> distinct pixels —
+    the hash-fake fallback would, too, but the round-trip pins the
+    decode path as real)."""
+    import io
+    import struct
+
+    import numpy as np
+    import ray.data as rd
+
+    from silk_ray.functions.multimodal import (
+        ImageDecodeResize,
+        decode_bmp,
+        encode_bmp,
+        synth_media_table,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (3, 5), (16, 31), (40, 13)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+    # top-down variant (negative height) decodes too
+    blob = bytearray(encode_bmp(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)))
+    height = struct.unpack_from("<i", blob, 22)[0]
+    struct.pack_into("<i", blob, 22, -height)
+    top_down = decode_bmp(bytes(blob))
+    assert top_down is not None and top_down.shape == (4, 4, 3)
+    assert decode_bmp(b"BM garbage") is None and decode_bmp(b"PNG") is None
+    # the actor stage decodes BMP rows for real
+    t = synth_media_table(16, seed=4)
+    ds = rd.from_arrow(t).map_batches(ImageDecodeResize, batch_format="pyarrow", concurrency=1)
+    out = ds.to_pandas()
+    bmp_ids = [r["media_id"] for r in t.to_pylist() if r["media_type"] == "image/bmp"]
+    assert set(bmp_ids) <= set(out.media_id)
+    # decoding is content-determined: same payload twice -> same pixels
+    px = {m: p for m, p in zip(out.media_id, out.pixels)}
+    stage = ImageDecodeResize()
+    row = next(r for r in t.to_pylist() if r["media_type"] == "image/bmp")
+    a = stage._decode_impl(row["payload"])
+    assert np.allclose(np.asarray(px[row["media_id"]]).reshape(32, 32), a)
