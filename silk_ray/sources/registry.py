@@ -22,12 +22,12 @@ Maps the reference's source/sink inventory (SURVEY.md §2.1;
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 
 def _read_parquet(paths, columns=None, **kw):
-    import os
-
     import ray.data as rd
 
     # strip file-level schema metadata (pandas blob) AT the read: such
@@ -50,9 +50,29 @@ def _read_parquet(paths, columns=None, **kw):
     return rd.read_parquet(paths, columns=columns, **kw)
 
 
-def _read_csv(paths, columns=None, **kw):
+def _read_csv(paths, columns=None, separator: str | None = None, **kw):
+    """CsvSource: ``separator`` is a single character, or ``"auto"``
+    for the reference's entropy-based detection over the first file
+    (CsvSeparatorDetector.scala — lowest field-count entropy among
+    ``, \\t ; | ^ #`` with leading junk lines skipped)."""
     import ray.data as rd
 
+    if separator in ("auto", "autodetect"):
+        from silk_ray.sources.bulk import detect_separator
+
+        probe = paths if isinstance(paths, (str, bytes)) else paths[0]
+        if os.path.isdir(probe):
+            cand = sorted(f for f in os.listdir(probe) if not f.startswith((".", "_")))
+            probe = os.path.join(probe, cand[0]) if cand else None
+        separator, skip = detect_separator(probe) if probe else (",", 0)
+        if skip:
+            from pyarrow import csv as pacsv
+
+            kw.setdefault("read_options", pacsv.ReadOptions(skip_rows=skip))
+    if separator and separator not in (",",):
+        from pyarrow import csv as pacsv
+
+        kw.setdefault("parse_options", pacsv.ParseOptions(delimiter=separator))
     ds = rd.read_csv(paths, **kw)
     return ds.select_columns(columns) if columns else ds
 
@@ -174,8 +194,12 @@ DATASET_FORMATS = {
 
 def read_dataset(paths, format: str = "parquet", columns=None, limit: int | None = None, **kw):
     """DataSource.retrieve analogue: format dispatch + projection +
-    optional row limit (SafeMode/limit semantics, DataSource.scala:30-45)."""
-    ds = DATASET_FORMATS[format](paths, columns=columns, **kw)
+    optional row limit (SafeMode/limit semantics, DataSource.scala:30-45).
+    ``.zip`` paths are bulk containers (BulkResourceBasedDataset.scala:24):
+    extracted once into a content-keyed cache and read as directories."""
+    from silk_ray.sources.bulk import expand_containers
+
+    ds = DATASET_FORMATS[format](expand_containers(paths), columns=columns, **kw)
     if limit is not None:
         ds = ds.limit(limit)
     return ds
