@@ -381,20 +381,40 @@ def decode_wav(payload: bytes) -> np.ndarray | None:
     return arr
 
 
+def spectral_features(samples: np.ndarray, rate: int = 8000) -> tuple[float, float]:
+    """(spectral centroid Hz, spectral bandwidth Hz) of a mono signal —
+    real DSP via numpy's rFFT magnitude spectrum, no audio libraries.
+    Centroid = magnitude-weighted mean frequency; bandwidth = the
+    magnitude-weighted standard deviation around it."""
+    if samples.size < 2:
+        return 0.0, 0.0
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    freqs = np.fft.rfftfreq(samples.size, d=1.0 / rate)
+    total = mag.sum()
+    if total <= 0:
+        return 0.0, 0.0
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(np.sqrt((((freqs - centroid) ** 2) * mag).sum() / total))
+    return centroid, bandwidth
+
+
 class AudioFeatures:
     """Actor-pool stage: frame-level audio features. WAV payloads are
     genuinely decoded (stdlib ``wave``) to PCM and reduced to per-frame
-    RMS energy; non-WAV payloads (no codec lib in this container) fall
+    RMS energy plus whole-clip spectral centroid/bandwidth (numpy rFFT
+    — a pure sine's centroid lands on its tone frequency, pinned in
+    tests); non-WAV payloads (no codec lib in this container) fall
     back to a clearly-marked deterministic byte fake, flagged in the
     ``decoded`` column."""
 
-    def __init__(self, n_frames: int = 16):
+    def __init__(self, n_frames: int = 16, rate: int = 8000):
         self.n_frames = n_frames
+        self.rate = rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = [t.startswith("audio/") for t in batch["media_type"].to_pylist()]
         sub = batch.filter(pa.array(mask))
-        feats, decoded = [], []
+        feats, decoded, centroids, bandwidths = [], [], [], []
         for p in sub["payload"].to_pylist():
             samples = decode_wav(p)
             decoded.append(samples is not None)
@@ -402,15 +422,22 @@ class AudioFeatures:
                 samples = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
                 frames = np.array_split(samples, self.n_frames)
                 feats.append([float(f.mean()) if f.size else 0.0 for f in frames])
+                centroids.append(0.0)
+                bandwidths.append(0.0)
             else:
                 frames = np.array_split(samples, self.n_frames)
                 feats.append(
                     [float(np.sqrt(np.mean(f * f))) if f.size else 0.0 for f in frames]
                 )
+                c, b = spectral_features(samples, self.rate)
+                centroids.append(c)
+                bandwidths.append(b)
         return pa.table(
             {
                 "media_id": sub["media_id"],
                 "frame_energy": pa.array(feats, pa.list_(pa.float32())),
+                "spectral_centroid_hz": pa.array(centroids, pa.float32()),
+                "spectral_bandwidth_hz": pa.array(bandwidths, pa.float32()),
                 "decoded": pa.array(decoded, pa.bool_()),
             }
         )

@@ -408,3 +408,38 @@ def test_bmp_codec_round_trip_and_dispatch(ray_session):
     row = next(r for r in t.to_pylist() if r["media_type"] == "image/bmp")
     a = stage._decode_impl(row["payload"])
     assert np.allclose(np.asarray(px[row["media_id"]]).reshape(32, 32), a)
+
+
+def test_audio_spectral_features(ray_session):
+    """Real DSP: a pure sine's spectral centroid equals its tone
+    frequency (within FFT bin resolution) and its bandwidth is narrow;
+    a higher tone reads a higher centroid; the actor stage carries
+    both columns for decoded rows."""
+    import numpy as np
+    import ray.data as rd
+
+    from silk_ray.functions.multimodal import (
+        AudioFeatures,
+        decode_wav,
+        spectral_features,
+        synth_wav,
+    )
+
+    for freq in (440.0, 1200.0):
+        samples = decode_wav(synth_wav(500, freq_hz=freq))
+        c, b = spectral_features(samples, rate=8000)
+        assert abs(c - freq) < 25.0, (freq, c)
+        assert b < 200.0, (freq, b)
+    rows = [
+        {"media_id": 0, "media_type": "audio/wav", "payload": synth_wav(300, 500.0)},
+        {"media_id": 1, "media_type": "audio/wav", "payload": synth_wav(300, 1500.0)},
+        {"media_id": 2, "media_type": "audio/wav", "payload": b"not a wav"},
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc[1, "spectral_centroid_hz"] > out.loc[0, "spectral_centroid_hz"]
+    assert not out.loc[2, "decoded"] and out.loc[2, "spectral_centroid_hz"] == 0.0
