@@ -425,3 +425,43 @@ def test_demux_randomized_soak(ray_session, tmp_path, seed):
         assert hashlib.sha256(open(p, "rb").read()).hexdigest() == hashlib.sha256(blob).hexdigest(), (n, fname)
     for n in streams:
         assert state_sha256(os.path.join(root, "lakes", n)) == shas[n], n
+
+
+def test_txn_dlq_demux_composition(ray_session, tmp_path):
+    """Triple composition (round 4): a txn-tagged multiplexed binlog
+    with malformed rows planted INSIDE transactions — demux (txn-snapped
+    cuts) routes, each txn-atomic engine quarantines exactly the
+    corrupted copies (a corrupted copy of a duplicate-offset pair
+    leaves its valid twin applicable) and converges to the row-wise
+    valid-stream oracle."""
+    from silk_ray.cdc.generator import assign_txns
+    from silk_ray.cdc.merge import dead_letters_table
+
+    seed = 31
+    a = make_changelog(make_base_table(40, seed=seed), 350, seed=seed + 1, dup_frac=0.05)
+    b = make_changelog(make_base_table(30, seed=seed + 2), 250, seed=seed + 3)
+    combined = assign_txns(
+        interleave({"ta": a, "tb": b}, seed=9), seed=seed + 4, mean_size=6
+    )
+    rows = combined.to_pylist()
+    corrupted_idx = set(range(0, len(rows), 29))
+    for i in corrupted_idx:
+        rows[i]["op"] = "X"
+    log = pa.Table.from_pylist(rows)
+    root = str(tmp_path / "multi")
+    cfgs = {
+        n: EngineConfig(epoch_size=90, num_partitions=3, txn_atomic=True)
+        for n in ("ta", "tb")
+    }
+    run_multi(root, log, cfgs, demux_epoch=200)
+    from silk_ray.cdc.generator import sequential_apply as _seq
+
+    for n in ("ta", "tb"):
+        valid = [r for i, r in enumerate(rows) if i not in corrupted_idx and r["tbl"] == n]
+        valid.sort(key=lambda r: r["offset"])
+        st = _seq(pa.Table.from_pylist(valid))
+        want = [{k: st[key].get(k) for k in KEYS} for key in sorted(st)]
+        got = _strip(state_table(os.path.join(root, "lakes", n)).to_pylist())
+        assert got == want, n
+        dl = dead_letters_table(os.path.join(root, "lakes", n))
+        assert dl.num_rows == sum(1 for i in corrupted_idx if rows[i]["tbl"] == n), n
