@@ -1945,6 +1945,53 @@ def learn_linkage_rule(sf_dir: str):
     )
 
 
+def sample_stratified(sf_dir: str, k: int = 20):
+    """Deterministic stratified sampling: k documents per language,
+    ranked by ``md5_lower64(str(doc_id))`` (== DuckDB
+    ``md5_number_lower`` — the engine's SQL-reproducible-hash idiom).
+    Balanced per-class corpus sampling is a standard training-data
+    step; a seeded RNG would not be oracle-checkable, a content hash
+    is.
+
+    Scale shape (the pre-aggregation pattern): each batch prunes
+    LOCALLY to its own top-k per language before the shuffle, so the
+    ``grouped_apply`` exchange carries at most batches x langs x k
+    candidate rows — never the corpus."""
+    from silk_ray.kernel.index import md5_lower64
+    from silk_ray.pipelines.relational import grouped_apply
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rank"] = [md5_lower64(str(i)) for i in df["doc_id"]]
+        df = df.sort_values(["lang", "rank", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang").head(k), preserve_index=False)
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["rank", "doc_id"], kind="mergesort").head(k)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        prune, batch_format="pyarrow"
+    )
+    out = grouped_apply(ds, "lang", head_k, num_partitions=16).to_pandas()
+    return (
+        out[["doc_id", "lang"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20 ORDER BY lang, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming-source conformance (sources/streaming.py)
 # ---------------------------------------------------------------------------
@@ -3016,6 +3063,7 @@ def build_queries():
         "cdc_deadletter": cdc_deadletter,
         "cdc_enriched": cdc_enriched,
         "source_json_stream": source_json_stream,
+        "sample_stratified": sample_stratified,
     }
 
 
@@ -3035,6 +3083,7 @@ def build_oracle_sql():
         "events_window_pairs": EVENTS_WINDOW_PAIRS_SQL,
         "events_windowed": events_windowed_sql_for("/root/testdata/sf0.01"),
         "source_json_stream": source_json_stream_sql_for("/root/testdata/sf0.01"),
+        "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "events_windowed_late": events_windowed_late_sql_for("/root/testdata/sf0.01"),
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
