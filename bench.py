@@ -69,6 +69,7 @@ TIMED_QUERIES = [
     "cdc_txn",
     # round-4: streaming JSON source conformance (pull-parsed array)
     "source_json_stream",
+    "source_xml_stream",
     # round-4: per-language deterministic stratified sample
     "sample_stratified",
 ]

@@ -81,7 +81,17 @@ def _crc_keys(keys) -> np.ndarray:
     per-unique loop. A plain list of bytes still takes the direct
     per-row path."""
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-        enc = _as_array(keys).dictionary_encode()
+        arr = _as_array(keys)
+        if arr.null_count:
+            # a null repo/path survives binary_join as a null key; its
+            # null dictionary index would become NaN -> INT64_MIN under
+            # to_numpy and fancy-index garbage out of crc_u — fail as
+            # loudly as zlib.crc32(None) did on the old path
+            raise TypeError(
+                f"_crc_keys: {arr.null_count} null key(s) — repo/path must be "
+                "non-null (malformed events belong in the DLQ before keying)"
+            )
+        enc = arr.dictionary_encode()
         uniq = enc.dictionary.to_pylist()
         crc_u = np.fromiter((zlib.crc32(k) for k in uniq), dtype=np.int64, count=len(uniq))
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)

@@ -76,6 +76,38 @@ def md5_lower64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:], "little")
 
 
+def md5_lower64_batch(arr):
+    """``md5_lower64`` over a pyarrow string Array/ChunkedArray →
+    uint64 numpy array, via the engine's dictionary-encode idiom
+    (cdc/merge._crc_keys): each DISTINCT value is hashed once in one
+    tight generator pass (bypassing the LRU — a batch of mostly-unique
+    inputs would only churn it), per-row values come from a numpy
+    take. md5 has no vectorized kernel in this stack, so the per-unique
+    generator is the floor; everything around it is array-at-a-time."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    md5 = hashlib.md5
+    h_u = np.fromiter(
+        (
+            int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[8:], "little")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    if not len(uniq):
+        return np.empty(0, np.uint64)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return h_u[idx]
+
+
 class Index:
     __slots__ = ("indices", "sizes")
 

@@ -54,9 +54,15 @@ def clean_read_schema(path: str, columns=None):
         return None
     import pyarrow as _pa
 
-    fields = (
-        [sch.field(c) for c in columns] if columns else list(sch)
-    )
+    if columns:
+        if any(c not in sch.names for c in columns):
+            # projected column absent from this footer (schema-evolved
+            # file): let the reader handle it instead of raising during
+            # plan construction
+            return None
+        fields = [sch.field(c) for c in columns]
+    else:
+        fields = list(sch)
     return _pa.schema([f.remove_metadata() for f in fields])
 
 
@@ -796,8 +802,10 @@ def events_sessionize(sf_dir: str):
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         brk = g["ts"].diff() > pd.Timedelta(minutes=30)
+        head = g["user_id"].head(1).to_numpy()  # empty-safe (typed-empty probe)
+        n = np.full(len(head), int(brk.sum()) + 1, dtype=np.int64)
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(brk.sum()) + 1], "n_events": [len(g)]}
+            {"user_id": head, "n_sessions": n, "n_events": np.full(len(head), len(g), dtype=np.int64)}
         )
 
     from silk_ray.pipelines.relational import grouped_apply
@@ -1058,8 +1066,10 @@ def dedup_exact(sf_dir: str):
     hashed = ds.map_batches(lambda b: add_content_hash(b, "text").select(["doc_id", "content_hash"]), batch_format="pyarrow")
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "n_dups": [len(g)]})
+        head = g.sort_values("doc_id", kind="mergesort")["doc_id"].head(1).to_numpy()
+        return pd.DataFrame(
+            {"doc_id": head, "n_dups": np.full(len(head), len(g), dtype=np.int64)}
+        )
 
     from silk_ray.pipelines.relational import grouped_apply
 
@@ -1957,12 +1967,13 @@ def sample_stratified(sf_dir: str, k: int = 20):
     LOCALLY to its own top-k per language before the shuffle, so the
     ``grouped_apply`` exchange carries at most batches x langs x k
     candidate rows — never the corpus."""
-    from silk_ray.kernel.index import md5_lower64
+    from silk_ray.kernel.index import md5_lower64_batch
     from silk_ray.pipelines.relational import grouped_apply
 
     def prune(batch: pa.Table) -> pa.Table:
+        rank = md5_lower64_batch(pc.cast(batch["doc_id"], pa.string()))
         df = batch.to_pandas()
-        df["rank"] = [md5_lower64(str(i)) for i in df["doc_id"]]
+        df["rank"] = rank
         df = df.sort_values(["lang", "rank", "doc_id"], kind="mergesort")
         return pa.Table.from_pandas(df.groupby("lang").head(k), preserve_index=False)
 
@@ -1972,7 +1983,9 @@ def sample_stratified(sf_dir: str, k: int = 20):
     ds = _rp(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
         prune, batch_format="pyarrow"
     )
-    out = grouped_apply(ds, "lang", head_k, num_partitions=16).to_pandas()
+    # post-prune stream is ≤ langs×k rows per batch — coalesce to one
+    # block so the exchange sort has no empty ranges (see grouped_apply)
+    out = grouped_apply(ds, "lang", head_k, num_partitions=16, coalesce=1).to_pandas()
     return (
         out[["doc_id", "lang"]]
         .sort_values(["lang", "doc_id"])
@@ -2045,6 +2058,72 @@ def source_json_stream_sql_for(sf_dir: str) -> str:
     p = _ensure_documents_json(sf_dir)
     return f"""
 SELECT doc_id, lang, text FROM read_json_auto('{p}') ORDER BY doc_id
+"""
+
+
+_XML_EXPORT_V = 1
+
+
+def _xml_export_path(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/silkray_xml_oracle/documents_{h}_v{_XML_EXPORT_V}.xml"
+
+
+def _ensure_documents_xml(sf_dir: str) -> str:
+    """Deterministic XML export of the documents table — one
+    ``<Doc>`` element per row under a single ``<Docs>`` root, written
+    as a stream (never a DOM). Values are restricted to
+    escaping-hazard-free projections (numeric doc_id, the lang token,
+    and the text's CHARACTER COUNT instead of the raw text, since XML
+    1.0 cannot carry arbitrary control characters and the streaming
+    reader strips surrounding whitespace by design)."""
+    import pyarrow.parquet as pq
+
+    p = _xml_export_path(sf_dir)
+    if not os.path.exists(p):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+        ).sort_by([("doc_id", "ascending")])
+        tmp = f"{p}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("<Docs>\n")
+            for doc_id, lang, text in zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist()
+            ):
+                f.write(
+                    f"<Doc><doc_id>{doc_id}</doc_id><lang>{lang}</lang>"
+                    f"<n_chars>{len(text)}</n_chars></Doc>\n"
+                )
+            f.write("</Docs>\n")
+        os.replace(tmp, p)
+    return p
+
+
+def source_xml_stream(sf_dir: str):
+    """Streaming XML source conformance (XmlSourceStreaming.scala
+    semantics, sources/streaming.py iter_xml_records): the documents
+    table exported as ONE XML document is pull-parsed entity by entity
+    (iterparse + aggressive subtree detach — memory bounded by one
+    record, never the document) and must reproduce the base table's
+    projection exactly. Oracle: the same projection straight off the
+    documents parquet (the export is generated from it, so the check
+    validates the full export→stream-parse round trip)."""
+    from silk_ray.sources.registry import read_dataset
+
+    p = _ensure_documents_xml(sf_dir)
+    out = read_dataset(p, format="xml_stream", base_path="Doc").to_pandas()
+    out = out[["doc_id", "lang", "n_chars"]]
+    out["_k"] = out["doc_id"].astype("int64")
+    return out.sort_values("_k").drop(columns="_k").reset_index(drop=True)
+
+
+SOURCE_XML_STREAM_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+       CAST(length(text) AS VARCHAR) AS n_chars
+FROM documents ORDER BY documents.doc_id
 """
 
 
@@ -2973,6 +3052,118 @@ def _cdc_deadletter_sql() -> str:
     return cdc_deadletter_sql_for("/root/testdata/sf0.01")
 
 
+def _cdc_tdd_changelog_path(sf_dir: str) -> str:
+    return _cdc_changelog_path(sf_dir).replace(".parquet", "_tdd.parquet")
+
+
+def _ensure_cdc_tdd_changelog(sf_dir: str) -> tuple[pa.Table, int]:
+    """The triple-composition changelog: the two-table multiplexed
+    binlog (code + docs incl. the docs mid-stream schema evolution)
+    tagged with binlog transactions, then deterministically malformed
+    — every 17th row cycles op='X' / op=NULL / repo='' / path=NULL.
+    Driver-side row loop is oracle-tier generation only (≤ sf0.1)."""
+    import pyarrow.parquet as pq
+
+    from silk_ray.cdc.generator import assign_txns
+
+    combined, n_base = _ensure_cdc_multi_changelog(sf_dir)
+    tagged = assign_txns(combined, seed=23, mean_size=6, untagged_frac=0.2)
+    rows = tagged.to_pylist()
+    for i in range(0, len(rows), 17):
+        kind = (i // 17) % 4
+        if kind == 0:
+            rows[i]["op"] = "X"
+        elif kind == 1:
+            rows[i]["op"] = None
+        elif kind == 2:
+            rows[i]["repo"] = ""
+        else:
+            rows[i]["path"] = None
+    bad = pa.Table.from_pylist(rows, schema=tagged.schema)
+    path = _cdc_tdd_changelog_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(bad, tmp)
+        os.replace(tmp, path)  # atomic: concurrent writers both win
+    return bad, n_base
+
+
+def cdc_txn_dlq_demux(sf_dir: str):
+    """Txn × DLQ × demux composed end-to-end (VERDICT r4 #8): one
+    multiplexed binlog carrying transactions AND malformed events
+    demuxes under txn-aligned cuts (demux.py txn_snap) into two
+    txn-atomic per-table engines, each quarantining its own malformed
+    rows. Returns one frame — kind='state' rows (the LWW survivor per
+    (tbl, repo, path) over structurally-valid events) unioned with
+    kind='dlq' rows (one per quarantined physical event, reason in
+    ``content``, offset in ``commit``) — so a single value-hash pins
+    the whole composition."""
+    import tempfile
+
+    from silk_ray.cdc.demux import run_multi
+    from silk_ray.cdc.engine import EngineConfig
+    from silk_ray.cdc.merge import dead_letters_table, state_table
+
+    combined, n_base = _ensure_cdc_tdd_changelog(sf_dir)
+    root = tempfile.mkdtemp(prefix="silkray_lake_tdd_")
+    ep = max(200, n_base // 2)
+    run_multi(
+        root, combined,
+        {n: EngineConfig(epoch_size=ep, num_partitions=8, txn_atomic=True)
+         for n in ("code", "docs")},
+        demux_epoch=ep * 2,
+    )
+    frames = []
+    for n in ("code", "docs"):
+        lake = os.path.join(root, "lakes", n)
+        st = state_table(lake).to_pandas()
+        st["kind"], st["tbl"] = "state", n
+        frames.append(st[["kind", "tbl", "repo", "path", "commit", "content"]])
+        dl = dead_letters_table(lake).to_pandas()
+        frames.append(pd.DataFrame({
+            "kind": "dlq", "tbl": n,
+            "repo": dl["repo"].fillna(""), "path": dl["path"].fillna(""),
+            "commit": dl["offset"].astype("int64").astype(str),
+            "content": dl["reason"],
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["kind", "tbl", "repo", "path", "commit"]).reset_index(drop=True)
+
+
+def cdc_txn_dlq_demux_sql_for(sf_dir: str) -> str:
+    if os.path.isdir(sf_dir):
+        _ensure_cdc_tdd_changelog(sf_dir)
+    p = _cdc_tdd_changelog_path(sf_dir)
+    return f"""
+WITH valid AS (
+  SELECT DISTINCT * FROM read_parquet('{p}')
+  WHERE NOT (op IS NULL OR op NOT IN ('I', 'U', 'D')
+         OR repo IS NULL OR len(repo) = 0 OR path IS NULL OR len(path) = 0)
+)
+SELECT kind, tbl, repo, path, commit, content FROM (
+  SELECT 'state' AS kind, tbl, repo, path, commit, content FROM (
+    SELECT tbl, repo, path, commit, content, op,
+           row_number() OVER (PARTITION BY tbl, repo, path ORDER BY "offset" DESC) AS rn
+    FROM valid
+  ) WHERE rn = 1 AND op <> 'D'
+  UNION ALL
+  SELECT 'dlq' AS kind, tbl, COALESCE(repo, '') AS repo, COALESCE(path, '') AS path,
+         CAST("offset" AS VARCHAR) AS commit,
+         CASE WHEN op IS NULL OR op NOT IN ('I', 'U', 'D')
+              THEN 'unknown_op' ELSE 'null_key' END AS content
+  FROM read_parquet('{p}')
+  WHERE (op IS NULL OR op NOT IN ('I', 'U', 'D'))
+     OR (repo IS NULL OR len(repo) = 0) OR (path IS NULL OR len(path) = 0)
+)
+ORDER BY kind, tbl, repo, path, commit
+"""
+
+
+def _cdc_tdd_sql() -> str:
+    return cdc_txn_dlq_demux_sql_for("/root/testdata/sf0.01")
+
+
 def base_from_documents(sf_dir: str) -> pa.Table:
     """Adapt the documents table into the input_hint repo-file shape."""
     import pyarrow.parquet as pq
@@ -3061,8 +3252,10 @@ def build_queries():
         "cdc_strict": cdc_strict,
         "cdc_clusters": cdc_clusters,
         "cdc_deadletter": cdc_deadletter,
+        "cdc_txn_dlq_demux": cdc_txn_dlq_demux,
         "cdc_enriched": cdc_enriched,
         "source_json_stream": source_json_stream,
+        "source_xml_stream": source_xml_stream,
         "sample_stratified": sample_stratified,
     }
 
@@ -3083,6 +3276,7 @@ def build_oracle_sql():
         "events_window_pairs": EVENTS_WINDOW_PAIRS_SQL,
         "events_windowed": events_windowed_sql_for("/root/testdata/sf0.01"),
         "source_json_stream": source_json_stream_sql_for("/root/testdata/sf0.01"),
+        "source_xml_stream": SOURCE_XML_STREAM_SQL,
         "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "events_windowed_late": events_windowed_late_sql_for("/root/testdata/sf0.01"),
         "doc_token_stats": DOC_TOKEN_STATS_SQL,
@@ -3117,5 +3311,6 @@ def build_oracle_sql():
         "cdc_strict": _cdc_strict_sql(),
         "cdc_clusters": _cdc_clusters_sql(),
         "cdc_deadletter": _cdc_deadletter_sql(),
+        "cdc_txn_dlq_demux": _cdc_tdd_sql(),
         "cdc_enriched": cdc_enriched_sql_for("/root/testdata/sf0.01"),
     }

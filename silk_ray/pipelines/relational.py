@@ -239,33 +239,82 @@ def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
     return tagged.groupby("_dpart").map_groups(join_group, batch_format="pyarrow")
 
 
-def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64):
+def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64, coalesce: int | None = None):
     """Hash-partitioned grouped apply: shuffle on ``hash(key) % P``
     coarse partitions, then a vectorized pandas ``groupby`` inside each
     partition — avoids Ray's per-group map_groups overhead when there
     are many small groups (same trick as the linking scorer).
 
     ``fn`` receives a pandas DataFrame of ONE key group and returns a
-    DataFrame (the classic map_groups contract)."""
+    DataFrame (the classic map_groups contract).
+
+    The exchange: tag each row with a FULL-RANGE int64 key hash, range
+    ``sort`` on it, then one ``map_batches(batch_size=None)`` call per
+    sorted block running a pandas groupby over the real key. Equal
+    hashes land in one block (Ray's sort keeps equal keys together —
+    the same guarantee map_groups relies on), so every key group
+    arrives whole. Full-range (not ``hash % P``) keeps the sort
+    boundaries high-cardinality: duplicate boundaries are what create
+    EMPTY range partitions, which Ray's sort builds schema-less and
+    which degrade the stream schema ("RefBundle with a different
+    schema" warnings). ``num_partitions`` is kept for signature
+    stability; the sort's own block count drives parallelism.
+
+    ``coalesce``: pre-exchange repartition to this many blocks. Pass it
+    (usually 1) when the tagged stream is provably SMALL and the key is
+    LOW-cardinality (a local pre-aggregation already pruned it, e.g.
+    top-k per language): with fewer distinct keys than blocks the sort
+    would still sample duplicate boundaries; a single pre-coalesced
+    block sidesteps the range split entirely."""
     import zlib
+
+    # typed empty OUTPUT frame, computed once driver-side by running fn
+    # on a correctly-typed empty input: an empty block must emit this
+    # (not a column-less frame, which loses dtypes through the pandas
+    # concat path and degrades the stream schema)
+    empty_in = ds.schema().base_schema.empty_table().to_pandas()
+    try:
+        empty_out = fn(empty_in)
+    except Exception:
+        # fn not empty-safe: empty partitions re-raise at runtime (the
+        # legacy contract; such callers evidently never hit them)
+        empty_out = None
+
+    def _on_empty() -> pd.DataFrame:
+        return empty_out.copy() if empty_out is not None else fn(empty_in.copy())
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         col = df[key_col]
         if col.dtype == object:
-            df["__part"] = [zlib.crc32(str(v).encode()) % num_partitions for v in col]
+            # hash once per DISTINCT key, broadcast via take (the
+            # _crc_keys dictionary-encode idiom — grouped keys repeat
+            # within every batch, so uniques << rows)
+            codes, uniques = pd.factorize(col, use_na_sentinel=False)
+            crc_u = np.fromiter(
+                (zlib.crc32(str(v).encode()) for v in uniques),
+                dtype=np.int64,
+                count=len(uniques),
+            )
+            df["__part"] = crc_u[codes]
         else:
-            df["__part"] = (col.astype("int64") % num_partitions).abs()
+            # splitmix-style int mix in uint64, viewed back as int64
+            h = col.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            df["__part"] = h.view(np.int64)
         return df
 
     def apply_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.shape[1] == 0 or part.empty:
+            return _on_empty()
         part = part.drop(columns="__part")
         outs = [fn(g) for _, g in part.groupby(key_col, sort=True)]
-        return pd.concat(outs, ignore_index=True) if outs else fn(part.head(0))
+        return pd.concat(outs, ignore_index=True) if outs else _on_empty()
 
-    return (
-        ds.map_batches(add_part, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(apply_part, batch_format="pandas")
+    tagged = ds.map_batches(add_part, batch_format="pandas")
+    if coalesce:
+        tagged = tagged.repartition(coalesce)
+    return tagged.sort("__part").map_batches(
+        apply_part, batch_format="pandas", batch_size=None
     )
 
 

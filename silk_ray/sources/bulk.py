@@ -45,13 +45,32 @@ def materialize_zip(path: str) -> str:
     done = os.path.join(_BULK_CACHE, f"{key}.done")
     if os.path.exists(done):
         return out
-    os.makedirs(out, exist_ok=True)
+    # concurrency-safe publish: extract into a private per-process temp
+    # dir, then atomically rename it into place — `out` only ever
+    # exists COMPLETE, so a second process that loses the rename race
+    # simply reads the winner's directory (no torn reads of a
+    # half-extracted cache)
+    os.makedirs(_BULK_CACHE, exist_ok=True)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     with zipfile.ZipFile(path) as z:
         for m in z.infolist():
             name = m.filename
             if name.startswith(("/", "\\")) or ".." in name.split("/"):
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
                 raise ValueError(f"refusing unsafe zip member {name!r} in {path!r}")
-            z.extract(m, out)
+            z.extract(m, tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        if not os.path.isdir(out):  # not a lost race — real failure
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     with open(done, "w") as f:
         f.write("ok")
     return out

@@ -33,20 +33,30 @@ def _read_parquet(paths, columns=None, **kw):
     # strip file-level schema metadata (pandas blob) AT the read: such
     # a schema is unhashable and defeats Ray Data's schema-dedup cache
     # inside the read operator and every downstream sort/groupby reduce
-    # (see pipelines.queries.clean_read_schema)
+    # (see pipelines.queries.clean_read_schema). Forcing one file's
+    # schema onto a heterogeneous multi-file read would break reader
+    # unification, so beyond a single file the schema is only passed
+    # when every probed footer agrees — and only up to a bounded file
+    # count (a 10^5-file lake read must not pay O(files) driver-side
+    # footer fetches for a log-hygiene optimization).
     if "schema" not in kw:
         from silk_ray.pipelines.queries import clean_read_schema
 
-        probe = paths if isinstance(paths, (str, bytes)) else paths[0]
-        if os.path.isdir(probe):
-            cand = sorted(
-                f for f in os.listdir(probe) if not f.startswith((".", "_"))
-            )
-            probe = os.path.join(probe, cand[0]) if cand else None
-        if probe:
-            sch = clean_read_schema(probe, columns)
-            if sch is not None:
-                kw["schema"] = sch
+        probes = [paths] if isinstance(paths, (str, bytes)) else list(paths)
+        files: list[str] = []
+        for p in probes:
+            if os.path.isdir(p):
+                files.extend(
+                    os.path.join(p, f)
+                    for f in sorted(os.listdir(p))
+                    if not f.startswith((".", "_"))
+                )
+            else:
+                files.append(p)
+        if 1 <= len(files) <= 16:
+            schemas = [clean_read_schema(f, columns) for f in files]
+            if schemas[0] is not None and all(s == schemas[0] for s in schemas):
+                kw["schema"] = schemas[0]
     return rd.read_parquet(paths, columns=columns, **kw)
 
 
@@ -57,7 +67,8 @@ def _read_csv(paths, columns=None, separator: str | None = None, **kw):
     ``, \\t ; | ^ #`` with leading junk lines skipped)."""
     import ray.data as rd
 
-    if separator in ("auto", "autodetect"):
+    detected = separator in ("auto", "autodetect")
+    if detected:
         from silk_ray.sources.bulk import detect_separator
 
         probe = paths if isinstance(paths, (str, bytes)) else paths[0]
@@ -68,8 +79,21 @@ def _read_csv(paths, columns=None, separator: str | None = None, **kw):
         if skip:
             from pyarrow import csv as pacsv
 
-            kw.setdefault("read_options", pacsv.ReadOptions(skip_rows=skip))
-    if separator and separator not in (",",):
+            # MERGE into caller-supplied options — the caller asked for
+            # detection, so the detected junk-line skip must not be
+            # silently discarded by a setdefault
+            ro = kw.get("read_options") or pacsv.ReadOptions()
+            ro.skip_rows = skip
+            kw["read_options"] = ro
+    if detected and (separator != "," or "parse_options" in kw):
+        from pyarrow import csv as pacsv
+
+        # separator="auto" wins over any delimiter inside caller
+        # parse_options (they asked for detection)
+        po = kw.get("parse_options") or pacsv.ParseOptions()
+        po.delimiter = separator
+        kw["parse_options"] = po
+    elif separator and separator not in (",",):
         from pyarrow import csv as pacsv
 
         kw.setdefault("parse_options", pacsv.ParseOptions(delimiter=separator))

@@ -178,7 +178,11 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
     dec = json.JSONDecoder()
     with open(path, encoding="utf-8") as f:
         buf, pos, eof = "", 0, False
-        in_array = None  # unknown until the first non-space char
+        # EVERY top-level '[' opens a wrapper array whose elements are
+        # the records (uniform rule: '[1,2]\n[3,4]' yields 1,2,3,4 —
+        # concatenated / NDJSON top-level arrays are all flattened, not
+        # just the first one)
+        in_array = False
         grow = 1  # exponential refill factor while one value stays incomplete
 
         def refill() -> bool:
@@ -204,14 +208,13 @@ def iter_json_records(path: str, chunk_size: int = _CHUNK):
             if c.isspace() or c == ",":
                 pos += 1
                 continue
-            if in_array is None:
-                in_array = c == "["
-                if in_array:
-                    pos += 1
-                    continue
-            elif c == "]" and in_array:
+            if c == "[" and not in_array:
+                in_array = True
                 pos += 1
-                in_array = False  # tolerate trailing whitespace/EOF
+                continue
+            if c == "]" and in_array:
+                pos += 1
+                in_array = False  # a following '[' re-opens array mode
                 continue
             try:
                 val, end = dec.raw_decode(buf, pos)

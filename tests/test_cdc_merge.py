@@ -298,3 +298,16 @@ def test_crc_keys_dictionary_path_matches_per_row():
                    np.int64)
     assert out["_kh"].to_pylist() == exp.tolist()
     assert out["pid"].to_pylist() == (exp % 16).tolist()
+
+
+def test_crc_keys_null_key_raises_loudly():
+    """A null key must raise a descriptive TypeError, not fancy-index
+    garbage out of the dictionary (ADVICE r4: a null dictionary index
+    became NaN -> INT64_MIN under to_numpy)."""
+    import pytest as _pytest
+
+    from silk_ray.cdc.merge import _crc_keys
+
+    arr = pa.array([b"ok", None, b"also"], pa.binary())
+    with _pytest.raises(TypeError, match="null key"):
+        _crc_keys(arr)

@@ -274,10 +274,11 @@ def test_json_stream_round_trips_arbitrary_values(tmp_path_factory, values, shap
 
     from silk_ray.sources.streaming import iter_json_records
 
-    # a non-array file whose FIRST value is a list opens with '[' and
-    # is (correctly, documented) parsed as the array-wrapper shape —
-    # genuinely ambiguous input, excluded from the property
-    assume(shape == "array" or not (values and isinstance(values[0], list)))
+    # the uniform top-level-array rule (ADVICE r4): EVERY top-level
+    # '[' opens a wrapper whose elements are the records, so a list
+    # value at top level of an NDJSON/concat file is genuinely
+    # ambiguous input (it flattens) — excluded from the property
+    assume(shape == "array" or not any(isinstance(v, list) for v in values))
     d = tmp_path_factory.mktemp("jsprop")
     p = os.path.join(str(d), "f.json")
     if shape == "array":

@@ -527,3 +527,109 @@ def test_zip_bulk_container_reads(ray_session, tmp_path):
         z.writestr("../escape.txt", "nope")
     with _pytest.raises(ValueError, match="unsafe zip member"):
         materialize_zip(evil)
+
+
+def test_json_streaming_concatenated_arrays(tmp_path):
+    """Uniform top-level-array rule: EVERY top-level '[' is a wrapper
+    whose elements are records, not just the first one — so
+    concatenated / NDJSON arrays all flatten (previously the second
+    array became one list-valued record)."""
+    from silk_ray.sources.streaming import iter_json_records
+
+    p = str(tmp_path / "arrs.json")
+    with open(p, "w") as f:
+        f.write("[1,2]\n[3,4]")
+    assert list(iter_json_records(p, chunk_size=4)) == [1, 2, 3, 4]
+    # arrays mixed with bare values stay uniform too
+    p2 = str(tmp_path / "mixed.json")
+    with open(p2, "w") as f:
+        f.write('[1,2] 5 [3,4] {"a": 6}')
+    assert list(iter_json_records(p2, chunk_size=4)) == [1, 2, 5, 3, 4, {"a": 6}]
+    # nested arrays inside a wrapper remain single records
+    p3 = str(tmp_path / "nested.json")
+    with open(p3, "w") as f:
+        f.write("[[1,2],[3,4]]")
+    assert list(iter_json_records(p3, chunk_size=4)) == [[1, 2], [3, 4]]
+
+
+def test_csv_autodetect_merges_caller_options(ray_session, tmp_path):
+    """separator='auto' combined with caller-supplied arrow options
+    must MERGE the detected delimiter / junk-line skip into them, not
+    silently drop the detection (the old setdefault bug)."""
+    from pyarrow import csv as pacsv
+
+    from silk_ray.sources.registry import read_dataset
+
+    p = str(tmp_path / "auto.csv")
+    with open(p, "w") as f:
+        f.write("# leading junk line\n")
+        f.write("a;b;c\n")
+        for i in range(90):
+            f.write(f"x{i};{i};z\n")
+    # caller supplies read_options (without skip_rows) AND a wrong
+    # delimiter in parse_options; detection must win on both fronts
+    df = read_dataset(
+        p,
+        format="csv",
+        separator="auto",
+        read_options=pacsv.ReadOptions(block_size=1 << 20),
+        parse_options=pacsv.ParseOptions(delimiter="\t"),
+    ).to_pandas()
+    assert list(df.columns) == ["a", "b", "c"]
+    assert len(df) == 90
+
+
+def test_zip_extraction_atomic_publish(tmp_path):
+    """materialize_zip publishes via tmp-dir + atomic rename: a caller
+    that loses the rename race (cache dir already complete) returns the
+    winner's directory and leaves no tmp litter behind."""
+    import zipfile
+
+    from silk_ray.sources import bulk
+
+    zp = str(tmp_path / "bundle.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("one.csv", "k,v\n1,2\n")
+    out = bulk.materialize_zip(zp)
+    assert os.path.isdir(out) and sorted(os.listdir(out)) == ["one.csv"]
+    # simulate the lost race: done marker missing but the directory is
+    # already published by the "winner" — the loser must not tear it
+    os.remove(f"{out}.done")
+    before = open(os.path.join(out, "one.csv")).read()
+    out2 = bulk.materialize_zip(zp)
+    assert out2 == out
+    assert open(os.path.join(out, "one.csv")).read() == before
+    assert os.path.exists(f"{out}.done")
+    cache = os.path.dirname(out)
+    assert not [d for d in os.listdir(cache) if ".tmp-" in d]
+
+
+def test_parquet_dir_heterogeneous_schema_not_forced(ray_session, tmp_path):
+    """Multi-file reads must not force the first file's footer schema
+    onto schema-evolved siblings (ADVICE r4): a directory whose second
+    file adds a column reads fine with reader-side unification, and a
+    projection naming a column absent from a footer must not raise at
+    plan construction."""
+    import pandas as pd
+
+    from silk_ray.pipelines.queries import clean_read_schema
+    from silk_ray.sources.registry import read_dataset
+
+    d = tmp_path / "evolved"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2]}), str(d / "f0.parquet"))
+    # second file: extra column + pandas metadata blob in the footer
+    pd.DataFrame({"a": [3, 4], "b": ["x", "y"]}).to_parquet(str(d / "f1.parquet"))
+    df = read_dataset(str(d), format="parquet").to_pandas()
+    assert sorted(df["a"]) == [1, 2, 3, 4]
+    assert "b" in df.columns
+    # missing projected column -> None (reader decides), not KeyError
+    assert clean_read_schema(str(d / "f0.parquet"), columns=["a", "b"]) is None
+    # homogeneous multi-file dirs still get the metadata-free schema
+    d2 = tmp_path / "homog"
+    d2.mkdir()
+    for i in range(2):
+        pd.DataFrame({"a": [i]}).to_parquet(str(d2 / f"f{i}.parquet"))
+    sch = clean_read_schema(str(d2 / "f0.parquet"))
+    assert sch is not None and sch.metadata is None
+    assert read_dataset(str(d2), format="parquet").to_pandas()["a"].tolist() == [0, 1]
