@@ -178,7 +178,52 @@ def demux_scenario(tmp: str) -> dict:
     return out
 
 
-SCENARIOS = {"engine": engine_scenario, "demux": demux_scenario}
+def scale_scenario(tmp: str) -> dict:
+    """Data-scale variant of engine_scenario (VERDICT r4 #3): a 2,000-
+    file corpus and a 400k-event changelog, so the 1-node vs 3-node
+    comparison amortizes per-task latency instead of measuring it.
+    Not part of the pytest suite (runtime); run manually:
+
+        python tests/multinode_scenario.py scale /tmp/mn_scale_local local
+        python tests/multinode_scenario.py scale /tmp/mn_scale_multi multi
+
+    and compare ``sha`` / ``events_per_sec`` (recorded in BASELINE.md).
+    """
+    from silk_ray.cdc.engine import EngineConfig, run
+    from silk_ray.cdc.generator import (
+        make_base_table,
+        make_changelog,
+        write_changelog_segments,
+    )
+    from silk_ray.cdc.incremental import links_table
+    from silk_ray.cdc.merge import state_sha256
+
+    base = make_base_table(2000, seed=401, near_dup_frac=0.1)
+    log = make_changelog(base, 400_000, seed=402, dup_frac=0.02)
+    seg_dir = os.path.join(tmp, "changelog")
+    if not os.path.isdir(seg_dir):
+        write_changelog_segments(log, seg_dir, segment_size=50_000)
+    root = os.path.join(tmp, "lake")
+    cfg = EngineConfig(
+        epoch_size=100_000, num_partitions=16, n_block_partitions=32,
+        rule_spec=_rule(),
+    )
+    t0 = time.perf_counter()
+    metrics = run(root, seg_dir, cfg)
+    wall = time.perf_counter() - t0
+    events = sum(m["events_applied"] for m in metrics)
+    return {
+        "epochs": len(metrics),
+        "events": events,
+        "sha": state_sha256(root),
+        "links": links_table(root).num_rows,
+        "engine_wall_s": round(wall, 2),
+        "events_per_sec": round(events / wall, 1),
+        "epoch_seconds": [round(m["epoch_seconds"], 2) for m in metrics],
+    }
+
+
+SCENARIOS = {"engine": engine_scenario, "demux": demux_scenario, "scale": scale_scenario}
 
 
 def main() -> None:
@@ -186,6 +231,10 @@ def main() -> None:
     os.makedirs(tmp, exist_ok=True)
     import ray
 
+    # the scale scenario runs with data-scale parallelism (8 CPUs per
+    # worker node / 16 single-node) so cross-node overhead is measured
+    # against real epoch work, not per-task latency
+    ncpu_worker = 8 if scenario == "scale" else 3
     cluster = None
     if topology == "multi":
         from ray.cluster_utils import Cluster
@@ -194,13 +243,13 @@ def main() -> None:
             initialize_head=True,
             head_node_args={"num_cpus": 0, "include_dashboard": False},
         )
-        cluster.add_node(num_cpus=3)
-        cluster.add_node(num_cpus=3)
+        cluster.add_node(num_cpus=ncpu_worker)
+        cluster.add_node(num_cpus=ncpu_worker)
         ray.init(address=cluster.address)
         alive = [n for n in ray.nodes() if n["Alive"]]
         assert len(alive) == 3, f"expected 3 alive nodes, got {len(alive)}"
     else:
-        ray.init(address="local", num_cpus=6, include_dashboard=False)
+        ray.init(address="local", num_cpus=2 * ncpu_worker, include_dashboard=False)
 
     _wrap_tasks(tmp)
     out = SCENARIOS[scenario](tmp)
