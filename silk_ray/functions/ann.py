@@ -100,7 +100,13 @@ def knn_bruteforce(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return partial.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+    # candidate stream is ≤ queries×k rows per input block — coalesce
+    # to one block so the final per-query merge's range sort has no
+    # schema-less empty partitions (low-cardinality query_id vs many
+    # input blocks)
+    return partial.repartition(1).groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pandas"
+    )
 
 
 class _NearDupScorer:
@@ -344,7 +350,9 @@ def knn_lsh(
     from ray.data.aggregate import Max
 
     deduped = partial.groupby(["query_id", "neighbor_id"]).aggregate(Max("cosine", alias_name="cosine"))
-    return deduped.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+    return deduped.repartition(1).groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -456,4 +464,10 @@ def knn_ivf(
     cells = ds.map_batches(assign, batch_format="pyarrow")
     partial = cells.groupby("cell").map_groups(score_cell, batch_format="pyarrow")
     # cells are disjoint (one per vector) — no cross-cell dedup needed
-    return partial.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+    # candidate stream is ≤ queries×k rows per input block — coalesce
+    # to one block so the final per-query merge's range sort has no
+    # schema-less empty partitions (low-cardinality query_id vs many
+    # input blocks)
+    return partial.repartition(1).groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pandas"
+    )

@@ -126,13 +126,28 @@ def _find_hot_buckets(band_rows, hot_cap: int, n_salt_max: int) -> dict[int, int
     bucket, return ``{bucket: n_salt}`` for buckets above the cap. Only
     counts move — the result is a small driver-side dict (hot buckets
     are rare by construction) broadcast into the salt stage."""
-    hot: dict[int, int] = {}
-    counted = band_rows.groupby("bucket").count()
+    # two-round partial-count tree, no sort/groupby exchange (a count
+    # table needs no key co-location; see linking.pipeline.find_hot_keys)
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("bucket").aggregate([("bucket", "count")])
+        return g.rename_columns(["bucket", "p_n"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("bucket").aggregate([("p_n", "sum")])
+        return g.rename_columns(["bucket", "p_n"])
+
+    counted = (
+        band_rows.map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+    totals: dict[int, int] = {}
     for b in counted.iter_batches(batch_format="pyarrow"):
-        for k, c in zip(b["bucket"].to_pylist(), b["count()"].to_pylist()):
-            if c > hot_cap:
-                hot[k] = min(n_salt_max, -(-c // hot_cap))
-    return hot
+        for k, c in zip(b["bucket"].to_pylist(), b["p_n"].to_pylist()):
+            totals[k] = totals.get(k, 0) + c
+    return {
+        k: min(n_salt_max, -(-c // hot_cap)) for k, c in totals.items() if c > hot_cap
+    }
 
 
 def _salt_triangle(band_rows, id_col: str, carry: list[str], hot: dict[int, int]):
@@ -248,7 +263,64 @@ def _group_sides(group: pa.Table, id_col: str):
     return uniq_idx, np.minimum(li, ri), np.maximum(li, ri)
 
 
-def _candidate_pairs(band_rows, id_col: str, hot_cap: int = 4096, n_salt_max: int = 64, n_rows: int | None = None):
+def _pair_blocks(n_rows: int | None) -> int | None:
+    """Pre-sort block count for a candidate-pair stream, from the
+    CORPUS row count (the only size known at plan time): ≥~8k rows per
+    block so no block is empty (zero-block bundles out of Ray's sort
+    bypass the typed-empty UDFs entirely), capped at 512 so a 100 TB
+    pair stream still sorts wide."""
+    if n_rows is None:
+        return None
+    return max(1, min(512, n_rows // 8192))
+
+
+def _distinct_pairs(pairs, id_type, min_col: str | None = None, coalesce: int | None = None):
+    """Global pair dedup (the same pair surfaces from several buckets /
+    bands): FULL-RANGE sort on a mixed (left,right) hash + one per-block
+    Arrow ``group_by`` — equal hashes co-locate in one sorted block, so
+    each distinct pair reduces exactly once. ``min_col`` keeps the
+    per-pair minimum of that column (the SimHash hamming merge).
+
+    Full-range single-int sort keys keep Ray's range boundaries
+    high-cardinality (duplicate boundaries ⇒ schema-less empty range
+    blocks ⇒ "RefBundle with a different schema" warnings), and empty
+    blocks emit the TYPED pair schema."""
+    from silk_ray.pipelines.relational import _key_hash
+
+    def add_ph(b: pa.Table) -> pa.Table:
+        l = _key_hash(b["left_id"]).view(np.uint64)
+        r = _key_hash(b["right_id"]).view(np.uint64)
+        h = l * np.uint64(0xA24BAED4963EE407) ^ r
+        h ^= h >> np.uint64(29)
+        return b.append_column("_ph", pa.array(h.view(np.int64), pa.int64()))
+
+    fields = [("left_id", id_type), ("right_id", id_type)]
+    if min_col:
+        fields.append((min_col, pa.int64()))
+    out_schema = pa.schema(fields)
+
+    def dedup_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        b = b.drop_columns(["_ph"])
+        if min_col:
+            g = b.group_by(["left_id", "right_id"]).aggregate([(min_col, "min")])
+            return g.rename_columns(["left_id", "right_id", min_col])
+        return b.group_by(["left_id", "right_id"]).aggregate([])
+
+    tagged = pairs.map_batches(add_ph, batch_format="pyarrow")
+    if coalesce:
+        # bound the block count BEFORE the sort: the emit stage leaves
+        # one (mostly tiny or empty) block per bucket group, and more
+        # sort-input blocks than distinct hash values guarantees empty
+        # (schema-less, zero-block) range partitions
+        tagged = tagged.repartition(coalesce)
+    return tagged.sort("_ph").map_batches(
+        dedup_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _candidate_pairs(band_rows, id_col: str, hot_cap: int = 4096, n_salt_max: int = 64, n_rows: int | None = None, id_type=None):
     """(bucket, id) rows → distinct (left_id, right_id) candidate pairs
     with left < right. Only ids move through both shuffles. Buckets
     above ``hot_cap`` rows are triangle-salted (see :func:`_salt_triangle`)
@@ -284,9 +356,7 @@ def _candidate_pairs(band_rows, id_col: str, hot_cap: int = 4096, n_salt_max: in
     else:  # no salting needed: single-key shuffle, no extra map stage
         pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
     # same pair can surface from several buckets → distinct
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["left_id", "right_id"]).aggregate(Count()).drop_columns(["count()"])
+    return _distinct_pairs(pairs, id_type or pa.int64(), coalesce=_pair_blocks(n_rows))
 
 
 def _attach_sketch(pairs, sketches, id_col: str, pair_key: str, carry: list[str], out_name: str):
@@ -586,7 +656,8 @@ def simhash_near_dup_pairs(
     # gate it on the input row count (metadata-cheap for parquet reads);
     # below the gate the worst bucket is corpus-sized and the vectorized
     # verify handles it in one task
-    if ds.count() <= 2 * hot_cap:
+    n_rows = ds.count()
+    if n_rows <= 2 * hot_cap:
         hot: dict[int, int] = {}
     else:
         hot = _find_hot_buckets(banded.select_columns(["bucket"]), hot_cap, n_salt_max)
@@ -623,14 +694,14 @@ def simhash_near_dup_pairs(
             }
         )
 
-    from ray.data.aggregate import Min
-
     if hot:
         salted = _salt_triangle(banded, id_col, ["simhash"], hot)
         pairs = salted.groupby(["bucket", "g_lo", "g_hi"]).map_groups(verify, batch_format="pyarrow")
     else:
         pairs = banded.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    return pairs.groupby(["left_id", "right_id"]).aggregate(Min("hamming", alias_name="hamming"))
+    # per-pair minimum hamming across tables (the Min-aggregate merge);
+    # ids here are the documents table's int64 doc_id
+    return _distinct_pairs(pairs, pa.int64(), min_col="hamming", coalesce=_pair_blocks(n_rows))
 
 
 # ---------------------------------------------------------------------------

@@ -110,16 +110,19 @@ def connected_components(
     # ~3x per round — measured 1700 sub-row blocks by round 7 on a
     # 120-node test graph, with the driver-side sort estimator ballooning
     # to tens of GB. O(labels) coalesce per round is the cheap insurance.
-    edges = (
-        pairs.map_batches(to_edges, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .materialize()
-    )
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return _empty_labels(node_type, node_col, label_col)
     if n_edges <= local_max_edges:
         return _local_cc(edges, node_type, node_col, label_col)
+    # size the per-round coalesce to the DATA: a fixed count on a small
+    # graph creates empty round-robin blocks, which Ray builds
+    # schema-less ("RefBundle with a different schema" warnings); ≥4k
+    # id-only rows per block keeps every block nonempty and the block
+    # count still caps at num_partitions for big graphs
+    num_partitions = max(1, min(num_partitions, -(-n_edges // 4096)))
+    edges = edges.repartition(num_partitions).materialize()
 
     from ray.data.aggregate import Max, Min
 

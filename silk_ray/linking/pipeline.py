@@ -500,15 +500,10 @@ def _score_partitioned(exploded, scorer, score_partitions: int):
             lambda part: scorer(part), batch_format="pyarrow", batch_size=None
         )
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_numpy(zero_copy_only=False)
-        part = (keys & 0x7FFFFFFFFFFFFFFF) % score_partitions
-        return batch.append_column("part", pa.array(part, pa.int64()))
-
-    # map_groups task parallelism follows the input block count, and the
-    # exploded dataset often arrives in a handful of read blocks — spread
-    # it so the post-sort scoring runs one task per partition group, not
-    # one task per input block (measured 86.9s -> 38.4s on a 32-CPU
+    # task parallelism follows the input block count, and the exploded
+    # dataset often arrives in a handful of read blocks — spread it so
+    # the post-sort scoring runs one task per sorted block, not one
+    # task per input block (measured 86.9s -> 38.4s on a 32-CPU
     # 600k-pair salted run with identical output)
     import ray as _ray
 
@@ -518,22 +513,27 @@ def _score_partitioned(exploded, scorer, score_partitions: int):
     def score_part(group: pa.Table) -> pa.Table:
         import time as _time
 
+        if group.num_rows == 0:
+            return pa.schema(
+                [("source", pa.string()), ("target", pa.string()), ("confidence", pa.float64())]
+            ).empty_table()
         t0 = _time.perf_counter()
         out = scorer(group)
         dt = _time.perf_counter() - t0
         if dt > 5.0:
-            # straggler diagnostics (worker log): which part, how big
-            part_id = group["part"][0].as_py() if group.num_rows else -1
+            # straggler diagnostics (worker log): which key range, how big
             print(
-                f"[silk_ray] slow score_part: part={part_id} rows={group.num_rows} "
+                f"[silk_ray] slow score_part: rows={group.num_rows} "
                 f"pairs_out={out.num_rows} took {dt:.1f}s"
             )
         return out
 
-    return (
-        exploded.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(score_part, batch_format="pyarrow")
+    # range-sort directly on the FULL-RANGE blocking key (high
+    # cardinality: no duplicate sort boundaries, hence no schema-less
+    # empty range blocks) — each sorted block holds whole key groups,
+    # and the scorer already iterates key groups within a block
+    return exploded.sort("key").map_batches(
+        score_part, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -543,9 +543,10 @@ def _add_spart(filter_partitions: int):
 
     def add_spart(df: pd.DataFrame) -> pd.DataFrame:
         srcs = df["source"]
-        # vectorized-ish crc over the unique sources per batch (links per
-        # source cluster, so uniques are far fewer than rows)
-        uniq = {s: zlib.crc32(s.encode()) % filter_partitions for s in srcs.unique()}
+        # FULL-RANGE crc over the unique sources per batch (links per
+        # source cluster, so uniques are far fewer than rows); full
+        # range keeps the exchange sort's boundaries high-cardinality
+        uniq = {s: zlib.crc32(s.encode()) for s in srcs.unique()}
         df["spart"] = srcs.map(uniq)
         return df
 
@@ -564,8 +565,8 @@ def apply_link_filter(links, limit_per_source: int, filter_partitions: int = 64)
 
     return (
         links.map_batches(_add_spart(filter_partitions), batch_format="pandas")
-        .groupby("spart")
-        .map_groups(topk, batch_format="pandas")
+        .sort("spart")
+        .map_batches(topk, batch_format="pandas", batch_size=None)
     )
 
 
@@ -583,8 +584,8 @@ def apply_unambiguous_filter(links, filter_partitions: int = 64):
 
     return (
         links.map_batches(_add_spart(filter_partitions), batch_format="pandas")
-        .groupby("spart")
-        .map_groups(keep_unambiguous, batch_format="pandas")
+        .sort("spart")
+        .map_batches(keep_unambiguous, batch_format="pandas", batch_size=None)
     )
 
 
@@ -651,6 +652,21 @@ def find_hot_keys(ds, rule_spec, limit, threshold, both_sides=False, side=1):
 
     Cheap rows (one int64 per exploded key); the result is a small
     driver-side dict broadcast into the index tasks."""
+    # two-round partial-count tree, NO sort/groupby exchange: per-block
+    # combiners (one count row per key per block), a round-robin merge
+    # to 16 blocks, a second combine, then a driver-side dict sum over
+    # the ≤ uniques×16 remaining partial rows. A count table needs no
+    # key co-location, so the range-sort exchange — whose boundary
+    # sampling duplicates Zipf-hot keys and emits schema-less empty
+    # range blocks — is pure overhead here.
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("key").aggregate([("key", "count")])
+        return g.rename_columns(["key", "p_n"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("key").aggregate([("p_n", "sum")])
+        return g.rename_columns(["key", "p_n"])
+
     counted = (
         ds.map_batches(
             cached_stage(
@@ -663,17 +679,15 @@ def find_hot_keys(ds, rule_spec, limit, threshold, both_sides=False, side=1):
             ),
             batch_format="pyarrow",
         )
-        .groupby("key")
-        .count()
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
-    hot = {}
+    totals: dict[int, int] = {}
     for b in counted.iter_batches(batch_format="pyarrow"):
-        keys = b["key"].to_pylist()
-        counts = b["count()"].to_pylist()
-        for k, c in zip(keys, counts):
-            if c > threshold:
-                hot[k] = True
-    return hot
+        for k, c in zip(b["key"].to_pylist(), b["p_n"].to_pylist()):
+            totals[k] = totals.get(k, 0) + c
+    return {k: True for k, c in totals.items() if c > threshold}
 
 
 def generate_links(

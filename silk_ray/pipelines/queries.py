@@ -109,8 +109,9 @@ def _dim_fits_broadcast(sf_dir: str, table: str) -> bool:
 
 
 def q1_pricing_summary(sf_dir: str):
-    """Filter → groupby-aggregate → sort (TPC-H Q1 shape)."""
-    from ray.data.aggregate import Count, Sum
+    """Filter → partial-aggregate combiner → groupby-aggregate → sort
+    (TPC-H Q1 shape)."""
+    from ray.data.aggregate import Sum
 
     ds = _rp(
         sf_dir,
@@ -119,9 +120,13 @@ def q1_pricing_summary(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
+        # partial-aggregate INSIDE the batch (combiner): the groupby
+        # shuffle then carries one row per group per batch, not the
+        # table — and the pre-aggregated stream coalesces to one block
+        # so the final groupby's range sort has no empty partitions
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
         disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table(
+        t = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
@@ -130,15 +135,22 @@ def q1_pricing_summary(sf_dir: str):
                 "disc_price": disc_price,
             }
         )
+        part = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return part.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
+        .repartition(1)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"),
         )
         .to_pandas()
     )
@@ -318,6 +330,7 @@ def revenue_per_nation(sf_dir: str):
     agg = (
         broadcast_lookup_sorted(li, "l_suppkey", supplier.s_suppkey.to_numpy(), nation_names.to_numpy(), "n_name")
         .map_batches(partial, batch_format="pandas")
+        .repartition(1)
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()
@@ -503,6 +516,7 @@ def q5_local_supplier(sf_dir: str):
 
         agg = (
             li_n.map_batches(li_join, batch_format="pyarrow")
+            .repartition(1)
             .groupby("n_nationkey")
             .aggregate(Sum("revenue", alias_name="revenue"))
             .to_pandas()
@@ -556,6 +570,7 @@ def q5_local_supplier(sf_dir: str):
         agg = (
             tagged.groupby("part")
             .map_groups(join_part, batch_format="pandas")
+            .repartition(1)
             .groupby("n_nationkey")
             .aggregate(Sum("revenue", alias_name="revenue"))
             .to_pandas()
@@ -724,12 +739,20 @@ LIMIT 20
 
 
 def mktsegment_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner: one count row per segment per batch; the coalesced
+        # stream gives the final groupby a single sort partition
+        g = batch.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])
+        return g.rename_columns(["c_mktsegment", "p_n"])
 
     out = (
         _rp(sf_dir, "customer", ["c_mktsegment"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
         .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("p_n", alias_name="n"))
         .to_pandas()
     )
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -1262,18 +1285,22 @@ ORDER BY query_id, cosine DESC, neighbor_id
 
 def label_stats(sf_dir: str):
     """Per-label count + mean of embedding dim 0 (partial-aggregated)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
 
     def prep(batch: pa.Table) -> pa.Table:
+        # combiner: one (n, sum) row per label per batch
         dim0 = pc.list_element(batch["embedding"], 0)
-        return pa.table({"label": batch["label"], "dim0": pc.cast(dim0, pa.float64())})
+        t = pa.table({"label": batch["label"], "dim0": pc.cast(dim0, pa.float64())})
+        g = t.group_by("label").aggregate([("dim0", "count"), ("dim0", "sum")])
+        return g.rename_columns(["label", "p_n", "p_sum"])
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
+        .repartition(1)
         .groupby("label")
-        .aggregate(Count(alias_name="n"), Sum("dim0", alias_name="sum_dim0"))
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_dim0"))
         .to_pandas()
     )
     out["avg_dim0"] = (out["sum_dim0"] / out["n"]).round(6)

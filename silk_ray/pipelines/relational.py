@@ -101,17 +101,34 @@ def broadcast_lookup_sorted(ds, key_col: str, keys, values, out_col: str, drop_m
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def _hash_part(arr, num_partitions: int) -> np.ndarray:
-    """Partition ids for an Arrow array (vectorized modulo for integer
-    keys, crc32 for strings)."""
+def _key_hash(arr) -> np.ndarray:
+    """FULL-RANGE int64 key hash for an Arrow array — the exchange key
+    every keyed machinery here sorts on. Full-range (not ``hash % P``)
+    keeps the range-sort boundaries high-cardinality: duplicate
+    boundaries are what create EMPTY range partitions, which Ray's
+    sort builds schema-less and which degrade the stream schema
+    ("RefBundle with a different schema" warnings). Integers get a
+    splitmix-style uint64 mix; strings hash once per DISTINCT value
+    (dictionary-encode, crc32 per unique, numpy take — the
+    cdc/merge._crc_keys idiom)."""
     import zlib
 
-    a = arr.to_numpy(zero_copy_only=False)
-    if a.dtype.kind in "iu":
-        return (a.astype(np.int64, copy=False) % num_partitions + num_partitions) % num_partitions
-    return np.fromiter(
-        (zlib.crc32(str(v).encode()) % num_partitions for v in a), np.int64, len(a)
-    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        enc = arr.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        if not uniq:
+            return np.empty(0, np.int64)
+        crc_u = np.fromiter(
+            (zlib.crc32(str(v).encode()) for v in uniq), np.int64, len(uniq)
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return crc_u[idx]
+    a = arr.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    h = a * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(31)
+    return h.view(np.int64)
 
 
 def shuffle_lookup(ds, key_col: str, dim, dim_key: str, dim_val: str, out_col: str, num_partitions: int = 64):
@@ -135,7 +152,7 @@ def shuffle_lookup(ds, key_col: str, dim, dim_key: str, dim_val: str, out_col: s
         cols = {f.name: b[f.name] for f in base}
         cols[out_col] = pa.nulls(b.num_rows, val_type)
         cols["_dside"] = pa.array(np.ones(b.num_rows, np.int8))
-        cols["_dpart"] = pa.array(_hash_part(b[key_col], num_partitions), pa.int64())
+        cols["_dpart"] = pa.array(_key_hash(b[key_col]), pa.int64())
         return pa.table(cols)
 
     def tag_dim(b: pa.Table) -> pa.Table:
@@ -145,16 +162,19 @@ def shuffle_lookup(ds, key_col: str, dim, dim_key: str, dim_val: str, out_col: s
             cols[f.name] = keys if f.name == key_col else pa.nulls(b.num_rows, f.type)
         cols[out_col] = b[dim_val]
         cols["_dside"] = pa.array(np.zeros(b.num_rows, np.int8))
-        cols["_dpart"] = pa.array(_hash_part(keys, num_partitions), pa.int64())
+        cols["_dpart"] = pa.array(_key_hash(keys), pa.int64())
         return pa.table(cols)
 
     tagged = ds.map_batches(tag_fact, batch_format="pyarrow").union(
         dim.map_batches(tag_dim, batch_format="pyarrow")
     )
 
+    out_schema = pa.schema(list(base) + [pa.field(out_col, val_type)])
+
     def join_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
         side = g["_dside"].to_numpy(zero_copy_only=False)
-        out_schema = pa.schema([g.schema.field(c) for c in fact_names] + [pa.field(out_col, val_type)])
         dim_rows = np.flatnonzero(side == 0)
         fact_rows = np.flatnonzero(side == 1)
         if dim_rows.size == 0 or fact_rows.size == 0:
@@ -171,7 +191,9 @@ def shuffle_lookup(ds, key_col: str, dim, dim_key: str, dim_val: str, out_col: s
         cols[out_col] = pa.array(list(vals[hit]), val_type)
         return pa.table(cols)
 
-    return tagged.groupby("_dpart").map_groups(join_group, batch_format="pyarrow")
+    return tagged.sort("_dpart").map_batches(
+        join_group, batch_format="pyarrow", batch_size=None
+    )
 
 
 def shuffle_semi_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions: int = 64):
@@ -209,7 +231,7 @@ def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
     def tag_fact(b: pa.Table) -> pa.Table:
         cols = {f.name: b[f.name] for f in base}
         cols["_dside"] = pa.array(np.ones(b.num_rows, np.int8))
-        cols["_dpart"] = pa.array(_hash_part(b[key_col], num_partitions), pa.int64())
+        cols["_dpart"] = pa.array(_key_hash(b[key_col]), pa.int64())
         return pa.table(cols)
 
     def tag_dim(b: pa.Table) -> pa.Table:
@@ -218,7 +240,7 @@ def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
         for f in base:
             cols[f.name] = keys if f.name == key_col else pa.nulls(b.num_rows, f.type)
         cols["_dside"] = pa.array(np.zeros(b.num_rows, np.int8))
-        cols["_dpart"] = pa.array(_hash_part(keys, num_partitions), pa.int64())
+        cols["_dpart"] = pa.array(_key_hash(keys), pa.int64())
         return pa.table(cols)
 
     tagged = ds.map_batches(tag_fact, batch_format="pyarrow").union(
@@ -226,6 +248,8 @@ def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
     )
 
     def join_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return base.empty_table()
         side = g["_dside"].to_numpy(zero_copy_only=False)
         fact_rows = np.flatnonzero(side == 1)
         fsub = g.take(pa.array(fact_rows)).select(fact_names)
@@ -236,7 +260,9 @@ def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
         hit, _ = lookup_sorted(skeys, skeys, fsub[key_col].to_numpy(zero_copy_only=False))
         return fsub.filter(pa.array(~hit))
 
-    return tagged.groupby("_dpart").map_groups(join_group, batch_format="pyarrow")
+    return tagged.sort("_dpart").map_batches(
+        join_group, batch_format="pyarrow", batch_size=None
+    )
 
 
 def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64, coalesce: int | None = None):
@@ -375,8 +401,6 @@ def _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit):
        per-key vectorized merge: ``emit(l_on, r_on)`` returns the
        matched (left, right) local index arrays from two binary
        searches, and the output is built by two ``take`` calls."""
-    import zlib
-
     import pyarrow.compute as pc
 
     unioned, left_cols, unified = _union_sides(left, right, by, on, value_cols)
@@ -393,21 +417,14 @@ def _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit):
         mask = pc.and_(pc.is_valid(batch[by]), pc.is_valid(batch[on]))
         if not pc.min(mask).as_py():
             batch = batch.filter(mask)
-        col = batch[by]
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            part = np.fromiter(
-                (zlib.crc32(str(v).encode()) % num_partitions for v in col.to_pylist()),
-                np.int64,
-                batch.num_rows,
-            )
-        else:
-            part = np.abs(col.cast(pa.int64()).to_numpy(zero_copy_only=False)) % num_partitions
-        return batch.append_column("__part", pa.array(part, pa.int64()))
+        return batch.append_column(
+            "__part", pa.array(_key_hash(batch[by]), pa.int64())
+        )
 
     def apply_part(part: pa.Table) -> pa.Table:
-        part = part.drop_columns(["__part"])
         if part.num_rows == 0:
             return out_schema.empty_table()
+        part = part.drop_columns(["__part"])
         order = pc.sort_indices(
             part,
             sort_keys=[(by, "ascending"), ("_side", "ascending"), (on, "ascending")]
@@ -439,8 +456,8 @@ def _keyed_merge_join(left, right, by, on, value_cols, num_partitions, emit):
 
     return (
         unioned.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(apply_part, batch_format="pyarrow")
+        .sort("__part")
+        .map_batches(apply_part, batch_format="pyarrow", batch_size=None)
     )
 
 
