@@ -324,3 +324,40 @@ def test_levenshtein_fast_path_non_ascii_fallback():
     out = PairScorer(rule, limit=0.0)(tbl)
     assert out.num_rows == 1
     assert out["confidence"][0].as_py() == 0.0  # char d=1, 1 - 1/1
+
+
+def test_topk_per_source_matches_pandas_contract():
+    """_topk_per_source (sorted-factorize + lexsort) must equal the
+    classic sort_values + groupby.head contract element-for-element,
+    including confidence ties broken by target order."""
+    import numpy as np
+    import pandas as pd
+
+    from silk_ray.linking.pipeline import _topk_per_source
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "source": [f"s{i}" for i in rng.integers(0, 40, n)],
+            "target": [f"t{i}" for i in rng.integers(0, 60, n)],
+            # coarse grid forces plenty of confidence ties
+            "confidence": rng.integers(0, 5, n) / 4.0,
+        }
+    )
+    for k in (1, 3, 17):
+        ref = (
+            df.sort_values(
+                ["source", "confidence", "target"], ascending=[True, False, True], kind="mergesort"
+            )
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        got = _topk_per_source(df, k)
+        key = ["source", "target", "confidence"]
+        assert (
+            got.sort_values(key).reset_index(drop=True).equals(
+                ref.sort_values(key).reset_index(drop=True)
+            )
+        ), k
+    assert len(_topk_per_source(df.head(0), 3)) == 0
