@@ -266,10 +266,10 @@ def shuffle_anti_filter(ds, key_col: str, keys_ds, keys_col: str, num_partitions
 
 
 def grouped_apply(ds, key_col: str, fn, num_partitions: int = 64, coalesce: int | None = None):
-    """Hash-partitioned grouped apply: shuffle on ``hash(key) % P``
-    coarse partitions, then a vectorized pandas ``groupby`` inside each
-    partition — avoids Ray's per-group map_groups overhead when there
-    are many small groups (same trick as the linking scorer).
+    """Hash-partitioned grouped apply: range-sort on the full-range key
+    hash, then a vectorized pandas ``groupby`` inside each sorted block
+    — avoids Ray's per-group map_groups overhead when there are many
+    small groups (same trick as the linking scorer).
 
     ``fn`` receives a pandas DataFrame of ONE key group and returns a
     DataFrame (the classic map_groups contract).
